@@ -1,0 +1,194 @@
+"""Training objectives for GP pre-training: multi-task NLL and EKL.
+
+Parity with reference hyperbo/gp_utils/objectives.py:29-246: same objective
+values (mean over sub-datasets, aligned-only for the divergence, non-aligned
+for NLL, hyperprior log-probs subtracted), same combinators and aliases.
+
+Note: the reference aliases `nll_regeuc01`/`nll_regeuc10` to the *KL*
+regularizer (objectives.py:243,246 — a latent bug). Here they are defined
+with the Euclidean regularizer as their names state; the reference behavior
+is available via nll_regkl(.1)/nll_regkl(10.).
+
+For TPU-scale multi-task training, see hyperbo_tpu.models.packed — a
+padded/bucketed, vmapped, mesh-shardable batch NLL with identical per-task
+semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jspla
+
+from hyperbo_tpu.core.warp import retrieve_params
+from hyperbo_tpu.models import divergences
+from hyperbo_tpu.ops import linalg
+
+
+def multivariate_normal_divergence(
+    mean_func,
+    cov_func,
+    params,
+    dataset,
+    warp_func=None,
+    distance=divergences.kl_multivariate_normal,
+):
+  """Mean divergence between sample MVN stats and the model, over aligned
+  sub-datasets.
+
+  Each aligned sub-dataset has y of shape (n, m): m matched-input function
+  draws. The sample mean/covariance over the m draws is compared to the
+  model's mean/kernel (+ noise on the diagonal) under `distance`.
+  """
+
+  def compute_metric_per_sub_dataset(sub_dataset):
+    if sub_dataset.y.shape[0] == 0:
+      return 0.
+    mu_data = jnp.mean(sub_dataset.y, axis=1)
+    cov_data = jnp.cov(sub_dataset.y, bias=True)
+    mu_model = mean_func(params, sub_dataset.x, warp_func=warp_func).flatten()
+    noise_variance, = retrieve_params(
+        params, ['noise_variance'], warp_func=warp_func)
+    cov_model = cov_func(
+        params, sub_dataset.x, warp_func=warp_func) + jnp.eye(
+            sub_dataset.x.shape[0]) * noise_variance
+    return distance(mu0=mu_data, cov0=cov_data, mu1=mu_model, cov1=cov_model)
+
+  total_val = 0.
+  num_sub_datasets = 0
+  for sub_dataset_key, sub_dataset in dataset.items():
+    if sub_dataset.aligned is None:
+      continue
+    if sub_dataset.x.shape[0] == 0:
+      continue
+    if (sub_dataset.y.shape[1] == 0 or
+        sub_dataset.y.shape[0] != sub_dataset.x.shape[0]):
+      raise ValueError(
+          (f'dataset[{sub_dataset_key}].x has shape {sub_dataset.x.shape} '
+           f'but dataset[{sub_dataset_key}].y has shape {sub_dataset.y.shape}')
+      )
+    total_val += compute_metric_per_sub_dataset(sub_dataset)
+    num_sub_datasets += 1
+
+  if num_sub_datasets == 0:
+    return 0.
+  return total_val / num_sub_datasets
+
+
+multivariate_normal_euc_distance = functools.partial(
+    multivariate_normal_divergence,
+    distance=divergences.euclidean_multivariate_normal)
+
+
+def neg_log_marginal_likelihood(mean_func,
+                                cov_func,
+                                params,
+                                dataset,
+                                warp_func=None,
+                                exclude_aligned=True,
+                                return_key2nll=False,
+                                use_cholesky=True):
+  """Mean negative log marginal likelihood over (non-aligned) sub-datasets.
+
+  use_cholesky=False computes each NLL through a full SVD — needed when the
+  kernel is PD but the covariance is numerically low rank.
+  """
+
+  def compute_nll_sub_dataset_cholesky(vx, vy):
+    chol, kinvy, vy = linalg.solve_gp_linear_system(
+        mean_func=mean_func,
+        cov_func=cov_func,
+        params=params,
+        x=vx,
+        y=vy,
+        warp_func=warp_func)
+    return jnp.sum(0.5 * jnp.dot(vy.T, kinvy) +
+                   jnp.sum(jnp.log(jnp.diag(chol))) +
+                   0.5 * vx.shape[0] * jnp.log(2 * jnp.pi))
+
+  def compute_nll_sub_dataset_svd(vx, vy):
+    vy, cov = linalg.compute_delta_y_and_cov(
+        mean_func=mean_func,
+        cov_func=cov_func,
+        params=params,
+        x=vx,
+        y=vy,
+        warp_func=warp_func)
+    (u, s, v) = jspla.svd(cov)
+    if not isinstance(s, jax.core.Tracer) and s[-1] <= 0:
+      logging.warning('Covariance matrix is low rank. s = %s', s)
+    kinv = jnp.dot(v.T, jnp.dot(jnp.diag(s**-1), u.T))
+    kinvy = jnp.dot(kinv, vy)
+    return 0.5 * jnp.sum(
+        jnp.dot(vy.T, kinvy) + jnp.sum(jnp.log(s)) +
+        vx.shape[0] * jnp.log(2 * jnp.pi))
+
+  total_nll = 0.
+  key2nll = {}
+  num_sub_datasets = 0
+  for k, s in dataset.items():
+    if exclude_aligned and s.aligned is not None:
+      continue
+    if s.x.shape[0] == 0:
+      continue
+    if use_cholesky:
+      key2nll[k] = compute_nll_sub_dataset_cholesky(s.x, s.y)
+    else:
+      key2nll[k] = compute_nll_sub_dataset_svd(s.x, s.y)
+    total_nll += key2nll[k]
+    num_sub_datasets += 1
+  if num_sub_datasets == 0:
+    total_nll = 0.
+  else:
+    total_nll /= num_sub_datasets
+
+  if 'priors' in params.config:
+    for k in params.model:
+      if k in params.config['priors']:
+        log_prior_fn = params.config['priors'][k]
+        val, = retrieve_params(params, [k], warp_func)
+        total_nll -= log_prior_fn(val)
+      else:
+        logging.warning('No prior provided for param %s', k)
+  if return_key2nll:
+    return total_nll, key2nll
+  return total_nll
+
+
+nll = neg_log_marginal_likelihood
+kl = multivariate_normal_divergence
+ekl = kl
+euc = multivariate_normal_euc_distance
+regkl = kl
+regeuc = euc
+
+
+def add(*objectives):
+
+  def added_objective(*args, **kwargs):
+    return sum([o(*args, **kwargs) for o in objectives])
+
+  return added_objective
+
+
+def mul(c, o):
+
+  def multiplied_objective(*args, **kwargs):
+    return c * o(*args, **kwargs)
+
+  return multiplied_objective
+
+
+nll_regkl = lambda c: add(nll, mul(c, regkl))
+nll_regeuc = lambda c: add(nll, mul(c, regeuc))
+
+nll_regkl1 = nll_regkl(1.)
+nll_regeuc1 = nll_regeuc(1.)
+nll_regkl01 = nll_regkl(.1)
+nll_regeuc01 = nll_regeuc(.1)
+
+nll_regkl10 = nll_regkl(10.)
+nll_regeuc10 = nll_regeuc(10.)

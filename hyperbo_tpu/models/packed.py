@@ -1,0 +1,171 @@
+"""Packed (padded + masked) multi-task GP objectives.
+
+The reference evaluates the multi-task NLL with a Python loop over
+sub-datasets of unequal size (hyperbo/gp_utils/objectives.py:181-191),
+which compiles one Cholesky per task and cannot batch or shard. Here
+sub-datasets are packed into dense (T, n_max, ...) buffers with row masks;
+the per-task NLL is evaluated under vmap — one batched Gram + batched
+Cholesky on the MXU — and the task axis can be sharded over a device mesh
+(see hyperbo_tpu.parallel).
+
+Masking scheme: padded rows of K are replaced by identity rows and padded
+entries of y by 0, so
+
+  * the Cholesky factor of the masked K has 1s on the padded diagonal
+    (log-det contribution 0),
+  * K^{-1} delta_y has zeros in padded rows (quadratic-term contribution 0),
+  * the n/2*log(2pi) term uses the true per-task count.
+
+The per-task value equals the reference's per-sub-dataset NLL exactly
+(same formula, reference objectives.py:144-156); the packed objective is
+their mean, matching objectives.py:195.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from hyperbo_tpu.core import defs
+from hyperbo_tpu.core.warp import retrieve_params
+from hyperbo_tpu.ops import chol as chol_ops
+
+SubDataset = defs.SubDataset
+
+
+class PackedDataset(NamedTuple):
+  """Dense multi-task batch: T tasks padded to n_max points each."""
+  x: jnp.ndarray      # (T, n_max, d)
+  y: jnp.ndarray      # (T, n_max, 1)
+  mask: jnp.ndarray   # (T, n_max) bool: valid rows
+  count: jnp.ndarray  # (T,) int32: valid rows per task
+  task_mask: jnp.ndarray  # (T,) bool: valid tasks (padding tasks for mesh)
+
+
+def _round_up(x: int, m: int) -> int:
+  return ((x + m - 1) // m) * m
+
+
+def pack_dataset(dataset: Dict[Union[int, str], SubDataset],
+                 pad_to_multiple: int = 8,
+                 num_tasks_multiple: int = 1,
+                 dtype=jnp.float32) -> Tuple[PackedDataset, List[Any]]:
+  """Pack the non-aligned, single-output sub-datasets into dense buffers.
+
+  Args:
+    dataset: dict of SubDataset; only entries with aligned=None and
+      y.shape[1] == 1 participate (the NLL training set).
+    pad_to_multiple: n_max is rounded up to this (use 128+ on TPU so tiles
+      are MXU-aligned; small values keep unit tests cheap).
+    num_tasks_multiple: T is rounded up to this so the task axis divides a
+      device mesh evenly; padding tasks are masked out.
+    dtype: packing dtype.
+
+  Returns:
+    (packed, keys): packed buffers and the sub-dataset keys in task order.
+  """
+  keys = [k for k, s in dataset.items()
+          if s.aligned is None and s.x.shape[0] > 0 and s.y.shape[1] == 1]
+  if not keys:
+    raise ValueError('No non-aligned sub-datasets with scalar outputs '
+                     'to pack.')
+  subs = [dataset[k] for k in keys]
+  d = subs[0].x.shape[1]
+  n_max = _round_up(max(s.x.shape[0] for s in subs), pad_to_multiple)
+  t_real = len(subs)
+  t_total = _round_up(t_real, num_tasks_multiple)
+
+  x = jnp.zeros((t_total, n_max, d), dtype)
+  y = jnp.zeros((t_total, n_max, 1), dtype)
+  mask = jnp.zeros((t_total, n_max), bool)
+  count = jnp.zeros((t_total,), jnp.int32)
+  for i, s in enumerate(subs):
+    n = s.x.shape[0]
+    x = x.at[i, :n].set(s.x.astype(dtype))
+    y = y.at[i, :n].set(s.y.astype(dtype))
+    mask = mask.at[i, :n].set(True)
+    count = count.at[i].set(n)
+  task_mask = jnp.arange(t_total) < t_real
+  return PackedDataset(x=x, y=y, mask=mask, count=count,
+                       task_mask=task_mask), keys
+
+
+def nll_one_task(mean_func, cov_func, params, x, y, mask, count,
+                 warp_func=None, eps: float = 1e-6) -> jnp.ndarray:
+  """Masked NLL of one padded task; equals the reference per-task NLL."""
+  noise_variance, = retrieve_params(params, ['noise_variance'],
+                                    warp_func=warp_func)
+  mu = mean_func(params, x, warp_func=warp_func)
+  delta = (y - jnp.atleast_2d(mu)) * mask[:, None]
+  kmat = cov_func(params, x, warp_func=warp_func)
+  pair_mask = mask[:, None] & mask[None, :]
+  n_max = x.shape[0]
+  eye = jnp.eye(n_max, dtype=kmat.dtype)
+  diag_fill = jnp.where(mask, noise_variance + eps, 1.0)
+  kmat = jnp.where(pair_mask, kmat, 0.0) + eye * diag_fill
+  chol = chol_ops.cholesky(kmat)
+  kinvy = chol_ops.cho_solve(chol, delta)
+  quad = 0.5 * jnp.sum(delta * kinvy)
+  # Padded diagonal entries are exactly 1 => log contributes 0.
+  logdet_half = jnp.sum(jnp.log(jnp.diagonal(chol)))
+  return quad + logdet_half + 0.5 * count * jnp.log(2 * jnp.pi)
+
+
+def neg_log_marginal_likelihood_packed(mean_func,
+                                       cov_func,
+                                       params,
+                                       packed: PackedDataset,
+                                       warp_func=None,
+                                       eps: float = 1e-6) -> jnp.ndarray:
+  """Mean NLL over packed tasks (+ hyperprior terms, as the reference).
+
+  vmapped over the task axis: one batched Gram + batched Cholesky.
+  Shardable over a mesh by sharding `packed`'s leading axis.
+  """
+  per_task = jax.vmap(
+      lambda x, y, m, c: nll_one_task(
+          mean_func, cov_func, params, x, y, m, c, warp_func, eps))(
+              packed.x, packed.y, packed.mask, packed.count)
+  per_task = jnp.where(packed.task_mask, per_task, 0.0)
+  num = jnp.maximum(jnp.sum(packed.task_mask), 1)
+  total = jnp.sum(per_task) / num
+
+  if 'priors' in params.config:
+    for k in params.model:
+      if k in params.config['priors']:
+        val, = retrieve_params(params, [k], warp_func)
+        total -= params.config['priors'][k](val)
+  return total
+
+
+def subsample_packed(key, packed: PackedDataset,
+                     batch_size: int) -> PackedDataset:
+  """Per-task random subsample to at most batch_size rows, on device.
+
+  Device-side analogue of the host iterator
+  (reference hyperbo/basics/data_utils.py:72-100): tasks larger than
+  batch_size get a fresh uniform subset each call; smaller tasks pass
+  through (padded rows keep their mask).
+  """
+  t, n_max, _ = packed.x.shape
+  if batch_size >= n_max:
+    return packed
+  keys = jax.random.split(key, t)
+
+  def one(k, x, y, mask, count):
+    # Sort random scores with invalid rows pushed to the end, take the
+    # first batch_size positions: a uniform subset of valid rows.
+    scores = jax.random.uniform(k, (n_max,))
+    scores = jnp.where(mask, scores, 2.0)
+    order = jnp.argsort(scores)
+    sel = order[:batch_size]
+    new_count = jnp.minimum(count, batch_size)
+    new_mask = jnp.arange(batch_size) < new_count
+    return x[sel], y[sel], new_mask, new_count
+
+  x, y, mask, count = jax.vmap(one)(keys, packed.x, packed.y, packed.mask,
+                                    packed.count)
+  return PackedDataset(x=x, y=y, mask=mask, count=count,
+                       task_mask=packed.task_mask)

@@ -1,0 +1,157 @@
+"""MXU-blocked Cholesky factorization and triangular solves.
+
+The O(n^3) Cholesky + solve pipeline is the bottom of every GP call stack
+(reference call stacks: SURVEY.md section 3). On TPU the right design is to
+push all O(n^3) work into large matmuls that tile onto the MXU:
+
+  * `cholesky` uses a recursive 2x2 block factorization. At each level the
+    Schur-complement update  A22 - L21 @ L21^T  is one large matmul; only
+    the O(n * b^2) base-case panels run through XLA's sequential expander.
+  * `solve_triangular` / `cho_solve` wrap lax.linalg.triangular_solve, which
+    XLA lowers to blocked inverted-diagonal matmuls.
+
+All factorizations run in fp32 (matmuls at HIGHEST MXU precision) — the
+bf16 MXU fast path is numerically unsafe for SPD factorization.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# Below this size, XLA's native blocked cholesky is used directly.
+_BASE_BLOCK = 512
+# Matmul precision for Schur updates.
+_PRECISION = lax.Precision.HIGHEST
+
+
+def _xla_cholesky(a):
+  return lax.linalg.cholesky(a, symmetrize_input=False)
+
+
+def _blocked_cholesky(a: jnp.ndarray, base_block: int) -> jnp.ndarray:
+  """Recursive blocked Cholesky; `a` is (..., n, n) SPD, returns lower L."""
+  n = a.shape[-1]
+  if n <= base_block:
+    return _xla_cholesky(a)
+  # Split point: half, rounded to a multiple of 128 for MXU-aligned tiles.
+  k = max(128, (n // 2 // 128) * 128)
+  a11 = a[..., :k, :k]
+  a21 = a[..., k:, :k]
+  a22 = a[..., k:, k:]
+  l11 = _blocked_cholesky(a11, base_block)
+  # L21 @ L11^T = A21  =>  right-side solve against L11^T.
+  l21 = lax.linalg.triangular_solve(
+      l11, a21, left_side=False, lower=True, transpose_a=True)
+  s22 = a22 - jnp.matmul(l21, jnp.swapaxes(l21, -1, -2),
+                         precision=_PRECISION)
+  l22 = _blocked_cholesky(s22, base_block)
+  top = jnp.concatenate(
+      [l11, jnp.zeros(a.shape[:-2] + (k, n - k), a.dtype)], axis=-1)
+  bot = jnp.concatenate([l21, l22], axis=-1)
+  return jnp.concatenate([top, bot], axis=-2)
+
+
+@functools.partial(jax.jit, static_argnames=('base_block',))
+def _blocked_cholesky_jit(a, base_block):
+  return _blocked_cholesky(a, base_block)
+
+
+def cholesky(a: jnp.ndarray, base_block: int = _BASE_BLOCK) -> jnp.ndarray:
+  """Lower Cholesky factor of an SPD matrix (..., n, n).
+
+  Dispatches to XLA's factorization for small n and to the recursive
+  MXU-blocked algorithm above it.
+  """
+  n = a.shape[-1]
+  if n <= base_block:
+    return _xla_cholesky(a)
+  return _blocked_cholesky(a, base_block)
+
+
+def solve_triangular(a: jnp.ndarray,
+                     b: jnp.ndarray,
+                     lower: bool = True,
+                     trans: int = 0) -> jnp.ndarray:
+  """Solve a x = b (trans=0) or a^T x = b (trans=1) with triangular a."""
+  b2 = b[..., None] if b.ndim == a.ndim - 1 else b
+  out = lax.linalg.triangular_solve(
+      a, b2, left_side=True, lower=lower, transpose_a=bool(trans))
+  return out[..., 0] if b.ndim == a.ndim - 1 else out
+
+
+def cho_solve(chol: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+  """Solve K x = b given the lower Cholesky factor of K."""
+  z = solve_triangular(chol, b, lower=True, trans=0)
+  return solve_triangular(chol, z, lower=True, trans=1)
+
+
+def logdet_from_chol(chol: jnp.ndarray) -> jnp.ndarray:
+  """log det K = 2 * sum(log(diag(L)))."""
+  diag = jnp.diagonal(chol, axis1=-2, axis2=-1)
+  return 2.0 * jnp.sum(jnp.log(diag), axis=-1)
+
+
+def chol_append(chol: jnp.ndarray, k_vec: jnp.ndarray,
+                kappa: jnp.ndarray) -> jnp.ndarray:
+  """Grow a Cholesky factor by one row/column in O(n^2).
+
+  Given L with L L^T = K (n x n), the factor of
+  [[K, k], [k^T, kappa]] is [[L, 0], [w^T, sqrt(kappa - w^T w)]] with
+  w = L^{-1} k. This replaces the reference's full refactorization on every
+  BO append (reference TODO at hyperbo/gp_utils/gp.py:284).
+
+  Args:
+    chol: n x n lower factor.
+    k_vec: n-vector of cross covariances (or n x 1).
+    kappa: scalar self covariance (incl. noise/jitter).
+
+  Returns:
+    (n+1) x (n+1) lower factor.
+  """
+  n = chol.shape[-1]
+  k_vec = k_vec.reshape(n)
+  w = solve_triangular(chol, k_vec, lower=True, trans=0)
+  d = jnp.sqrt(jnp.maximum(kappa - jnp.dot(w, w), 1e-12))
+  out = jnp.zeros((n + 1, n + 1), chol.dtype)
+  out = out.at[:n, :n].set(chol)
+  out = out.at[n, :n].set(w)
+  out = out.at[n, n].set(d)
+  return out
+
+
+def chol_append_padded(chol_buf: jnp.ndarray, num_obs: jnp.ndarray,
+                       k_vec: jnp.ndarray,
+                       kappa: jnp.ndarray) -> jnp.ndarray:
+  """In-buffer rank-1 append for a preallocated max-size factor.
+
+  `chol_buf` is N x N holding a valid num_obs x num_obs factor in its top
+  left corner, with ones on the diagonal of the unused part (so triangular
+  solves against the full buffer are well-defined). `k_vec` is an N-vector
+  whose first num_obs entries are the cross covariances (rest ignored).
+  Writes row num_obs and returns the updated buffer. Static shapes
+  throughout: safe inside jit/scan.
+  """
+  n_max = chol_buf.shape[-1]
+  idx = jnp.arange(n_max)
+  valid = idx < num_obs
+  k_masked = jnp.where(valid, k_vec, 0.0)
+  # Solve over the full buffer: rows >= num_obs have identity diagonal and
+  # zero RHS, so they contribute zeros.
+  w = solve_triangular(chol_buf, k_masked, lower=True, trans=0)
+  w = jnp.where(valid, w, 0.0)
+  d = jnp.sqrt(jnp.maximum(kappa - jnp.dot(w, w), 1e-12))
+  new_row = jnp.where(valid, w, 0.0)
+  new_row = new_row.at[num_obs].set(d) if isinstance(num_obs, int) else (
+      jnp.where(idx == num_obs, d, new_row))
+  buf = lax.dynamic_update_slice(chol_buf, new_row[None, :],
+                                 (num_obs, 0))
+  return buf
+
+
+def init_chol_buffer(n_max: int, dtype=jnp.float32) -> jnp.ndarray:
+  """Identity-initialized preallocated Cholesky buffer."""
+  return jnp.eye(n_max, dtype=dtype)

@@ -1,0 +1,156 @@
+"""Adam training loops for GP objectives.
+
+Two paths:
+
+  * `fit_adam`: reference-parity host loop (hyperbo/gp_utils/gp.py:114-157
+    semantics — per-step host subsampling, NaN guards that keep the last
+    finite parameters, callback hooks) but with the loss, gradient and
+    optimizer update fused into ONE jitted step, so each iteration is a
+    single device dispatch instead of separate grad/update round trips.
+
+  * `fit_adam_packed`: fully on-device loop — the whole training run is a
+    single `lax.scan` over fused steps on packed (padded) task buffers,
+    with per-step on-device subsampling. No host sync until the end. This
+    is the TPU production path (PD1 pre-training target in BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from hyperbo_tpu.models import packed as packed_lib
+
+
+def fit_adam(loss_fn: Callable[[Dict[str, Any], Any], jnp.ndarray],
+             model_params: Dict[str, Any],
+             dataset_iter,
+             learning_rate: float,
+             max_training_step: int,
+             callback: Optional[Callable[..., Any]] = None):
+  """Host-loop Adam with reference NaN semantics.
+
+  Args:
+    loss_fn: (model_params, batch) -> scalar loss.
+    model_params: initial trainable pytree.
+    dataset_iter: iterator of batches (host-side subsampler).
+    learning_rate: Adam learning rate.
+    max_training_step: number of steps.
+    callback: optional (step, model_params, loss) hook.
+
+  Returns:
+    (final_model_params, final_loss): last finite parameters and the loss
+    evaluated at them on the final batch.
+  """
+  optimizer = optax.adam(learning_rate)
+  opt_state = optimizer.init(model_params)
+
+  @jax.jit
+  def fused_step(model, opt_state, batch):
+    loss, grads = jax.value_and_grad(loss_fn)(model, batch)
+    updates, new_opt_state = optimizer.update(grads, opt_state)
+    new_model = optax.apply_updates(model, updates)
+    return loss, new_model, new_opt_state
+
+  kept_params = model_params
+  current = model_params
+  batch = None
+  loss = jnp.nan
+  for i in range(max_training_step):
+    batch = next(dataset_iter)
+    loss, next_model, next_opt_state = fused_step(current, opt_state, batch)
+    loss_val = float(loss)
+    if jnp.isnan(loss_val) and i == 0:
+      raise ValueError(
+          f'Encountered NaN in loss function. current_loss = {loss_val}.')
+    if jnp.isfinite(loss_val):
+      kept_params = current
+    else:
+      logging.info('adam stopped at step %d due to instability.', i)
+      break
+    current, opt_state = next_model, next_opt_state
+    if callback:
+      callback(i, kept_params, loss)
+  if batch is not None:
+    final_loss = loss_fn(current, batch)
+    if jnp.isfinite(float(final_loss)):
+      kept_params = current
+    return kept_params, final_loss
+  return kept_params, loss
+
+
+def fit_adam_packed(mean_func,
+                    cov_func,
+                    model_params: Dict[str, Any],
+                    packed: packed_lib.PackedDataset,
+                    config: Dict[str, Any],
+                    warp_func=None,
+                    key: Optional[jax.Array] = None,
+                    loss_fn: Optional[Callable] = None,
+                    in_shardings=None):
+  """Whole-training-run-on-device Adam over packed tasks.
+
+  The loop is a lax.scan of fused (subsample -> loss+grad -> update) steps.
+  A non-finite loss freezes the parameters for the remaining steps
+  (the on-device equivalent of the reference's break-on-instability).
+
+  Args:
+    mean_func / cov_func: GP mean/kernel functions.
+    model_params: initial trainable pytree.
+    packed: PackedDataset of training tasks.
+    config: needs learning_rate, max_training_step, batch_size.
+    warp_func: parameter warping.
+    key: PRNG key for per-step subsampling.
+    loss_fn: optional override (model, packed_batch) -> scalar; defaults to
+      the packed multi-task NLL with `config` visible via a GPParams shim.
+    in_shardings: optional sharding spec for `packed` (mesh task-sharding);
+      applied via jax.device_put before the scan.
+
+  Returns:
+    (model_params, losses): trained parameters and the (steps,) loss trace.
+  """
+  from hyperbo_tpu.core import defs  # local import to avoid cycle
+
+  if key is None:
+    key = jax.random.PRNGKey(0)
+  lr = config['learning_rate']
+  steps = int(config['max_training_step'])
+  batch_size = int(config.get('batch_size', packed.x.shape[1]))
+
+  if loss_fn is None:
+    def loss_fn(model, batch):
+      shim = defs.GPParams(model=model, config=config)
+      return packed_lib.neg_log_marginal_likelihood_packed(
+          mean_func, cov_func, shim, batch, warp_func=warp_func)
+
+  optimizer = optax.adam(lr)
+
+  if in_shardings is not None:
+    packed = jax.device_put(packed, in_shardings)
+
+  def step(carry, _):
+    model, opt_state, k, frozen = carry
+    k, sk = jax.random.split(k)
+    batch = packed_lib.subsample_packed(sk, packed, batch_size)
+    loss, grads = jax.value_and_grad(loss_fn)(model, batch)
+    updates, new_opt_state = optimizer.update(grads, opt_state)
+    new_model = optax.apply_updates(model, updates)
+    ok = jnp.isfinite(loss) & ~frozen
+    model = jax.tree.map(lambda new, old: jnp.where(ok, new, old),
+                         new_model, model)
+    opt_state = jax.tree.map(lambda new, old: jnp.where(ok, new, old),
+                             new_opt_state, opt_state)
+    return (model, opt_state, k, frozen | ~jnp.isfinite(loss)), loss
+
+  @jax.jit
+  def run(model, k):
+    opt_state = optimizer.init(model)
+    (model, _, _, _), losses = jax.lax.scan(
+        step, (model, opt_state, k, jnp.array(False)), None, length=steps)
+    return model, losses
+
+  return run(model_params, key)
