@@ -1,0 +1,197 @@
+"""Fully on-device Bayesian-optimization loop.
+
+The reference BO iteration (hyperbo/bo_utils/bayesopt.py:137-193) is a
+host loop that refactorizes the posterior from scratch after every append
+(O(n^3) per iteration, acknowledged TODO at gp.py:284). This module runs
+the entire simulated-BO loop as ONE jitted lax.scan with
+
+  * preallocated max-size observation buffers (static shapes),
+  * rank-1 Cholesky append per iteration (O(n^2), ops.chol),
+  * batched candidate scoring: one cross-Gram matmul + one triangular
+    solve per iteration over the whole candidate set (MXU),
+  * acquisition + argmax on device (no host sync until the loop ends).
+
+Semantics match simulated_bayesopt with a GP model and no retraining:
+same posterior (incl. noise and the unbiased N/(N-1) rescale), same
+acquisition definitions, same greedy argmax (re-selection allowed).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from hyperbo_tpu.core import defs
+from hyperbo_tpu.core.warp import retrieve_params
+from hyperbo_tpu.bo import acfun
+from hyperbo_tpu.ops import chol as chol_ops
+
+SubDataset = defs.SubDataset
+
+_ACQ_SUBS = {
+    'ei': (acfun.expected_improvement_sub, 'best_y'),
+    'pi': (acfun.probability_of_improvement_sub, 'best_y_zeta'),
+    'ucb': (acfun.ucb_sub, 'beta3'),
+    'ucb2': (acfun.ucb_sub, 'beta2'),
+    'ucb4': (acfun.ucb_sub, 'beta4'),
+}
+
+
+def _acq_param(kind: str, y_buf, mask, count):
+  if kind == 'best_y':
+    return jnp.where(count > 0,
+                     jnp.max(jnp.where(mask[:, None], y_buf, -jnp.inf)), 0.0)
+  if kind == 'best_y_zeta':
+    return jnp.where(count > 0,
+                     jnp.max(jnp.where(mask[:, None], y_buf, -jnp.inf)) + 0.1,
+                     0.0)
+  if kind == 'beta2':
+    return 2.0
+  if kind == 'beta4':
+    return 4.0
+  return 3.0
+
+
+def build_bo_step(mean_func, cov_func, model_params, config, warp_func,
+                  acquisition: str, n_max: int, num_train_tasks: int,
+                  eps: float = 1e-6):
+  """Build the jitted per-iteration BO step over preallocated buffers.
+
+  State: (x_buf (N,d), y_buf (N,1), chol_buf (N,N), count).
+  Step input: candidate set (n_c, d) with candidate y values (n_c, 1).
+  """
+  params_shim = defs.GPParams(model=model_params, config=config)
+  acq_sub, acq_param_kind = _ACQ_SUBS[acquisition]
+  noise_variance, = retrieve_params(params_shim, ['noise_variance'],
+                                    warp_func=warp_func)
+  # Unbiased predictive rescale: training tasks + the growing test task.
+  n_tasks = num_train_tasks + 1
+  scale = n_tasks / (n_tasks - 1.0) if n_tasks > 1 else 1.0
+
+  def posterior(x_buf, y_buf, chol_buf, count, cand_x):
+    mask = jnp.arange(n_max) < count
+    mu_prior_obs = mean_func(params_shim, x_buf, warp_func=warp_func)
+    delta = jnp.where(mask[:, None], y_buf - mu_prior_obs, 0.0)
+    kinvy = chol_ops.cho_solve(chol_buf, delta)
+    cross = cov_func(params_shim, x_buf, cand_x, warp_func=warp_func)
+    cross = jnp.where(mask[:, None], cross, 0.0)
+    mu = cross.T @ kinvy + mean_func(params_shim, cand_x,
+                                     warp_func=warp_func)
+    v = chol_ops.solve_triangular(chol_buf, cross, lower=True)
+    kdiag = cov_func(params_shim, cand_x, warp_func=warp_func, diag=True)
+    var = kdiag - jnp.sum(v * v, axis=0)
+    var = jnp.maximum(var, 1e-12)[:, None]
+    # Prior fallback when no observations yet.
+    prior_mu = mean_func(params_shim, cand_x, warp_func=warp_func)
+    prior_var = kdiag[:, None]
+    has_obs = count > 0
+    mu = jnp.where(has_obs, mu, prior_mu)
+    var = jnp.where(has_obs, var, prior_var)
+    var = (var + noise_variance) * scale
+    return mu, var
+
+  def append(x_buf, y_buf, chol_buf, count, x_new, y_new):
+    k_vec = cov_func(params_shim, x_buf, x_new[None, :],
+                     warp_func=warp_func)[:, 0]
+    kappa = cov_func(params_shim, x_new[None, :], warp_func=warp_func,
+                     diag=True)[0] + noise_variance + eps
+    chol_buf = chol_ops.chol_append_padded(chol_buf, count, k_vec, kappa)
+    x_buf = jax.lax.dynamic_update_slice(x_buf, x_new[None, :], (count, 0))
+    y_buf = jax.lax.dynamic_update_slice(y_buf, y_new[None, :], (count, 0))
+    return x_buf, y_buf, chol_buf, count + 1
+
+  def step(state, cand):
+    x_buf, y_buf, chol_buf, count = state
+    cand_x, cand_y = cand
+    mu, var = posterior(x_buf, y_buf, chol_buf, count, cand_x)
+    mask = jnp.arange(n_max) < count
+    target = _acq_param(acq_param_kind, y_buf, mask, count)
+    scores = acq_sub(mu, jnp.sqrt(var), target)
+    select_idx = jnp.argmax(scores.flatten())
+    x_new = cand_x[select_idx]
+    y_new = cand_y[select_idx]
+    state = append(x_buf, y_buf, chol_buf, count, x_new, y_new)
+    return state, select_idx
+
+  return step
+
+
+def simulated_bayesopt_ondevice(
+    mean_func,
+    cov_func,
+    model_params,
+    config,
+    warp_func,
+    queried_sub_dataset: SubDataset,
+    iters: int,
+    acquisition: str = 'ei',
+    num_train_tasks: int = 0,
+    init_obs: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    n_max: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+  """Run `iters` BO iterations entirely on device.
+
+  Args:
+    mean_func / cov_func / model_params / config / warp_func: the GP.
+    queried_sub_dataset: finite candidate set (x: n_c x d, y: n_c x 1).
+    iters: number of sequential selections.
+    acquisition: one of 'ei', 'pi', 'ucb', 'ucb2', 'ucb4'.
+    num_train_tasks: number of unaligned pre-training tasks (drives the
+      unbiased predictive rescale, matching GP.predict).
+    init_obs: optional (x0, y0) initial observations on the test task.
+    n_max: observation buffer capacity; defaults to init + iters.
+
+  Returns:
+    (x_observed, y_observed, selected_indices): the init+selected
+    observations (dense, in selection order) and per-iter candidate
+    indices.
+  """
+  n_init = 0 if init_obs is None else init_obs[0].shape[0]
+  if n_max is None:
+    n_max = n_init + iters
+  d = queried_sub_dataset.x.shape[1]
+
+  x_buf = jnp.zeros((n_max, d), jnp.float32)
+  y_buf = jnp.zeros((n_max, 1), jnp.float32)
+  chol_buf = chol_ops.init_chol_buffer(n_max)
+  count = jnp.array(0, jnp.int32)
+
+  step = build_bo_step(mean_func, cov_func, model_params, config, warp_func,
+                       acquisition, n_max, num_train_tasks)
+
+  @jax.jit
+  def run(x_buf, y_buf, chol_buf, count, x0, y0, cand_x, cand_y):
+    # Seed initial observations through the same append path.
+    def seed_one(i, state):
+      x_buf, y_buf, chol_buf, cnt = state
+      state, _ = step((x_buf, y_buf, chol_buf, cnt),
+                      (x0[i][None, :], y0[i][None, :]))
+      return state
+
+    if n_init > 0:
+      # Appending initial points exactly (not via acquisition): emulate by
+      # single-candidate steps — argmax over one candidate is that point.
+      state = (x_buf, y_buf, chol_buf, count)
+      state = jax.lax.fori_loop(0, n_init, seed_one, state)
+    else:
+      state = (x_buf, y_buf, chol_buf, count)
+
+    cands = (jnp.broadcast_to(cand_x, (iters,) + cand_x.shape),
+             jnp.broadcast_to(cand_y, (iters,) + cand_y.shape))
+    state, select_idx = jax.lax.scan(step, state, cands)
+    x_buf, y_buf, chol_buf, count = state
+    return x_buf, y_buf, select_idx
+
+  x0 = (init_obs[0] if init_obs is not None
+        else jnp.zeros((0, d), jnp.float32))
+  y0 = (init_obs[1] if init_obs is not None
+        else jnp.zeros((0, 1), jnp.float32))
+  x_out, y_out, select_idx = run(
+      x_buf, y_buf, chol_buf, count, x0, y0,
+      queried_sub_dataset.x.astype(jnp.float32),
+      queried_sub_dataset.y.astype(jnp.float32))
+  total = n_init + iters
+  return x_out[:total], y_out[:total], select_idx

@@ -1,0 +1,258 @@
+"""PD1 / PD2 hyperparameter-tuning dataset loaders and MAF export.
+
+Parity with reference hyperbo/bo_utils/data.py:37-42,356-572,580-646:
+same file map, hyperparameter labels, input warps (momentum -> log(1-x),
+lr -> log) and output warp (error rate -> -log(x + 1e-10)), the
+deduplicate/normalize MAF export, and the output warper builder.
+
+Fixes over the OSS reference: pd2 takes an explicit `data_files` map
+instead of referencing an undefined global (reference data.py:613), and
+both loaders fail with a clear FileNotFoundError when the data files are
+absent.
+"""
+
+from __future__ import annotations
+
+import logging
+import pickle
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import pandas as pd
+
+from hyperbo_tpu.core import defs
+from hyperbo_tpu.data import frames
+
+SubDataset = defs.SubDataset
+
+PD1 = {
+    ('phase0', 'matched'): '../pd1/pd1_matched_phase0_results.jsonl',
+    ('phase1', 'matched'): '../pd1/pd1_matched_phase1_results.jsonl',
+    ('phase0', 'unmatched'): '../pd1/pd1_unmatched_phase0_results.jsonl',
+    ('phase1', 'unmatched'): '../pd1/pd1_unmatched_phase1_results.jsonl',
+}
+
+LESS_POINTS_WORKLOAD = 'imagenet_resnet50,imagenet,resnet,resnet50,1024'
+
+PD1_LABELS = [
+    'hps.lr_hparams.decay_steps_factor',
+    'hps.lr_hparams.initial_value',
+    'hps.lr_hparams.power',
+    'hps.opt_hparams.momentum',
+]
+
+PD2_LABELS = [
+    'hps.lr_hparams.decay_steps_factor',
+    'hps.lr_hparams.initial_value',
+    'hps.lr_hparams.power',
+    'hps.opt_hparams.beta1',
+    'hps.opt_hparams.epsilon',
+]
+
+
+def _load_trial_files(data_files: Dict[Tuple[str, str], str]):
+  """Read jsonl/pickle trial tables, tagging aligned phase metadata."""
+  all_trials = []
+  for (phase, matchedness), path in data_files.items():
+    if path.endswith('.pkl') or '.pkl' in path:
+      with open(path, 'rb') as f:
+        trials = pickle.load(f)
+    else:
+      trials = pd.read_json(path, orient='records', lines=True,
+                            precise_float=True)
+    trials.loc[:, 'aligned'] = (matchedness == 'matched')
+    trials.loc[:, 'aligned_suffix'] = phase
+    all_trials.append(trials)
+  return pd.concat(all_trials).reset_index(drop=True)
+
+
+def pd1(key,
+        p_observed,
+        verbose=True,
+        sub_dataset_key=None,
+        input_warp=True,
+        output_log_warp=True,
+        num_remove=0,
+        metric_name='best_valid/error_rate',
+        p_remove=0.,
+        data_files=None):
+  """Load PD1 (Nesterov phase) and pick/hold out a test study.
+
+  Returns: (dataset, sub_dataset_key, queried_sub_dataset). The dataset
+  contains per-workload sub-datasets (x: n x 4 warped hyperparameters,
+  y: n x 1 warped error rate) plus aligned matched-phase sub-datasets.
+  """
+  if data_files is None:
+    data_files = PD1.copy()
+  trials = _load_trial_files(data_files)
+  labels = PD1_LABELS + [metric_name]
+  warp_func = {}
+  if input_warp:
+    warp_func = {
+        'hps.opt_hparams.momentum': lambda x: np.log(1 - x),
+        'hps.lr_hparams.initial_value': np.log,
+    }
+  if output_log_warp:
+    warp_func['best_valid/error_rate'] = lambda x: -np.log(x + 1e-10)
+
+  return frames.process_dataframe(
+      key=key,
+      trials=trials,
+      study_identifier='study_group',
+      labels=labels,
+      p_observed=p_observed,
+      maximize_metric=False,
+      warp_func=warp_func if input_warp else None,
+      verbose=verbose,
+      sub_dataset_key=sub_dataset_key,
+      num_remove=num_remove,
+      p_remove=p_remove)
+
+
+def pd2(key,
+        p_observed,
+        verbose=True,
+        sub_dataset_key=None,
+        input_warp=True,
+        output_log_warp=True,
+        num_remove=0,
+        metric_name='best_valid/error_rate',
+        p_remove=0.,
+        data_files=None):
+  """Load PD2 (Adam phase). Requires `data_files`: the OSS reference
+  references an undefined PD2 global (data.py:613); here the map must be
+  provided explicitly."""
+  if data_files is None:
+    raise FileNotFoundError(
+        'pd2 requires data_files={(phase, matchedness): path}; the PD2 '
+        'trial tables are not distributed with the package.')
+  trials = _load_trial_files(data_files)
+  labels = PD2_LABELS + [metric_name]
+  warp_func = {}
+  if input_warp:
+    warp_func = {
+        'hps.opt_hparams.beta1': lambda x: np.log(1 - x),
+        'hps.lr_hparams.initial_value': np.log,
+        'hps.opt_hparams.epsilon': np.log,
+    }
+  if output_log_warp:
+    warp_func['best_valid/error_rate'] = lambda x: -np.log(x + 1e-10)
+
+  return frames.process_dataframe(
+      key=key,
+      trials=trials,
+      study_identifier='study_group',
+      labels=labels,
+      p_observed=p_observed,
+      maximize_metric=False,
+      warp_func=warp_func if input_warp else None,
+      verbose=verbose,
+      sub_dataset_key=sub_dataset_key,
+      num_remove=num_remove,
+      p_remove=p_remove)
+
+
+def grid2020(*args, **kwargs):
+  """GRID2020 loader requires the init2winit colab toolchain (not a
+  dependency); reference data.py:649-715. Gated with a clear error."""
+  raise NotImplementedError(
+      'grid2020 requires init2winit (not a dependency of this package); '
+      'load the experiment dataframe externally and call '
+      'hyperbo_tpu.data.frames.process_dataframe directly.')
+
+
+def _deduplicate(x, y, dataset_name, verbose=True):
+  """Drop duplicate x rows, keeping the one with the highest y."""
+  order = np.argsort(-y[:, 0], kind='stable')
+  x_sorted, y_sorted = np.asarray(x)[order], np.asarray(y)[order]
+  _, idx = np.unique(x_sorted, axis=0, return_index=True)
+  if verbose:
+    print(f'Removed {x_sorted.shape[0] - len(idx)} duplicated points from '
+          f'{dataset_name}')
+  return x_sorted[idx, :], y_sorted[idx, :]
+
+
+def _normalize_maf_dataset(maf_dataset, num_hparams, neg_error_to_accuracy):
+  """Min-max normalize X to [0,1] jointly; optionally map -err -> acc."""
+  min_vals = np.ones(num_hparams) * np.inf
+  max_vals = -np.ones(num_hparams) * np.inf
+  for subdataset in maf_dataset.values():
+    min_vals = np.minimum(min_vals, np.min(subdataset['X'], axis=0))
+    max_vals = np.maximum(max_vals, np.max(subdataset['X'], axis=0))
+  for k in maf_dataset:
+    maf_dataset[k]['X'] = (maf_dataset[k]['X'] - min_vals) / (
+        max_vals - min_vals)
+    if neg_error_to_accuracy:
+      maf_dataset[k]['Y'] = 1 + maf_dataset[k]['Y']
+  return maf_dataset
+
+
+def process_pd1_for_maf(outfile_path,
+                        min_num_points,
+                        input_warp,
+                        output_log_warp,
+                        neg_error_to_accuracy,
+                        enforce_same_size_subdatasets,
+                        verbose=True,
+                        data_files=None):
+  """Export PD1 in the MAF-baseline format (deduped, normalized, pickled)."""
+  if output_log_warp and neg_error_to_accuracy:
+    raise ValueError('Cannot transform y-values when the pd1 outputs are '
+                     'log-warped!')
+  key = jax.random.PRNGKey(0)
+  dataset, _, _ = pd1(key, p_observed=1, input_warp=input_warp,
+                      output_log_warp=output_log_warp,
+                      data_files=data_files)
+  num_hparams = dataset[list(dataset.keys())[0]].x.shape[1]
+  excluded = [LESS_POINTS_WORKLOAD]
+
+  maf_dataset = {}
+  for k, subdataset in dataset.items():
+    if subdataset.aligned is None and k not in excluded:
+      x, y = _deduplicate(np.array(subdataset.x), np.array(subdataset.y),
+                          dataset_name=k, verbose=verbose)
+      if x.shape[0] > min_num_points:
+        maf_dataset[k] = dict(X=x, Y=y)
+
+  if enforce_same_size_subdatasets:
+    min_size = min(md['X'].shape[0] for md in maf_dataset.values())
+    for k in maf_dataset:
+      maf_dataset[k] = dict(X=maf_dataset[k]['X'][:min_size, :],
+                            Y=maf_dataset[k]['Y'][:min_size, :])
+  maf_dataset = _normalize_maf_dataset(
+      maf_dataset, num_hparams=num_hparams,
+      neg_error_to_accuracy=neg_error_to_accuracy)
+  logging.info('MAF export: %d sub-datasets -> %s', len(maf_dataset),
+               outfile_path)
+  with open(outfile_path, 'wb') as f:
+    pickle.dump(maf_dataset, f, pickle.HIGHEST_PROTOCOL)
+
+
+def get_output_warper(output_log_warp=True, return_warping=False):
+  """Output warper -log(1 + 1e-6 - y) for y <= 1 (error-rate surrogate)."""
+  if output_log_warp:
+
+    def output_warping(f):
+
+      def warped_f(x_array):
+        y = f(x_array)
+        if not np.all(y <= 1. + 1e-11):
+          raise ValueError(f'Use output_log_warp only if f({x_array})={y} '
+                           'is smaller than or equal to 1.')
+        ret = -np.log(1. + 1e-6 - y)
+        assert np.all(np.isfinite(ret)), f'y={y} caused ret={ret}.'
+        return ret
+
+      return warped_f
+  else:
+    output_warping = lambda f: f
+  output_warper = output_warping(lambda x: x)
+  if return_warping:
+    return output_warper, output_warping
+  return output_warper
+
+
+def normalize(y, eps=1e-12):
+  """Min-max normalize a vector."""
+  return (y - np.min(y)) / (np.max(y) - np.min(y) + eps)
