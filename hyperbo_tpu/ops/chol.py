@@ -35,7 +35,9 @@ def _xla_cholesky(a):
 def _blocked_cholesky(a: jnp.ndarray, base_block: int) -> jnp.ndarray:
   """Recursive blocked Cholesky; `a` is (..., n, n) SPD, returns lower L."""
   n = a.shape[-1]
-  if n <= base_block:
+  # Base case must cover any n the split below cannot halve (the split
+  # point is always >= 128, so recursion requires n > 256).
+  if n <= max(base_block, 256):
     return _xla_cholesky(a)
   # Split point: half, rounded to a multiple of 128 for MXU-aligned tiles.
   k = max(128, (n // 2 // 128) * 128)

@@ -112,11 +112,13 @@ def _inverse_spdmatrix_vector_product_bwd(res, g):
   chol_factor, x = res
   inv_spd_matrix_x = chol_ops.cho_solve(chol_factor, x)
   inv_spd_matrix_g = chol_ops.cho_solve(chol_factor, g)
-  # Shape-aware outer product: for n-vectors this is jnp.outer; for n x m
-  # right-hand sides it contracts the trailing axis.
+  # d(K^{-1}x) = -K^{-1} dK K^{-1} x, so the cotangent pullback to K is
+  # -(K^{-1} g)(K^{-1} x)^T. Shape-aware: covers both n-vector and n x m
+  # right-hand sides (the reference's jnp.outer form flattens m > 1,
+  # reference linalg.py:164).
   a = jnp.atleast_2d(inv_spd_matrix_x.T).T
   b = jnp.atleast_2d(inv_spd_matrix_g.T).T
-  grad_spd_matrix = -jnp.dot(a, b.T)
+  grad_spd_matrix = -jnp.dot(b, a.T)
   grad_x = inv_spd_matrix_g
   return (grad_spd_matrix, grad_x, None)
 

@@ -1,29 +1,40 @@
 """Test environment setup: CPU backend with 8 virtual devices.
 
-The container's sitecustomize registers the axon TPU plugin at interpreter
-startup; once registered, selecting JAX_PLATFORMS=cpu deadlocks backend
-init. Tests must run CPU-only (with an 8-device virtual mesh for sharding
-tests), so if the current interpreter was started with the axon plugin
-enabled, re-exec pytest with a scrubbed environment before anything
-imports jax.
+The container's sitecustomize registers the axon TPU PJRT plugin at
+interpreter startup; once registered, ANY platform selection that
+includes 'cpu' deadlocks backend init. Tests must run CPU-only with an
+8-device virtual mesh (for sharding tests), so the first pytest process
+relaunches itself in a subprocess with a scrubbed environment
+(registration disabled via PALLAS_AXON_POOL_IPS=) and relays the
+subprocess's output and exit code.
 """
 
 import os
+import subprocess
 import sys
+
+import pytest
 
 _ENV_SENTINEL = 'HYPERBO_TPU_TEST_ENV'
 
-if os.environ.get(_ENV_SENTINEL) != '1':
+def pytest_configure(config):
+  if os.environ.get(_ENV_SENTINEL) == '1':
+    return
   env = dict(os.environ)
   env[_ENV_SENTINEL] = '1'
   env['JAX_PLATFORMS'] = 'cpu'
-  # Prevent the sitecustomize axon registration in the re-exec'd process.
+  # Prevent the sitecustomize axon registration in the child process.
   env['PALLAS_AXON_POOL_IPS'] = ''
   xla_flags = env.get('XLA_FLAGS', '')
   if 'xla_force_host_platform_device_count' not in xla_flags:
     xla_flags += ' --xla_force_host_platform_device_count=8'
   env['XLA_FLAGS'] = xla_flags.strip()
-  os.execve(sys.executable,
-            [sys.executable, '-m', 'pytest'] + sys.argv[1:], env)
-
-assert 'jax' not in sys.modules or True  # jax imports happen after this.
+  result = subprocess.run(
+      [sys.executable, '-m', 'pytest'] + sys.argv[1:],
+      env=env, capture_output=True, text=True)
+  output = result.stdout + result.stderr
+  # pytest.exit raised from pytest_configure propagates the returncode to
+  # the driver and prints the child's report after capture teardown.
+  pytest.exit(f'[hyperbo_tpu conftest] tests ran in a CPU-only subprocess '
+              f'(axon plugin disabled):\n{output}',
+              returncode=result.returncode)

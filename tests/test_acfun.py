@@ -1,0 +1,101 @@
+"""Acquisition-function tests: shapes, known closed forms, and
+vmap-ability over a batch of models (the reference's on-device batched-BO
+precedent, acfun_test.py:100-118).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hyperbo_tpu.core import defs
+from hyperbo_tpu.core.warp import DEFAULT_WARP_FUNC
+from hyperbo_tpu.models import gp
+from hyperbo_tpu.models import kernel
+from hyperbo_tpu.models import mean
+from hyperbo_tpu.bo import acfun
+from hyperbo_tpu.bo import const
+
+GPParams = defs.GPParams
+SubDataset = defs.SubDataset
+WF = DEFAULT_WARP_FUNC
+
+
+def _model(key):
+  params = GPParams(
+      model={'constant': 1., 'lengthscale': jnp.array([.5, .5]),
+             'signal_variance': 1.0, 'noise_variance': 0.01},
+      config={'objective': 'nll'})
+  x = jax.random.normal(key, (8, 2))
+  y = gp.sample_from_gp(jax.random.PRNGKey(1), mean.constant,
+                        kernel.squared_exponential, params, x, warp_func=WF)
+  model = gp.GP({0: SubDataset(x, y)}, mean.constant,
+                kernel.squared_exponential, params, WF)
+  model.rng = jax.random.PRNGKey(7)
+  return model
+
+
+@pytest.mark.parametrize('name', list(const.ACFUN.keys()))
+def test_acfun_shapes(name):
+  model = _model(jax.random.PRNGKey(0))
+  nq = 11
+  qx = jax.random.normal(jax.random.PRNGKey(2), (nq, 2))
+  if name == 'random_search':
+    vals = const.ACFUN[name](model=model, x_queries=qx)
+  else:
+    vals = const.ACFUN[name](model=model, sub_dataset_key=0, x_queries=qx)
+  assert vals.shape == (nq, 1)
+  assert np.all(np.isfinite(np.asarray(vals)))
+
+
+def test_ei_closed_form():
+  mu = jnp.array([[0.0]])
+  std = jnp.array([[1.0]])
+  target = 0.0
+  # EI at mu=target, std=1: phi(0) = 1/sqrt(2 pi), minus 0*... = 0.3989
+  val = acfun.expected_improvement_sub(mu, std, target)
+  np.testing.assert_allclose(np.asarray(val)[0, 0],
+                             1 / np.sqrt(2 * np.pi), rtol=1e-5)
+
+
+def test_ucb_formula():
+  mu = jnp.array([[1.0], [2.0]])
+  std = jnp.array([[0.5], [0.1]])
+  np.testing.assert_allclose(acfun.ucb_sub(mu, std, 3.),
+                             mu + 3. * std)
+
+
+def test_acquisitions_vmappable_over_models():
+  """Score 100 sampled GP hyperparameter settings in one batched pass."""
+  key = jax.random.PRNGKey(3)
+  n, nq, d, m = 8, 6, 2, 100
+  x_obs = jax.random.normal(key, (n, d))
+  y_obs = jax.random.normal(jax.random.PRNGKey(4), (n, 1))
+  qx = jax.random.normal(jax.random.PRNGKey(5), (nq, d))
+
+  base = {'constant': 1., 'lengthscale': jnp.ones(d),
+          'signal_variance': 1.0, 'noise_variance': 0.01}
+  stacked = {
+      k: jnp.stack([jnp.asarray(v) + 0.01 * i for i in range(m)])
+      for k, v in base.items()
+  }
+
+  def score(model_params):
+    params = GPParams(model=model_params)
+    mu, var = gp.predict(mean.constant, kernel.squared_exponential, params,
+                         x_obs, y_obs, qx, warp_func=WF)
+    return acfun.expected_improvement_sub(
+        mu, jnp.sqrt(var + model_params['noise_variance']),
+        jnp.max(y_obs))
+
+  vals = jax.vmap(score)(stacked)
+  assert vals.shape == (m, nq, 1)
+  assert np.all(np.isfinite(np.asarray(vals)))
+
+
+def test_random_search_consumes_rng():
+  model = _model(jax.random.PRNGKey(6))
+  r0 = model.rng
+  vals = acfun.random_search(model, jnp.zeros((5, 2)))
+  assert vals.shape == (5, 1)
+  assert not jnp.array_equal(r0, model.rng)

@@ -1,0 +1,149 @@
+"""GP class tests: training, prediction shapes/cache, append semantics,
+sample_from_gp methods, functional-vs-class predict agreement.
+
+Mirrors reference hyperbo/gp_utils/gp_test.py:58-303.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hyperbo_tpu.core import defs
+from hyperbo_tpu.core.warp import DEFAULT_WARP_FUNC
+from hyperbo_tpu.models import gp
+from hyperbo_tpu.models import kernel
+from hyperbo_tpu.models import mean
+
+GPParams = defs.GPParams
+SubDataset = defs.SubDataset
+WF = DEFAULT_WARP_FUNC
+
+
+def _make_model(key, num_tasks=5, n=12, d=2, method='adam',
+                pack_tasks=True):
+  gt = GPParams(model={
+      'constant': 5., 'lengthscale': jnp.array([1., 1.]),
+      'signal_variance': 1.0, 'noise_variance': 0.01})
+  vx = jax.random.normal(key, (n, d))
+  dataset = {}
+  for i in range(num_tasks):
+    y = gp.sample_from_gp(jax.random.PRNGKey(i), mean.constant,
+                          kernel.matern52, gt, vx, warp_func=WF)
+    dataset[i] = SubDataset(vx, y)
+  init = GPParams(
+      model={'constant': 4., 'lengthscale': jnp.zeros(d),
+             'signal_variance': 0., 'noise_variance': -4.},
+      config={'method': method, 'learning_rate': 1e-2,
+              'max_training_step': 40, 'batch_size': 100,
+              'objective': 'nll', 'tol': 1e-7, 'pack_tasks': pack_tasks})
+  model = gp.GP(dataset, mean.constant, kernel.matern52, init, WF)
+  model.initialize_params(jax.random.PRNGKey(42))
+  return model
+
+
+@pytest.mark.parametrize('pack_tasks', [True, False],
+                         ids=['packed', 'host'])
+def test_train_improves_nll(pack_tasks):
+  model = _make_model(jax.random.PRNGKey(0), pack_tasks=pack_tasks)
+  nll0 = float(model.stats(verbose=False)[0])
+  model.train()
+  nll1 = float(model.stats(verbose=False)[0])
+  assert nll1 < nll0
+
+
+def test_lengthscale_broadcast_on_init():
+  model = _make_model(jax.random.PRNGKey(1))
+  # initialize_params broadcast float lengthscale was given as array here;
+  # test float path explicitly:
+  model.params.model['lengthscale'] = 0.3
+  model.initialize_params(jax.random.PRNGKey(2))
+  assert model.params.model['lengthscale'].shape == (2,)
+
+
+def test_predict_shapes_and_cache():
+  model = _make_model(jax.random.PRNGKey(3))
+  qx = jax.random.normal(jax.random.PRNGKey(4), (7, 2))
+  mu, var = model.predict(qx, 0)
+  assert mu.shape == (7, 1) and var.shape == (7, 1)
+  assert 0 in model.params.cache
+  assert not model.params.cache[0].needs_update
+  mu2, cov2 = model.predict(qx, 0, full_cov=True)
+  assert cov2.shape == (7, 7)
+  np.testing.assert_allclose(mu, mu2, atol=1e-6)
+  np.testing.assert_allclose(var[:, 0], jnp.diag(cov2), rtol=1e-3,
+                             atol=1e-5)
+
+
+def test_functional_vs_class_predict_noise_offset():
+  """Class predict(with_noise) = functional predict + noise * rescale."""
+  model = _make_model(jax.random.PRNGKey(5))
+  qx = jax.random.normal(jax.random.PRNGKey(6), (5, 2))
+  mu_f, var_f = gp.predict(
+      mean.constant, kernel.matern52, model.params,
+      model.dataset[0].x, model.dataset[0].y, qx, warp_func=WF)
+  mu_c, var_c = model.predict(qx, 0, with_noise=True, unbiased=False)
+  nv = float(jax.nn.softplus(model.params.model['noise_variance']) + 1e-10)
+  np.testing.assert_allclose(mu_f, mu_c, atol=1e-5)
+  np.testing.assert_allclose(var_f + nv, var_c, rtol=1e-4)
+  # unbiased rescale: x N/(N-1) over 5 unaligned sub-datasets
+  _, var_u = model.predict(qx, 0, with_noise=True, unbiased=True)
+  np.testing.assert_allclose(var_u, var_c * 5 / 4, rtol=1e-5)
+
+
+def test_update_sub_dataset_append():
+  model = _make_model(jax.random.PRNGKey(7))
+  model.predict(jnp.zeros((1, 2)), 0)  # populate cache
+  n_before = model.dataset[0].x.shape[0]
+  new_x = jnp.ones((2, 2))
+  new_y = jnp.ones((2, 1))
+  model.update_sub_dataset((new_x, new_y), 0, is_append=True)
+  assert model.dataset[0].x.shape[0] == n_before + 2
+  assert model.params.cache[0].needs_update
+  # replace semantics
+  model.update_sub_dataset((new_x, new_y), 0, is_append=False)
+  assert model.dataset[0].x.shape[0] == 2
+  # append to a fresh key creates the sub-dataset
+  model.update_sub_dataset((new_x, new_y), 'fresh', is_append=True)
+  assert model.dataset['fresh'].x.shape[0] == 2
+
+
+@pytest.mark.parametrize('method', ['cholesky', 'svd'])
+def test_sample_from_gp_methods(method):
+  params = GPParams(model={
+      'constant': 1., 'lengthscale': jnp.array([.5, .5]),
+      'signal_variance': 1.0, 'noise_variance': 0.01})
+  x = jax.random.normal(jax.random.PRNGKey(8), (10, 2))
+  y = gp.sample_from_gp(jax.random.PRNGKey(9), mean.constant,
+                        kernel.squared_exponential, params, x,
+                        warp_func=WF, num_samples=4, method=method)
+  assert y.shape == (10, 4)
+  assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_prior_predict_no_observations():
+  model = _make_model(jax.random.PRNGKey(10))
+  qx = jax.random.normal(jax.random.PRNGKey(11), (4, 2))
+  mu, var = model.predict(qx, 'not_a_key', with_noise=False,
+                          unbiased=False)
+  assert mu.shape == (4, 1) and var.shape == (4, 1)
+  # Prior variance = kernel diagonal.
+  kdiag = kernel.matern52(model.params, qx, warp_func=WF, diag=True)
+  np.testing.assert_allclose(var[:, 0], kdiag, rtol=1e-5)
+
+
+def test_empty_dataset_raises_on_init():
+  init = GPParams(config={'objective': 'nll'})
+  model = gp.GP({}, mean.zero, kernel.matern32, init, WF)
+  with pytest.raises(ValueError):
+    model.initialize_params(jax.random.PRNGKey(0))
+
+
+def test_train_noop_when_no_steps():
+  model = _make_model(jax.random.PRNGKey(12))
+  model.params.config['max_training_step'] = 0
+  before = jax.tree.map(jnp.asarray, model.params.model)
+  model.train()
+  after = model.params.model
+  assert jax.tree.all(
+      jax.tree.map(lambda a, b: jnp.array_equal(a, b), before, after))

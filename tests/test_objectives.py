@@ -1,0 +1,178 @@
+"""Objective tests: NLL/EKL training improves the objective end-to-end;
+Cholesky-NLL vs SVD-NLL agreement; packed NLL parity; combinators.
+
+Mirrors reference hyperbo/gp_utils/objectives_test.py:67-324 strategy:
+sample ground truth from a known GP, train, assert improvement.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hyperbo_tpu.core import defs
+from hyperbo_tpu.core.warp import DEFAULT_WARP_FUNC
+from hyperbo_tpu.models import basis as bf
+from hyperbo_tpu.models import gp
+from hyperbo_tpu.models import kernel
+from hyperbo_tpu.models import mean
+from hyperbo_tpu.models import objectives as obj
+from hyperbo_tpu.models import packed as packed_lib
+
+GPParams = defs.GPParams
+SubDataset = defs.SubDataset
+WF = DEFAULT_WARP_FUNC
+
+
+def _ground_truth_dataset(key, cov_func, n=10, num_fns=8, aligned=False):
+  d = 2
+  params = GPParams(model={
+      'constant': 5., 'lengthscale': jnp.array([.999, .999]),
+      'signal_variance': 1.0, 'noise_variance': 0.01})
+  vx = jax.random.normal(key, (n, d))
+  y_all = gp.sample_from_gp(jax.random.PRNGKey(10), mean.constant, cov_func,
+                            params, vx, warp_func=WF, num_samples=num_fns)
+  if aligned:
+    return {'al': SubDataset(x=vx, y=y_all, aligned=1)}, vx
+  return {i: SubDataset(x=vx, y=y_all[:, i:i + 1])
+          for i in range(num_fns)}, vx
+
+
+def _init_params(method, objective, cov_func, input_dim):
+  params = GPParams(
+      model={'constant': 4.0, 'lengthscale': jnp.array([0.] * input_dim),
+             'signal_variance': 0., 'noise_variance': -4.},
+      config={'method': method, 'learning_rate': 1e-2,
+              'max_training_step': 60, 'batch_size': 100,
+              'objective': objective, 'tol': 1e-7})
+  return params
+
+
+@pytest.mark.parametrize('method', ['adam', 'lbfgs'])
+@pytest.mark.parametrize('cov_func', [
+    kernel.squared_exponential, kernel.matern32, kernel.matern52,
+], ids=lambda f: f.__name__)
+def test_nll_training_improves(method, cov_func):
+  dataset, _ = _ground_truth_dataset(jax.random.PRNGKey(0), cov_func)
+  init = _init_params(method, obj.nll, cov_func, 2)
+
+  def loss(params):
+    return obj.neg_log_marginal_likelihood(
+        mean_func=mean.constant, cov_func=cov_func, params=params,
+        dataset=dataset, warp_func=WF)
+
+  init_obj = float(loss(init))
+  trained = gp.infer_parameters(
+      mean.constant, cov_func, init, dataset, warp_func=WF,
+      objective=obj.nll, key=jax.random.PRNGKey(1))
+  trained_obj = float(loss(trained))
+  assert trained_obj < init_obj, (init_obj, trained_obj)
+
+
+@pytest.mark.parametrize('method', ['adam', 'lbfgs'])
+def test_ekl_training_improves(method):
+  cov_func = kernel.squared_exponential
+  dataset, _ = _ground_truth_dataset(
+      jax.random.PRNGKey(2), cov_func, num_fns=10, aligned=True)
+  init = _init_params(method, obj.ekl, cov_func, 2)
+
+  def loss(params):
+    return obj.multivariate_normal_divergence(
+        mean_func=mean.constant, cov_func=cov_func, params=params,
+        dataset=dataset, warp_func=WF)
+
+  init_obj = float(loss(init))
+  trained = gp.infer_parameters(
+      mean.constant, cov_func, init, dataset, warp_func=WF,
+      objective=obj.ekl, key=jax.random.PRNGKey(3))
+  trained_obj = float(loss(trained))
+  assert trained_obj < init_obj, (init_obj, trained_obj)
+
+
+def test_cholesky_vs_svd_nll_ratio():
+  """NLL through Cholesky and SVD agree to 2 decimal places in ratio."""
+  cov_func = kernel.matern52
+  dataset, _ = _ground_truth_dataset(jax.random.PRNGKey(4), cov_func)
+  params = _init_params('adam', obj.nll, cov_func, 2)
+  kwargs = dict(mean_func=mean.constant, cov_func=cov_func, params=params,
+                dataset=dataset, warp_func=WF)
+  nll_c = float(obj.neg_log_marginal_likelihood(**kwargs))
+  nll_s = float(obj.neg_log_marginal_likelihood(**kwargs,
+                                                use_cholesky=False))
+  np.testing.assert_allclose(nll_c / nll_s, 1.0, atol=1e-2)
+
+
+def test_packed_nll_matches_loop():
+  cov_func = kernel.squared_exponential
+  dataset, _ = _ground_truth_dataset(jax.random.PRNGKey(5), cov_func)
+  # Make sizes ragged.
+  dataset[0] = SubDataset(dataset[0].x[:6], dataset[0].y[:6])
+  dataset[1] = SubDataset(dataset[1].x[:3], dataset[1].y[:3])
+  params = _init_params('adam', obj.nll, cov_func, 2)
+  loop = float(obj.neg_log_marginal_likelihood(
+      mean_func=mean.constant, cov_func=cov_func, params=params,
+      dataset=dataset, warp_func=WF))
+  packed, _ = packed_lib.pack_dataset(dataset, pad_to_multiple=8,
+                                      num_tasks_multiple=4)
+  got = float(packed_lib.neg_log_marginal_likelihood_packed(
+      mean.constant, cov_func, params, packed, warp_func=WF))
+  np.testing.assert_allclose(got, loop, rtol=1e-5)
+
+
+def test_packed_nll_with_priors_matches_loop():
+  from hyperbo_tpu.models import priors
+  cov_func = kernel.squared_exponential
+  dataset, _ = _ground_truth_dataset(jax.random.PRNGKey(6), cov_func)
+  params = _init_params('adam', obj.nll, cov_func, 2)
+  params.config['priors'] = priors.DEFAULT_PRIORS
+  loop = float(obj.neg_log_marginal_likelihood(
+      mean_func=mean.constant, cov_func=cov_func, params=params,
+      dataset=dataset, warp_func=WF))
+  packed, _ = packed_lib.pack_dataset(dataset)
+  got = float(packed_lib.neg_log_marginal_likelihood_packed(
+      mean.constant, cov_func, params, packed, warp_func=WF))
+  np.testing.assert_allclose(got, loop, rtol=1e-5)
+
+
+def test_combinators():
+  cov_func = kernel.squared_exponential
+  ds_nll, _ = _ground_truth_dataset(jax.random.PRNGKey(7), cov_func,
+                                    num_fns=4)
+  ds_al, _ = _ground_truth_dataset(jax.random.PRNGKey(8), cov_func,
+                                   num_fns=6, aligned=True)
+  dataset = {**ds_nll, **ds_al}
+  params = _init_params('adam', obj.nll, cov_func, 2)
+  kwargs = dict(mean_func=mean.constant, cov_func=cov_func, params=params,
+                dataset=dataset, warp_func=WF)
+  nll = float(obj.nll(**kwargs))
+  ekl = float(obj.ekl(**kwargs))
+  euc = float(obj.euc(**kwargs))
+  np.testing.assert_allclose(float(obj.nll_regkl1(**kwargs)), nll + ekl,
+                             rtol=1e-5)
+  np.testing.assert_allclose(float(obj.nll_regkl10(**kwargs)),
+                             nll + 10 * ekl, rtol=1e-5)
+  # Documented fix: nll_regeuc* really uses the Euclidean regularizer
+  # (the reference aliases these to regkl, objectives.py:243,246).
+  np.testing.assert_allclose(float(obj.nll_regeuc01(**kwargs)),
+                             nll + 0.1 * euc, rtol=1e-5)
+
+
+def test_mlp_kernel_nll_training_improves():
+  cov_func = kernel.squared_exponential_mlp
+  dataset, vx = _ground_truth_dataset(jax.random.PRNGKey(9),
+                                      kernel.matern52)
+  init = _init_params('adam', obj.nll, cov_func, 2)
+  init.config['mlp_features'] = (4,)
+  init.model['lengthscale'] = jnp.zeros(4)
+  bf.init_mlp_with_shape(jax.random.PRNGKey(11), init, vx.shape)
+
+  def loss(params):
+    return obj.neg_log_marginal_likelihood(
+        mean_func=mean.constant, cov_func=cov_func, params=params,
+        dataset=dataset, warp_func=WF)
+
+  init_obj = float(loss(init))
+  trained = gp.infer_parameters(
+      mean.constant, cov_func, init, dataset, warp_func=WF,
+      objective=obj.nll, key=jax.random.PRNGKey(12))
+  assert float(loss(trained)) < init_obj
