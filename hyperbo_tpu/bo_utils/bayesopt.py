@@ -1,0 +1,5 @@
+"""Alias of hyperbo_tpu.bo.bayesopt (reference hyperbo/bo_utils/bayesopt.py)."""
+from hyperbo_tpu.bo.bayesopt import (  # noqa: F401
+    bayesopt, get_best_datapoint, retrain_model, run_bayesopt,
+    simulated_bayesopt)
+from hyperbo_tpu.bo.ondevice import simulated_bayesopt_ondevice  # noqa: F401

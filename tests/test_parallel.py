@@ -1,0 +1,111 @@
+"""Sharding tests on the 8-device virtual CPU mesh.
+
+Checks that the task-sharded packed NLL and training step produce the
+same numbers as single-device execution, and that sharded candidate
+scoring matches the dense path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hyperbo_tpu.core import defs
+from hyperbo_tpu.core.warp import DEFAULT_WARP_FUNC
+from hyperbo_tpu.models import gp
+from hyperbo_tpu.models import kernel
+from hyperbo_tpu.models import mean
+from hyperbo_tpu.models import packed as packed_lib
+from hyperbo_tpu.parallel import mesh as mesh_lib
+
+GPParams = defs.GPParams
+SubDataset = defs.SubDataset
+WF = DEFAULT_WARP_FUNC
+
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason='needs 8 (virtual) devices')
+
+
+def _dataset(key, num_tasks=6, n=10, d=2):
+  gt = GPParams(model={
+      'constant': 2., 'lengthscale': jnp.array([.8, .8]),
+      'signal_variance': 1.0, 'noise_variance': 0.01})
+  vx = jax.random.normal(key, (n, d))
+  return {
+      i: SubDataset(vx, gp.sample_from_gp(
+          jax.random.PRNGKey(i), mean.constant, kernel.squared_exponential,
+          gt, vx, warp_func=WF))
+      for i in range(num_tasks)
+  }
+
+
+def _params():
+  return GPParams(
+      model={'constant': 1., 'lengthscale': jnp.zeros(2),
+             'signal_variance': 0., 'noise_variance': -3.},
+      config={'method': 'adam', 'learning_rate': 1e-2,
+              'max_training_step': 10, 'batch_size': 100,
+              'objective': 'nll'})
+
+
+def test_sharded_packed_nll_matches_single_device():
+  dataset = _dataset(jax.random.PRNGKey(0))
+  params = _params()
+  mesh = mesh_lib.create_mesh(8)
+  packed, _ = mesh_lib.pad_tasks_for_mesh(dataset, mesh)
+  assert packed.x.shape[0] % 8 == 0
+
+  dense = float(packed_lib.neg_log_marginal_likelihood_packed(
+      mean.constant, kernel.squared_exponential, params, packed,
+      warp_func=WF))
+  sharded = mesh_lib.shard_packed(packed, mesh)
+  got = float(jax.jit(
+      lambda p: packed_lib.neg_log_marginal_likelihood_packed(
+          mean.constant, kernel.squared_exponential, params, p,
+          warp_func=WF))(sharded))
+  np.testing.assert_allclose(got, dense, rtol=1e-5)
+
+
+def test_sharded_training_matches_single_device():
+  dataset = _dataset(jax.random.PRNGKey(1))
+  params = _params()
+  mesh = mesh_lib.create_mesh(8)
+  packed, _ = mesh_lib.pad_tasks_for_mesh(dataset, mesh)
+
+  from hyperbo_tpu.train import adam as adam_lib
+  model_single, losses_single = adam_lib.fit_adam_packed(
+      mean.constant, kernel.squared_exponential, dict(params.model),
+      packed, params.config, warp_func=WF, key=jax.random.PRNGKey(2))
+  model_sharded, losses_sharded = mesh_lib.fit_adam_packed_sharded(
+      mean.constant, kernel.squared_exponential, dict(params.model),
+      packed, params.config, mesh, warp_func=WF,
+      key=jax.random.PRNGKey(2))
+  np.testing.assert_allclose(np.asarray(losses_single),
+                             np.asarray(losses_sharded), rtol=1e-4)
+  for k in model_single:
+    np.testing.assert_allclose(np.asarray(model_single[k]),
+                               np.asarray(model_sharded[k]), rtol=1e-3,
+                               atol=1e-5)
+
+
+def test_sharded_candidate_scoring():
+  key = jax.random.PRNGKey(3)
+  params = GPParams(model={
+      'constant': 0., 'lengthscale': jnp.array([.5, .5]),
+      'signal_variance': 1.0, 'noise_variance': 0.01})
+  x_obs = jax.random.normal(key, (12, 2))
+  y_obs = jax.random.normal(jax.random.PRNGKey(4), (12, 1))
+  cand = jax.random.normal(jax.random.PRNGKey(5), (64, 2))
+
+  def score_fn(cand_x):
+    mu, var = gp.predict(mean.constant, kernel.squared_exponential,
+                         params, x_obs, y_obs, cand_x, warp_func=WF)
+    return mu + 2.0 * jnp.sqrt(var)
+
+  mesh = mesh_lib.create_mesh(8)
+  idx, scores = mesh_lib.score_candidates_sharded(score_fn, cand, mesh)
+  dense = score_fn(cand)
+  np.testing.assert_allclose(np.asarray(scores), np.asarray(dense),
+                             rtol=1e-4)
+  assert int(idx) == int(jnp.argmax(dense.flatten()))
