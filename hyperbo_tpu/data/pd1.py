@@ -51,13 +51,48 @@ PD2_LABELS = [
 ]
 
 
-def _load_trial_files(data_files: Dict[Tuple[str, str], str]):
+def _read_jsonl(path: str, numeric_cols):
+  """Read a JSONL trial table: native scanner first, pandas fallback.
+
+  The native C++ scanner (hyperbo_tpu/native/fastjsonl.cpp) extracts only
+  the columns the loader consumes in one linear pass; pandas.read_json
+  handles anything the scanner's flat-JSON assumption cannot.
+  """
+  from hyperbo_tpu.native import jsonl as native_jsonl
+  cols = list(numeric_cols)
+  # pandas.to_json escapes '/' as '\/'; sniff the file head and match the
+  # writer's key spelling.
+  try:
+    with open(path, 'rb') as f:
+      head = f.read(4096).decode(errors='replace')
+    if '\\/' in head:
+      cols = [c.replace('/', '\\/') for c in cols]
+  except OSError:
+    pass
+  parsed = native_jsonl.parse_jsonl(path, cols, 'study_group')
+  if parsed is not None:
+    values, groups = parsed
+    # Sanity gate: a requested column that parsed as all-NaN means the
+    # flat-JSON assumption failed for this file — use pandas.
+    if (values.shape[0] > 0 and
+        not np.any(np.all(np.isnan(values), axis=0))):
+      df = pd.DataFrame(values, columns=list(numeric_cols))
+      df['study_group'] = groups
+      return df
+  return pd.read_json(path, orient='records', lines=True,
+                      precise_float=True)
+
+
+def _load_trial_files(data_files: Dict[Tuple[str, str], str],
+                      numeric_cols=None):
   """Read jsonl/pickle trial tables, tagging aligned phase metadata."""
   all_trials = []
   for (phase, matchedness), path in data_files.items():
     if path.endswith('.pkl') or '.pkl' in path:
       with open(path, 'rb') as f:
         trials = pickle.load(f)
+    elif numeric_cols is not None:
+      trials = _read_jsonl(path, numeric_cols)
     else:
       trials = pd.read_json(path, orient='records', lines=True,
                             precise_float=True)
@@ -85,8 +120,8 @@ def pd1(key,
   """
   if data_files is None:
     data_files = PD1.copy()
-  trials = _load_trial_files(data_files)
   labels = PD1_LABELS + [metric_name]
+  trials = _load_trial_files(data_files, numeric_cols=labels)
   warp_func = {}
   if input_warp:
     warp_func = {
@@ -127,8 +162,8 @@ def pd2(key,
     raise FileNotFoundError(
         'pd2 requires data_files={(phase, matchedness): path}; the PD2 '
         'trial tables are not distributed with the package.')
-  trials = _load_trial_files(data_files)
   labels = PD2_LABELS + [metric_name]
+  trials = _load_trial_files(data_files, numeric_cols=labels)
   warp_func = {}
   if input_warp:
     warp_func = {
