@@ -1,0 +1,56 @@
+"""Experiment driver tests: every method runs end-to-end on synthetic
+data and the result files round-trip through the analysis layer.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from hyperbo_tpu.analysis import bayesopt_results as br
+from hyperbo_tpu.bo import const
+from hyperbo_tpu.experiments import driver
+
+
+@pytest.mark.parametrize('method,mean_fn,cov_fn', [
+    (const.RAND, 'constant', 'matern52'),
+    (const.STBO, 'constant', 'matern52'),
+    (const.MTBO, 'constant', 'matern52'),
+    (const.HBO, 'linear_mlp', 'squared_exponential_mlp'),
+])
+def test_driver_methods(method, mean_fn, cov_fn, tmp_path):
+  init = driver.default_init_params(method)
+  init.config['max_training_step'] = min(
+      init.config['max_training_step'], 20)
+  init.config['retrain'] = min(init.config.get('retrain', 0), 5)
+  result = driver.run_experiment(
+      data_loader_name='random', method=method,
+      ac_func_name='expected_improvement', iters=4, seed=0,
+      output_dir=str(tmp_path), run_id=1, init_params=init,
+      mean_func_name=mean_fn, cov_func_name=cov_fn,
+      dataset_kwargs=dict(n_queries=25, n_func_historical=3,
+                          m_points_historical=10),
+      verbose=False)
+  x_obs, y_obs = result['observations']
+  assert y_obs.shape[0] >= 4
+  assert os.path.exists(os.path.join(tmp_path, '1', 'result.pkl'))
+
+
+def test_driver_to_analysis_roundtrip(tmp_path):
+  for run_id in (1, 2):
+    init = driver.default_init_params(const.RAND)
+    driver.run_experiment(
+        data_loader_name='random', method=const.RAND,
+        ac_func_name='expected_improvement', iters=6, seed=run_id,
+        output_dir=str(tmp_path), run_id=run_id, init_params=init,
+        mean_func_name='constant', cov_func_name='matern52',
+        dataset_kwargs=dict(n_queries=25, n_func_historical=2,
+                            m_points_historical=8),
+        verbose=False)
+  results = br.get_results(str(tmp_path), 2)
+  assert len(results) == 2
+  for (_, i), (regrets, yy, maxy) in results.items():
+    assert len(regrets) == 6
+    assert regrets[-1] >= 0
+    # regret reaches 0 iff the best query was found
+    assert maxy >= yy.max() - 1e-6
