@@ -410,17 +410,46 @@ class GP:
     self.params.cache = {}
 
   def setup_predictor(self, sub_dataset_key: Union[int, str] = 0):
-    """Compute (or reuse) the Cholesky cache for one sub-dataset."""
+    """Compute (or incrementally update) the Cholesky cache.
+
+    When observations were appended to a cached sub-dataset (the BO
+    loop's access pattern), the factor is extended with O(n^2) rank-1
+    appends instead of the O(n^3) refactorization the reference performs
+    (its TODO at hyperbo/gp_utils/gp.py:284). Full recomputation still
+    happens on replacement or parameter updates (cache cleared).
+    """
     cache = self.params.cache.get(sub_dataset_key)
     if cache is not None and not cache.needs_update:
       return
-    chol, kinvy, _ = linalg.solve_gp_linear_system(
-        mean_func=self.mean_func,
-        cov_func=self.cov_func,
-        params=self.params,
-        x=self.dataset[sub_dataset_key].x,
-        y=self.dataset[sub_dataset_key].y,
-        warp_func=self.warp_func)
+    x = self.dataset[sub_dataset_key].x
+    y = self.dataset[sub_dataset_key].y
+    n_new = x.shape[0]
+    if (cache is not None and cache.needs_update and
+        self.params.config.get('incremental_cache', True) and
+        cache.chol.shape[0] < n_new and
+        n_new - cache.chol.shape[0] <= max(32, cache.chol.shape[0] // 8)
+        and y.shape[1] == 1):
+      noise_variance, = retrieve_params(
+          self.params, ['noise_variance'], warp_func=self.warp_func)
+      chol = cache.chol
+      for i in range(cache.chol.shape[0], n_new):
+        k_vec = self.cov_func(self.params, x[:i], x[i:i + 1],
+                              warp_func=self.warp_func)[:, 0]
+        kappa = self.cov_func(self.params, x[i:i + 1],
+                              warp_func=self.warp_func,
+                              diag=True)[0] + noise_variance + 1e-6
+        chol = chol_ops.chol_append(chol, k_vec, kappa)
+      delta = y - jnp.atleast_2d(
+          self.mean_func(self.params, x, warp_func=self.warp_func))
+      kinvy = chol_ops.cho_solve(chol, delta)
+    else:
+      chol, kinvy, _ = linalg.solve_gp_linear_system(
+          mean_func=self.mean_func,
+          cov_func=self.cov_func,
+          params=self.params,
+          x=x,
+          y=y,
+          warp_func=self.warp_func)
     self.params.cache[sub_dataset_key] = GPCache(
         chol=chol, kinvy=kinvy, needs_update=False)
 

@@ -147,3 +147,24 @@ def test_train_noop_when_no_steps():
   after = model.params.model
   assert jax.tree.all(
       jax.tree.map(lambda a, b: jnp.array_equal(a, b), before, after))
+
+
+def test_incremental_cache_matches_full_refactorization():
+  """Appends update the cached factor by rank-1 extension; predictions
+  match a cold full refactorization."""
+  model = _make_model(jax.random.PRNGKey(20))
+  qx = jax.random.normal(jax.random.PRNGKey(21), (6, 2))
+  model.predict(qx, 0)  # warm cache
+  n0 = model.params.cache[0].chol.shape[0]
+  new_x = jax.random.normal(jax.random.PRNGKey(22), (3, 2))
+  new_y = jax.random.normal(jax.random.PRNGKey(23), (3, 1))
+  model.update_sub_dataset((new_x, new_y), 0, is_append=True)
+  mu_inc, var_inc = model.predict(qx, 0)
+  assert model.params.cache[0].chol.shape[0] == n0 + 3
+
+  # Cold model: full refactorization on the same data.
+  model.params.config['incremental_cache'] = False
+  model.params.cache = {}
+  mu_full, var_full = model.predict(qx, 0)
+  np.testing.assert_allclose(mu_inc, mu_full, rtol=1e-4, atol=1e-5)
+  np.testing.assert_allclose(var_inc, var_full, rtol=1e-4, atol=1e-5)
