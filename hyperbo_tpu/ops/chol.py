@@ -22,13 +22,27 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-# Below this size, XLA's native blocked cholesky is used directly.
+# Below this size, the base-case factorization is used directly.
 _BASE_BLOCK = 512
 # Matmul precision for Schur updates.
 _PRECISION = lax.Precision.HIGHEST
+# Use the Pallas VMEM-resident panel kernel for base cases on TPU
+# (ops/pallas_chol.py). Toggled by set_use_pallas_base; default off until
+# profiled faster than the XLA expander on the target chip.
+_USE_PALLAS_BASE = False
+
+
+def set_use_pallas_base(value: bool):
+  """Route base-case factorizations through the Pallas panel kernel."""
+  global _USE_PALLAS_BASE
+  _USE_PALLAS_BASE = bool(value)
 
 
 def _xla_cholesky(a):
+  if _USE_PALLAS_BASE and a.ndim == 2 and a.shape[-1] <= 512:
+    from hyperbo_tpu.ops import pallas_chol
+    interpret = jax.devices()[0].platform == 'cpu'
+    return pallas_chol.cholesky_panel_padded(a, interpret=interpret)
   return lax.linalg.cholesky(a, symmetrize_input=False)
 
 

@@ -1,0 +1,42 @@
+"""Pallas VMEM-resident Cholesky panel tests (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hyperbo_tpu.ops import chol as chol_ops
+from hyperbo_tpu.ops import pallas_chol
+
+
+@pytest.mark.parametrize('n', [128, 256, 512])
+def test_panel_matches_xla(n):
+  key = jax.random.PRNGKey(n)
+  a = jax.random.normal(key, (n, n))
+  a = a @ a.T / n + jnp.eye(n)
+  got = pallas_chol.cholesky_panel(a, interpret=True)
+  want = jnp.linalg.cholesky(a)
+  np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_panel_padded_non_multiple():
+  key = jax.random.PRNGKey(7)
+  a = jax.random.normal(key, (200, 200))
+  a = a @ a.T / 200 + jnp.eye(200)
+  got = pallas_chol.cholesky_panel_padded(a, interpret=True)
+  want = jnp.linalg.cholesky(a)
+  np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_blocked_cholesky_with_pallas_base():
+  """End-to-end blocked recursion with the Pallas base kernel."""
+  chol_ops.set_use_pallas_base(True)
+  try:
+    key = jax.random.PRNGKey(9)
+    a = jax.random.normal(key, (700, 700))
+    a = a @ a.T / 700 + jnp.eye(700)
+    got = chol_ops.cholesky(a, base_block=256)
+    want = jnp.linalg.cholesky(a)
+    np.testing.assert_allclose(got, want, atol=5e-4)
+  finally:
+    chol_ops.set_use_pallas_base(False)
