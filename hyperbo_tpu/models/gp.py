@@ -104,10 +104,17 @@ def infer_parameters(mean_func,
                                              params.config):
       packed, _ = packed_lib.pack_dataset(dataset)
       _, subkey = jax.random.split(key, 2)
-      model, losses = adam_lib.fit_adam_packed(
-          mean_func, cov_func, params.model, packed, params.config,
-          warp_func=warp_func, key=subkey)
-      final_loss = losses[-1]
+      num_restarts = int(params.config.get('num_restarts', 1))
+      if num_restarts > 1:
+        model, final_loss, _ = adam_lib.fit_adam_packed_multistart(
+            mean_func, cov_func, params.model, packed, params.config,
+            warp_func=warp_func, key=subkey, num_restarts=num_restarts,
+            perturb_scale=params.config.get('restart_perturb_scale', 1.0))
+      else:
+        model, losses = adam_lib.fit_adam_packed(
+            mean_func, cov_func, params.model, packed, params.config,
+            warp_func=warp_func, key=subkey)
+        final_loss = losses[-1]
       if bool(jnp.isfinite(final_loss)):
         params.model = model
       params_io.log_params_loss(
