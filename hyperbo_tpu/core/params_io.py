@@ -164,6 +164,41 @@ def encode_model_filename(config):
   return get_path
 
 
+def save_params_orbax(ckpt_dir: str,
+                      params: Union[GPParams, Dict[str, Any]],
+                      step: int = 0):
+  """Checkpoint params.model with Orbax (async-safe, atomic, sharded).
+
+  Pickle checkpoints (save_params) remain the reference-compatible
+  format; Orbax is the TPU-era option for large / sharded parameter
+  trees. Only `model` (the array pytree) goes through Orbax; `config`
+  is stored alongside as a pickle (it holds callables).
+  """
+  import orbax.checkpoint as ocp
+  model = params.model if not isinstance(params, dict) else params
+  path = os.path.abspath(os.path.join(ckpt_dir, f'step_{step}'))
+  ckptr = ocp.StandardCheckpointer()
+  ckptr.save(path, jax.device_get(model))
+  ckptr.wait_until_finished()
+  if not isinstance(params, dict):
+    save_to_file(os.path.join(ckpt_dir, 'config.pkl'),
+                 _host_and_stringify(dict(params.config)))
+
+
+def load_params_orbax(ckpt_dir: str, step: int = 0,
+                      template: Optional[Dict[str, Any]] = None) -> GPParams:
+  """Load an Orbax checkpoint written by save_params_orbax."""
+  import orbax.checkpoint as ocp
+  path = os.path.abspath(os.path.join(ckpt_dir, f'step_{step}'))
+  ckptr = ocp.StandardCheckpointer()
+  model = ckptr.restore(path, template) if template is not None else (
+      ckptr.restore(path))
+  config_path = os.path.join(ckpt_dir, 'config.pkl')
+  config = load_from_file(config_path) if os.path.exists(
+      config_path) else {}
+  return GPParams(model=model, config=config)
+
+
 def log_params_loss(step: int,
                     params: GPParams,
                     loss: float,

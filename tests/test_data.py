@@ -180,3 +180,18 @@ def test_params_io_roundtrip(tmp_path):
   np.testing.assert_allclose(loaded.model['lengthscale'],
                              params.model['lengthscale'])
   assert loaded.config['method'] == 'adam'
+
+
+def test_params_io_orbax_roundtrip(tmp_path):
+  params = GPParams(
+      model={'constant': jnp.asarray(1.5),
+             'lengthscale': jnp.array([.3, .4]),
+             'mlp': {'w': jnp.ones((2, 3))}},
+      config={'method': 'adam', 'objective': 'nll'})
+  params_io.save_params_orbax(str(tmp_path), params, step=5)
+  loaded = params_io.load_params_orbax(str(tmp_path), step=5)
+  np.testing.assert_allclose(loaded.model['lengthscale'],
+                             params.model['lengthscale'])
+  np.testing.assert_allclose(loaded.model['mlp']['w'],
+                             params.model['mlp']['w'])
+  assert loaded.config['method'] == 'adam'
