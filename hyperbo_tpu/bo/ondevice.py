@@ -131,6 +131,8 @@ def simulated_bayesopt_ondevice(
     num_train_tasks: int = 0,
     init_obs: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     n_max: Optional[int] = None,
+    mesh=None,
+    mesh_axis: str = 'task',
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
   """Run `iters` BO iterations entirely on device.
 
@@ -143,6 +145,10 @@ def simulated_bayesopt_ondevice(
       unbiased predictive rescale, matching GP.predict).
     init_obs: optional (x0, y0) initial observations on the test task.
     n_max: observation buffer capacity; defaults to init + iters.
+    mesh: optional jax.sharding.Mesh — candidates are sharded over
+      `mesh_axis` so each iteration's cross-Gram, triangular solve and
+      acquisition scoring split across devices (observation state stays
+      replicated; the argmax is a global collective inserted by GSPMD).
 
   Returns:
     (x_observed, y_observed, selected_indices): the init+selected
@@ -189,9 +195,17 @@ def simulated_bayesopt_ondevice(
         else jnp.zeros((0, d), jnp.float32))
   y0 = (init_obs[1] if init_obs is not None
         else jnp.zeros((0, 1), jnp.float32))
+  cand_x = queried_sub_dataset.x.astype(jnp.float32)
+  cand_y = queried_sub_dataset.y.astype(jnp.float32)
+  if mesh is not None:
+    from jax.sharding import NamedSharding, PartitionSpec
+    cand_sharding = NamedSharding(mesh, PartitionSpec(mesh_axis))
+    replicated = NamedSharding(mesh, PartitionSpec())
+    cand_x = jax.device_put(cand_x, cand_sharding)
+    cand_y = jax.device_put(cand_y, cand_sharding)
+    x_buf, y_buf, chol_buf, count, x0, y0 = jax.device_put(
+        (x_buf, y_buf, chol_buf, count, x0, y0), replicated)
   x_out, y_out, select_idx = run(
-      x_buf, y_buf, chol_buf, count, x0, y0,
-      queried_sub_dataset.x.astype(jnp.float32),
-      queried_sub_dataset.y.astype(jnp.float32))
+      x_buf, y_buf, chol_buf, count, x0, y0, cand_x, cand_y)
   total = n_init + iters
   return x_out[:total], y_out[:total], select_idx

@@ -109,3 +109,28 @@ def test_sharded_candidate_scoring():
   np.testing.assert_allclose(np.asarray(scores), np.asarray(dense),
                              rtol=1e-4)
   assert int(idx) == int(jnp.argmax(dense.flatten()))
+
+
+def test_ondevice_bo_with_mesh_matches_single():
+  """Candidate-sharded on-device BO selects the same points."""
+  from hyperbo_tpu.bo import ondevice
+  from hyperbo_tpu.data import synthetic
+  params = GPParams(
+      model={'constant': 5., 'lengthscale': jnp.array([.1, .1]),
+             'signal_variance': 1.0, 'noise_variance': 0.01},
+      config={'objective': 'nll'})
+  dataset, sdk, queried = synthetic.random(
+      jax.random.PRNGKey(0), mean.constant, kernel.squared_exponential,
+      params, dim=2, n_observed=0, n_queries=64, n_func_historical=3,
+      m_points_historical=6)
+  xo1, yo1, sel1 = ondevice.simulated_bayesopt_ondevice(
+      mean.constant, kernel.squared_exponential, dict(params.model),
+      dict(params.config), None, queried, iters=4, acquisition='ei',
+      num_train_tasks=3)
+  mesh = mesh_lib.create_mesh(8)
+  xo2, yo2, sel2 = ondevice.simulated_bayesopt_ondevice(
+      mean.constant, kernel.squared_exponential, dict(params.model),
+      dict(params.config), None, queried, iters=4, acquisition='ei',
+      num_train_tasks=3, mesh=mesh)
+  np.testing.assert_array_equal(np.asarray(sel1), np.asarray(sel2))
+  np.testing.assert_allclose(np.asarray(yo1), np.asarray(yo2), atol=1e-5)

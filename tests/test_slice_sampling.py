@@ -85,3 +85,32 @@ def test_hgp_stats_averages_over_samples():
   assert jnp.isfinite(nll)
   preds = model.predict(vx, 0)
   assert len(preds) == 2
+
+
+def test_hgp_predict_stacked_matches_loop():
+  """Vmapped stacked HGP predict equals the per-sample loop."""
+  import numpy as np
+  key = jax.random.PRNGKey(5)
+  vx = jax.random.normal(key, (6, 2))
+  gt = GPParams(model={
+      'constant': 1., 'lengthscale': jnp.array([.5, .5]),
+      'signal_variance': 1.0, 'noise_variance': 0.01})
+  y = gp.sample_from_gp(jax.random.PRNGKey(6), mean.constant,
+                        kernel.squared_exponential, gt, vx, warp_func=WF)
+  model = gp.HGP([(vx, y)], mean.constant, kernel.squared_exponential,
+                 GPParams(model=dict(gt.model),
+                          config={'objective': 'nll'}), WF)
+  s1 = dict(gt.model)
+  s2 = dict(gt.model)
+  s2['constant'] = 2.5
+  s2['signal_variance'] = 0.7
+  model.params.samples = [s1, s2]
+  qx = jax.random.normal(jax.random.PRNGKey(7), (4, 2))
+  loop = model.predict(qx, 0, full_cov=False, with_noise=True)
+  mu_s, var_s = model.predict_stacked(qx, 0, with_noise=True)
+  assert mu_s.shape == (2, 4, 1) and var_s.shape == (2, 4, 1)
+  for i, (mu, var) in enumerate(loop):
+    np.testing.assert_allclose(np.asarray(mu_s[i]), np.asarray(mu),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(var_s[i]), np.asarray(var),
+                               rtol=1e-4, atol=1e-5)
