@@ -5,4 +5,6 @@ from hyperbo_tpu.models.objectives import (  # noqa: F401
     nll_regeuc, nll_regeuc1, nll_regeuc01, nll_regeuc10, nll_regkl,
     nll_regkl1, nll_regkl01, nll_regkl10, regeuc, regkl)
 from hyperbo_tpu.models.packed import (  # noqa: F401
-    neg_log_marginal_likelihood_packed, pack_dataset)
+    multivariate_normal_divergence_packed,
+    neg_log_marginal_likelihood_packed, pack_aligned_dataset,
+    pack_dataset)

@@ -140,6 +140,111 @@ def neg_log_marginal_likelihood_packed(mean_func,
   return total
 
 
+class PackedAlignedDataset(NamedTuple):
+  """Dense aligned-task batch: T tasks, n_max matched inputs, m_max
+  function draws per task."""
+  x: jnp.ndarray        # (T, n_max, d)
+  y: jnp.ndarray        # (T, n_max, m_max)
+  n_mask: jnp.ndarray   # (T, n_max) valid rows
+  m_mask: jnp.ndarray   # (T, m_max) valid function draws
+  count_n: jnp.ndarray  # (T,)
+  count_m: jnp.ndarray  # (T,)
+  task_mask: jnp.ndarray  # (T,)
+
+
+def pack_aligned_dataset(dataset: Dict[Union[int, str], SubDataset],
+                         pad_to_multiple: int = 8,
+                         num_tasks_multiple: int = 1,
+                         dtype=jnp.float32
+                         ) -> Tuple[PackedAlignedDataset, List[Any]]:
+  """Pack the aligned sub-datasets (n x m matched evaluations)."""
+  keys = [k for k, s in dataset.items()
+          if s.aligned is not None and s.x.shape[0] > 0]
+  if not keys:
+    raise ValueError('No aligned sub-datasets to pack.')
+  subs = [dataset[k] for k in keys]
+  d = subs[0].x.shape[1]
+  n_max = _round_up(max(s.x.shape[0] for s in subs), pad_to_multiple)
+  m_max = _round_up(max(s.y.shape[1] for s in subs), pad_to_multiple)
+  t_total = _round_up(len(subs), num_tasks_multiple)
+
+  x = jnp.zeros((t_total, n_max, d), dtype)
+  y = jnp.zeros((t_total, n_max, m_max), dtype)
+  n_mask = jnp.zeros((t_total, n_max), bool)
+  m_mask = jnp.zeros((t_total, m_max), bool)
+  count_n = jnp.zeros((t_total,), jnp.int32)
+  count_m = jnp.zeros((t_total,), jnp.int32)
+  for i, s in enumerate(subs):
+    n, m = s.y.shape
+    x = x.at[i, :n].set(s.x.astype(dtype))
+    y = y.at[i, :n, :m].set(s.y.astype(dtype))
+    n_mask = n_mask.at[i, :n].set(True)
+    m_mask = m_mask.at[i, :m].set(True)
+    count_n = count_n.at[i].set(n)
+    count_m = count_m.at[i].set(m)
+  task_mask = jnp.arange(t_total) < len(subs)
+  return PackedAlignedDataset(x, y, n_mask, m_mask, count_n, count_m,
+                              task_mask), keys
+
+
+def _partial_kl_one_task(mean_func, cov_func, params, x, y, n_mask,
+                         m_mask, count_n, count_m, warp_func):
+  """Masked partial KL for one padded aligned task.
+
+  Equals the reference per-task value (objectives.py:65-82 with the
+  default partial KL): tr(K^-1 C) + (mu_K - mu_C)^T K^-1 (mu_K - mu_C)
+  + logdet K, where C/mu_C are the sample covariance/mean over the m
+  matched draws and K includes the noise ridge. Padded rows of K are
+  identity (zero contributions); padded draws are masked out of the
+  sample statistics.
+  """
+  noise_variance, = retrieve_params(params, ['noise_variance'],
+                                    warp_func=warp_func)
+  m = jnp.maximum(count_m, 1).astype(y.dtype)
+  ym = y * m_mask[None, :]
+  mu_data = jnp.sum(ym, axis=1) / m                       # (n,)
+  centered = (y - mu_data[:, None]) * m_mask[None, :]
+  cov_data = centered @ centered.T / m                    # biased, (n, n)
+  pair = n_mask[:, None] & n_mask[None, :]
+  mu_data = jnp.where(n_mask, mu_data, 0.0)
+  cov_data = jnp.where(pair, cov_data, 0.0)
+
+  mu_model = mean_func(params, x, warp_func=warp_func).flatten()
+  mu_model = jnp.where(n_mask, mu_model, 0.0)
+  kmat = cov_func(params, x, warp_func=warp_func)
+  eye = jnp.eye(x.shape[0], dtype=kmat.dtype)
+  kmat = jnp.where(pair, kmat, 0.0) + eye * jnp.where(
+      n_mask, noise_variance, 1.0)
+
+  chol = chol_ops.cholesky(kmat)
+  mu_diff = mu_model - mu_data
+  kinv_mudiff = chol_ops.cho_solve(chol, mu_diff)
+  kinv_cov = chol_ops.cho_solve(chol, cov_data)
+  tr = jnp.trace(kinv_cov)
+  mahalanobis = jnp.dot(mu_diff, kinv_mudiff)
+  logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+  return tr + mahalanobis + logdet
+
+
+def multivariate_normal_divergence_packed(
+    mean_func, cov_func, params, packed: PackedAlignedDataset,
+    warp_func=None) -> jnp.ndarray:
+  """Mean partial-KL EKL over packed aligned tasks (vmapped, shardable).
+
+  Matches objectives.multivariate_normal_divergence with the default
+  partial KL distance; the full-KL (SVD-whitened) variant stays on the
+  per-task path (its rank truncation is shape-dynamic).
+  """
+  per_task = jax.vmap(
+      lambda x, y, nm, mm, cn, cm: _partial_kl_one_task(
+          mean_func, cov_func, params, x, y, nm, mm, cn, cm, warp_func))(
+              packed.x, packed.y, packed.n_mask, packed.m_mask,
+              packed.count_n, packed.count_m)
+  per_task = jnp.where(packed.task_mask, per_task, 0.0)
+  num = jnp.maximum(jnp.sum(packed.task_mask), 1)
+  return jnp.sum(per_task) / num
+
+
 def subsample_packed(key, packed: PackedDataset,
                      batch_size: int) -> PackedDataset:
   """Per-task random subsample to at most batch_size rows, on device.

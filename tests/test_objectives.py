@@ -176,3 +176,31 @@ def test_mlp_kernel_nll_training_improves():
       mean.constant, cov_func, init, dataset, warp_func=WF,
       objective=obj.nll, key=jax.random.PRNGKey(12))
   assert float(loss(trained)) < init_obj
+
+
+def test_packed_ekl_matches_loop():
+  """Packed partial-KL EKL equals the per-task loop, ragged n and m."""
+  import functools
+  from hyperbo_tpu.models import divergences
+  cov_func = kernel.squared_exponential
+  params = _init_params('adam', obj.ekl, cov_func, 2)
+  key = jax.random.PRNGKey(13)
+  gt = GPParams(model={'constant': 2., 'lengthscale': jnp.array([.7, .7]),
+                       'signal_variance': 1.0, 'noise_variance': 0.01})
+  dataset = {}
+  for i, (n, m) in enumerate([(9, 6), (5, 4), (7, 10)]):
+    vx = jax.random.normal(jax.random.fold_in(key, i), (n, 2))
+    y = gp.sample_from_gp(jax.random.fold_in(key, 100 + i), mean.constant,
+                          cov_func, gt, vx, warp_func=WF, num_samples=m)
+    dataset[i] = SubDataset(vx, y, aligned=1)
+
+  loop = float(obj.multivariate_normal_divergence(
+      mean_func=mean.constant, cov_func=cov_func, params=params,
+      dataset=dataset, warp_func=WF,
+      distance=functools.partial(divergences.kl_multivariate_normal,
+                                 partial=True)))
+  packed, _ = packed_lib.pack_aligned_dataset(dataset, pad_to_multiple=8,
+                                              num_tasks_multiple=4)
+  got = float(packed_lib.multivariate_normal_divergence_packed(
+      mean.constant, cov_func, params, packed, warp_func=WF))
+  np.testing.assert_allclose(got, loop, rtol=2e-5)
