@@ -45,22 +45,67 @@ GPParams = defs.GPParams
 from flax import linen as nn  # noqa: E402
 
 
-def _is_packable_nll(objective, dataset, config) -> bool:
-  """True when the on-device packed-NLL scan path applies.
+def _build_packed_training(objective, dataset, config, mean_func,
+                           cov_func, warp_func):
+  """Route an objective through the fully on-device packed scan path.
 
-  The packed objective covers exactly the plain multi-task NLL (aligned
-  sub-datasets are excluded by the NLL either way); combined objectives
-  (nll+regularizer) and multi-output sub-datasets use the parity path.
+  Supported (via objectives._packed_spec tags): plain NLL, plain
+  partial-KL EKL, and nll + c * EKL combos. Returns
+  (loss_fn, data, subsample_fn, is_pure_nll) or None when the objective
+  or dataset shapes require the per-task parity path.
   """
   if not config.get('pack_tasks', True):
-    return False
-  if objective is not obj.neg_log_marginal_likelihood:
-    return False
-  packable = [s for s in dataset.values()
+    return None
+  spec = getattr(objective, '_packed_spec', None)
+  if spec is None:
+    return None
+  kind, weight = spec
+  need_nll = kind in ('nll', 'nll_regkl')
+  need_kl = kind in ('kl', 'nll_regkl')
+
+  nll_subs = [s for s in dataset.values()
               if s.aligned is None and s.x.shape[0] > 0]
-  if not packable:
-    return False
-  return all(s.y.shape[1] == 1 for s in packable)
+  kl_subs = [s for s in dataset.values()
+             if s.aligned is not None and s.x.shape[0] > 0]
+  if need_nll and (not nll_subs or
+                   any(s.y.shape[1] != 1 for s in nll_subs)):
+    return None
+  if need_kl and not kl_subs:
+    # The divergence over zero aligned sub-datasets is identically 0;
+    # pure-KL falls back, combined reduces to NLL.
+    if kind == 'kl':
+      return None
+    need_kl = False
+
+  batch_size = int(config.get('batch_size', 1 << 30))
+  pnll = packed_lib.pack_dataset(dataset)[0] if need_nll else None
+  pekl = (packed_lib.pack_aligned_dataset(dataset)[0]
+          if need_kl else None)
+  data = (pnll, pekl)
+
+  def loss_fn(model, batch):
+    bn, bk = batch
+    shim = defs.GPParams(model=model, config=config)
+    total = 0.0
+    if bn is not None:
+      total += packed_lib.neg_log_marginal_likelihood_packed(
+          mean_func, cov_func, shim, bn, warp_func=warp_func)
+    if bk is not None:
+      val = packed_lib.multivariate_normal_divergence_packed(
+          mean_func, cov_func, shim, bk, warp_func=warp_func)
+      total += val if kind == 'kl' else weight * val
+    return total
+
+  def subsample_fn(k, d):
+    bn, bk = d
+    k1, k2 = jax.random.split(k)
+    if bn is not None:
+      bn = packed_lib.subsample_packed(k1, bn, batch_size)
+    if bk is not None:
+      bk = packed_lib.subsample_aligned_packed(k2, bk, batch_size)
+    return bn, bk
+
+  return loss_fn, data, subsample_fn, kind == 'nll'
 
 
 def infer_parameters(mean_func,
@@ -100,20 +145,25 @@ def infer_parameters(mean_func,
     return init_params
 
   if method == 'adam':
-    if callback is None and _is_packable_nll(objective, dataset,
-                                             params.config):
-      packed, _ = packed_lib.pack_dataset(dataset)
+    packed_build = None
+    if callback is None:
+      packed_build = _build_packed_training(
+          objective, dataset, params.config, mean_func, cov_func,
+          warp_func)
+    if packed_build is not None:
+      loss_fn, data, subsample_fn, pure_nll = packed_build
       _, subkey = jax.random.split(key, 2)
       num_restarts = int(params.config.get('num_restarts', 1))
-      if num_restarts > 1:
+      if num_restarts > 1 and pure_nll:
+        packed, _ = packed_lib.pack_dataset(dataset)
         model, final_loss, _ = adam_lib.fit_adam_packed_multistart(
             mean_func, cov_func, params.model, packed, params.config,
             warp_func=warp_func, key=subkey, num_restarts=num_restarts,
             perturb_scale=params.config.get('restart_perturb_scale', 1.0))
       else:
-        model, losses = adam_lib.fit_adam_packed(
-            mean_func, cov_func, params.model, packed, params.config,
-            warp_func=warp_func, key=subkey)
+        model, losses = adam_lib.fit_adam_scan(
+            loss_fn, params.model, data, subsample_fn, params.config,
+            key=subkey)
         final_loss = losses[-1]
       if bool(jnp.isfinite(final_loss)):
         params.model = model
@@ -265,6 +315,8 @@ class GP:
     """Initialize model parameters that depend on dataset shapes."""
     if not self.dataset:
       raise ValueError('Cannot initialize GPParams without dataset.')
+    from hyperbo_tpu.data import utils as data_utils
+    data_utils.log_dataset(self.dataset)
 
     if isinstance(self.params.config['objective'], str):
       self.params.config['objective'] = getattr(

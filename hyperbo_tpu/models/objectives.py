@@ -182,7 +182,19 @@ def mul(c, o):
   return multiplied_objective
 
 
-nll_regkl = lambda c: add(nll, mul(c, regkl))
+# _packed_spec tags let the trainer route an objective through the fully
+# on-device packed path (models/packed.py): ('nll', None), ('kl', None)
+# or ('nll_regkl', weight).
+neg_log_marginal_likelihood._packed_spec = ('nll', None)
+multivariate_normal_divergence._packed_spec = ('kl', None)
+
+
+def nll_regkl(c):
+  f = add(nll, mul(c, regkl))
+  f._packed_spec = ('nll_regkl', c)
+  return f
+
+
 nll_regeuc = lambda c: add(nll, mul(c, regeuc))
 
 nll_regkl1 = nll_regkl(1.)

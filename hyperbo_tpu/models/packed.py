@@ -245,6 +245,31 @@ def multivariate_normal_divergence_packed(
   return jnp.sum(per_task) / num
 
 
+def subsample_aligned_packed(key, packed: PackedAlignedDataset,
+                             batch_size: int) -> PackedAlignedDataset:
+  """Per-task random row subsample of an aligned pack (matched inputs
+  keep all m draws; only the n axis is subsampled, like the reference
+  iterator does for aligned sub-datasets)."""
+  t, n_max, _ = packed.x.shape
+  if batch_size >= n_max:
+    return packed
+  keys = jax.random.split(key, t)
+
+  def one(k, x, y, n_mask, count_n):
+    scores = jnp.where(n_mask, jax.random.uniform(k, (n_max,)), 2.0)
+    sel = jnp.argsort(scores)[:batch_size]
+    new_count = jnp.minimum(count_n, batch_size)
+    new_mask = jnp.arange(batch_size) < new_count
+    return x[sel], y[sel], new_mask, new_count
+
+  x, y, n_mask, count_n = jax.vmap(one)(keys, packed.x, packed.y,
+                                        packed.n_mask, packed.count_n)
+  return PackedAlignedDataset(x=x, y=y, n_mask=n_mask,
+                              m_mask=packed.m_mask, count_n=count_n,
+                              count_m=packed.count_m,
+                              task_mask=packed.task_mask)
+
+
 def subsample_packed(key, packed: PackedDataset,
                      batch_size: int) -> PackedDataset:
   """Per-task random subsample to at most batch_size rows, on device.

@@ -83,59 +83,33 @@ def fit_adam(loss_fn: Callable[[Dict[str, Any], Any], jnp.ndarray],
   return kept_params, loss
 
 
-def fit_adam_packed(mean_func,
-                    cov_func,
-                    model_params: Dict[str, Any],
-                    packed: packed_lib.PackedDataset,
-                    config: Dict[str, Any],
-                    warp_func=None,
-                    key: Optional[jax.Array] = None,
-                    loss_fn: Optional[Callable] = None,
-                    in_shardings=None):
-  """Whole-training-run-on-device Adam over packed tasks.
+def fit_adam_scan(loss_fn: Callable[[Dict[str, Any], Any], jnp.ndarray],
+                  model_params: Dict[str, Any],
+                  data: Any,
+                  subsample_fn: Optional[Callable[[jax.Array, Any],
+                                                  Any]],
+                  config: Dict[str, Any],
+                  key: Optional[jax.Array] = None):
+  """Whole-training-run-on-device Adam: one lax.scan of fused steps.
 
-  The loop is a lax.scan of fused (subsample -> loss+grad -> update) steps.
-  A non-finite loss freezes the parameters for the remaining steps
-  (the on-device equivalent of the reference's break-on-instability).
-
-  Args:
-    mean_func / cov_func: GP mean/kernel functions.
-    model_params: initial trainable pytree.
-    packed: PackedDataset of training tasks.
-    config: needs learning_rate, max_training_step, batch_size.
-    warp_func: parameter warping.
-    key: PRNG key for per-step subsampling.
-    loss_fn: optional override (model, packed_batch) -> scalar; defaults to
-      the packed multi-task NLL with `config` visible via a GPParams shim.
-    in_shardings: optional sharding spec for `packed` (mesh task-sharding);
-      applied via jax.device_put before the scan.
+  Generic core under the packed objectives: `data` is any pytree of
+  device buffers; `subsample_fn(key, data)` draws the per-step batch
+  (None = full batch). A non-finite loss freezes the parameters for the
+  remaining steps (on-device equivalent of the reference's
+  break-on-instability).
 
   Returns:
-    (model_params, losses): trained parameters and the (steps,) loss trace.
+    (model_params, losses): trained parameters and the (steps,) trace.
   """
-  from hyperbo_tpu.core import defs  # local import to avoid cycle
-
   if key is None:
     key = jax.random.PRNGKey(0)
-  lr = config['learning_rate']
+  optimizer = optax.adam(config['learning_rate'])
   steps = int(config['max_training_step'])
-  batch_size = int(config.get('batch_size', packed.x.shape[1]))
-
-  if loss_fn is None:
-    def loss_fn(model, batch):
-      shim = defs.GPParams(model=model, config=config)
-      return packed_lib.neg_log_marginal_likelihood_packed(
-          mean_func, cov_func, shim, batch, warp_func=warp_func)
-
-  optimizer = optax.adam(lr)
-
-  if in_shardings is not None:
-    packed = jax.device_put(packed, in_shardings)
 
   def step(carry, _):
     model, opt_state, k, frozen = carry
     k, sk = jax.random.split(k)
-    batch = packed_lib.subsample_packed(sk, packed, batch_size)
+    batch = subsample_fn(sk, data) if subsample_fn else data
     loss, grads = jax.value_and_grad(loss_fn)(model, batch)
     updates, new_opt_state = optimizer.update(grads, opt_state)
     new_model = optax.apply_updates(model, updates)
@@ -154,6 +128,50 @@ def fit_adam_packed(mean_func,
     return model, losses
 
   return run(model_params, key)
+
+
+def fit_adam_packed(mean_func,
+                    cov_func,
+                    model_params: Dict[str, Any],
+                    packed: packed_lib.PackedDataset,
+                    config: Dict[str, Any],
+                    warp_func=None,
+                    key: Optional[jax.Array] = None,
+                    loss_fn: Optional[Callable] = None,
+                    in_shardings=None):
+  """On-device Adam over packed multi-task NLL (see fit_adam_scan).
+
+  Args:
+    mean_func / cov_func: GP mean/kernel functions.
+    model_params: initial trainable pytree.
+    packed: PackedDataset of training tasks.
+    config: needs learning_rate, max_training_step, batch_size.
+    warp_func: parameter warping.
+    key: PRNG key for per-step subsampling.
+    loss_fn: optional override (model, packed_batch) -> scalar; defaults
+      to the packed multi-task NLL with `config` via a GPParams shim.
+    in_shardings: optional sharding for `packed` (mesh task-sharding).
+
+  Returns:
+    (model_params, losses): trained parameters and the (steps,) trace.
+  """
+  from hyperbo_tpu.core import defs  # local import to avoid cycle
+
+  batch_size = int(config.get('batch_size', packed.x.shape[1]))
+  if loss_fn is None:
+    def loss_fn(model, batch):
+      shim = defs.GPParams(model=model, config=config)
+      return packed_lib.neg_log_marginal_likelihood_packed(
+          mean_func, cov_func, shim, batch, warp_func=warp_func)
+
+  if in_shardings is not None:
+    packed = jax.device_put(packed, in_shardings)
+
+  def subsample(k, data):
+    return packed_lib.subsample_packed(k, data, batch_size)
+
+  return fit_adam_scan(loss_fn, model_params, packed, subsample, config,
+                       key)
 
 
 def fit_adam_packed_multistart(mean_func,

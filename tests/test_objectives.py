@@ -204,3 +204,55 @@ def test_packed_ekl_matches_loop():
   got = float(packed_lib.multivariate_normal_divergence_packed(
       mean.constant, cov_func, params, packed, warp_func=WF))
   np.testing.assert_allclose(got, loop, rtol=2e-5)
+
+
+def test_packed_combined_objective_training():
+  """nll + c*EKL trains fully on device via the packed path and improves
+  both components."""
+  cov_func = kernel.squared_exponential
+  ds_nll, _ = _ground_truth_dataset(jax.random.PRNGKey(20), cov_func,
+                                    num_fns=5)
+  ds_al, _ = _ground_truth_dataset(jax.random.PRNGKey(21), cov_func,
+                                   num_fns=8, aligned=True)
+  dataset = {**ds_nll, **ds_al}
+  objective = obj.nll_regkl(0.5)
+  init = _init_params('adam', objective, cov_func, 2)
+
+  def full_loss(params):
+    return float(objective(
+        mean_func=mean.constant, cov_func=cov_func, params=params,
+        dataset=dataset, warp_func=WF))
+
+  # Confirm the packed route is actually taken.
+  built = gp._build_packed_training(objective, dataset, init.config,
+                                    mean.constant, cov_func, WF)
+  assert built is not None and built[3] is False
+
+  before = full_loss(init)
+  trained = gp.infer_parameters(
+      mean.constant, cov_func, init, dataset, warp_func=WF,
+      objective=objective, key=jax.random.PRNGKey(22))
+  after = full_loss(trained)
+  assert after < before, (before, after)
+
+
+def test_packed_ekl_only_training():
+  """Pure EKL objective routes through the packed aligned path."""
+  cov_func = kernel.squared_exponential
+  dataset, _ = _ground_truth_dataset(jax.random.PRNGKey(23), cov_func,
+                                     num_fns=10, aligned=True)
+  init = _init_params('adam', obj.ekl, cov_func, 2)
+  built = gp._build_packed_training(obj.ekl, dataset, init.config,
+                                    mean.constant, cov_func, WF)
+  assert built is not None
+
+  def full_loss(params):
+    return float(obj.multivariate_normal_divergence(
+        mean_func=mean.constant, cov_func=cov_func, params=params,
+        dataset=dataset, warp_func=WF))
+
+  before = full_loss(init)
+  trained = gp.infer_parameters(
+      mean.constant, cov_func, init, dataset, warp_func=WF,
+      objective=obj.ekl, key=jax.random.PRNGKey(24))
+  assert full_loss(trained) < before
