@@ -8,6 +8,7 @@ hyperbo_tpu.bo.input_samplers.
 
 from hyperbo_tpu.bo import acfun
 from hyperbo_tpu.bo.input_samplers import INPUT_SAMPLERS  # noqa: F401
+from hyperbo_tpu.data import hpob as hpob_data
 from hyperbo_tpu.data import pd1 as pd1_data
 from hyperbo_tpu.data import synthetic
 from hyperbo_tpu.models import kernel
@@ -50,6 +51,7 @@ EPS = 1e-6
 
 HYPERBO_DATASETS = {
     'pd1': pd1_data.pd1,
+    'hpob': hpob_data.hpob,
     'pd2': pd1_data.pd2,
     'grid2020': pd1_data.grid2020,
     'random': synthetic.random,

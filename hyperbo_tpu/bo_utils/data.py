@@ -6,3 +6,4 @@ from hyperbo_tpu.data.pd1 import (  # noqa: F401
     LESS_POINTS_WORKLOAD, PD1, get_output_warper, grid2020, normalize,
     pd1, pd2, process_pd1_for_maf)
 from hyperbo_tpu.data.synthetic import random  # noqa: F401
+from hyperbo_tpu.data.hpob import SEARCH_SPACE2TEST_DATASETS, HPOB_ROOT_DIR, hpob  # noqa: F401,E402

@@ -100,6 +100,9 @@ def fit_adam_scan(loss_fn: Callable[[Dict[str, Any], Any], jnp.ndarray],
 
   Returns:
     (model_params, losses): trained parameters and the (steps,) trace.
+    With return_state=True in `config`, returns
+    (model_params, losses, opt_state) so a later call can resume via
+    config['opt_state'].
   """
   if key is None:
     key = jax.random.PRNGKey(0)
@@ -120,14 +123,20 @@ def fit_adam_scan(loss_fn: Callable[[Dict[str, Any], Any], jnp.ndarray],
                              new_opt_state, opt_state)
     return (model, opt_state, k, frozen | ~jnp.isfinite(loss)), loss
 
-  @jax.jit
-  def run(model, k):
-    opt_state = optimizer.init(model)
-    (model, _, _, _), losses = jax.lax.scan(
-        step, (model, opt_state, k, jnp.array(False)), None, length=steps)
-    return model, losses
+  init_opt_state = config.get('opt_state')
 
-  return run(model_params, key)
+  @jax.jit
+  def run(model, k, opt_state):
+    if opt_state is None:
+      opt_state = optimizer.init(model)
+    (model, opt_state, _, _), losses = jax.lax.scan(
+        step, (model, opt_state, k, jnp.array(False)), None, length=steps)
+    return model, losses, opt_state
+
+  model, losses, opt_state = run(model_params, key, init_opt_state)
+  if config.get('return_state'):
+    return model, losses, opt_state
+  return model, losses
 
 
 def fit_adam_packed(mean_func,
