@@ -117,6 +117,9 @@ def run_experiment(
         n_func_historical=dataset_kwargs.pop('n_func_historical', 8),
         m_points_historical=dataset_kwargs.pop('m_points_historical', 30),
         **dataset_kwargs)
+  elif data_loader_name == 'hpob':
+    dataset, sub_dataset_key, queried = const.HYPERBO_DATASETS['hpob'](
+        data_key, verbose=verbose, **dataset_kwargs)
   else:
     dataset, sub_dataset_key, queried = const.HYPERBO_DATASETS[
         data_loader_name](data_key, sub_dataset_key=sub_dataset_key,

@@ -54,3 +54,30 @@ def test_driver_to_analysis_roundtrip(tmp_path):
     assert regrets[-1] >= 0
     # regret reaches 0 iff the best query was found
     assert maxy >= yy.max() - 1e-6
+
+
+def test_config_system_and_filename_encoder(tmp_path):
+  """ConfigDict round trip: run_from_config + encode_model_filename."""
+  from hyperbo_tpu.core import params_io
+  from hyperbo_tpu.experiments import configs
+
+  config = configs.get_config('pd1')
+  config.model_dir = str(tmp_path)
+  config.test_dataset_index = 'wl'
+  get_path = params_io.encode_model_filename(config)
+  path = get_path()
+  assert path.startswith(str(tmp_path)) and path.endswith('FINAL.pkl')
+  assert 'linear_mlp' in path and 'adam' in path
+
+  # random-loader end-to-end through the config path
+  config = configs.get_config('random')
+  config.iters = 3
+  config.method = const.RAND
+  config.mean_func_name = 'constant'
+  config.cov_func_name = 'matern52'
+  config.init_params.config['max_training_step'] = 5
+  config.output_dir = str(tmp_path / 'out')
+  result = configs.run_from_config(config)
+  assert result['observations'][1].shape[0] >= 3
+  assert os.path.exists(os.path.join(config.output_dir, '1',
+                                     'result.pkl'))
