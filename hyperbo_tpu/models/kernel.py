@@ -31,6 +31,20 @@ def _scaled_sqdist(vx1, vx2, lengthscale):
   return gram.sqdist(x1, x2)
 
 
+# Floor under squared distances before the Matern sqrt. At coincident
+# points the exact total derivative of the kernel wrt any parameter is 0
+# (r^2 is identically 0 in the parameters there), and flooring r^2
+# realizes that limit with no inf/0*inf intermediates — unlike the
+# where-of-inf "safe sqrt" clamp (reference basics/linalg.py:173-191),
+# whose backward can fuse into NaNs under jit+vmap when the MXU distance
+# form clamps near-duplicate pairs to exactly 0.
+_R2_FLOOR = 1e-36
+
+
+def _safe_r(r2, scale):
+  return scale * jnp.sqrt(jnp.maximum(r2, _R2_FLOOR))
+
+
 def squared_exponential(params, vx1, vx2=None, warp_func=None, diag=False):
   """Squared exponential kernel: Eq.(4.9/13) of the GPML book."""
   lengthscale, signal_variance = retrieve_params(
@@ -50,7 +64,7 @@ def matern32(params, vx1, vx2=None, warp_func=None, diag=False):
   if vx2 is None and diag:
     return sig * jnp.ones((vx1.shape[0],), vx1.dtype)
   r2 = _scaled_sqdist(vx1, vx2, lengthscale)
-  r = jnp.sqrt(3.0) * linalg.safe_sqrt(r2)
+  r = _safe_r(r2, jnp.sqrt(3.0))
   return sig * (1 + r) * jnp.exp(-r)
 
 
@@ -61,7 +75,7 @@ def matern52(params, vx1, vx2=None, warp_func=None, diag=False):
   if vx2 is None and diag:
     return jnp.squeeze(signal_variance) * jnp.ones((vx1.shape[0],), vx1.dtype)
   r2 = _scaled_sqdist(vx1, vx2, lengthscale)
-  r = jnp.sqrt(5.0) * linalg.safe_sqrt(r2)
+  r = _safe_r(r2, jnp.sqrt(5.0))
   return signal_variance * (1 + r + r**2 / 3) * jnp.exp(-r)
 
 
