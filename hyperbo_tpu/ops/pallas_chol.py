@@ -5,15 +5,15 @@ large MXU matmuls; what remains on the critical path are the base-case
 panel factorizations. XLA's expander lowers those to a while loop whose
 per-iteration state round-trips HBM. This kernel keeps the whole panel
 (<= 512 x 512 fp32) in VMEM and runs the classic outer-product column
-sweep on the VPU:
+sweep on the VPU.
 
-  for k in 0..n-1:
-    L[k:, k] = A[k:, k] / sqrt(A[k, k])
-    A        -= L[., k] L[., k]^T   (rank-1 VPU broadcast update)
-
-Symmetry of the carried A lets both the row (1, n) and column (n, 1)
-views of the pivot be sliced directly, so no per-iteration transposes or
-relayouts are needed.
+Mosaic (TPU Pallas) constraints shape the implementation:
+  * no dynamic_slice on VALUES -> the working matrix lives in a VMEM
+    scratch ref and pivot rows are read/written with pl.ds on the ref
+    (sublane-dim dynamic indexing);
+  * the pivot element is extracted with a one-hot lane reduction, and
+    the column view of the pivot row comes from a (1, n) -> (n, 1)
+    transpose (symmetric carry), avoiding lane-dim dynamic slicing.
 
 Interpret mode keeps the kernel CPU-testable.
 """
@@ -26,33 +26,36 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+try:
+  from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+  pltpu = None
 
-def _chol_panel_kernel(a_ref, out_ref):
+
+def _chol_panel_kernel(a_ref, out_ref, scratch_ref):
   n = a_ref.shape[0]
   a0 = a_ref[:]
-  # Symmetrize: the sweep relies on row_k == col_k^T at every step.
-  a0 = 0.5 * (a0 + a0.T)
-  row_idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-  col_idx = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+  # Symmetrize: the sweep reads only the pivot ROW and relies on
+  # row_k == col_k^T at every step.
+  scratch_ref[:] = 0.5 * (a0 + a0.T)
+  out_ref[:] = jnp.zeros_like(a0)
+  lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
 
-  def body(k, carry):
-    a, l = carry
-    row = jax.lax.dynamic_slice(a, (k, 0), (1, n))      # (1, n)
-    col = jax.lax.dynamic_slice(a, (0, k), (n, 1))      # (n, 1)
-    akk = jax.lax.dynamic_slice(row, (0, k), (1, 1))    # (1, 1)
+  def body(k, _):
+    row = scratch_ref[pl.ds(k, 1), :]                    # (1, n)
+    # Pivot element via one-hot lane reduction (no lane dyn-slice).
+    onehot = (lane == k).astype(row.dtype)
+    akk = jnp.sum(row * onehot)
     inv_d = jax.lax.rsqrt(jnp.maximum(akk, 1e-30))
-    # k-th column of L, in both layouts, masked below the diagonal.
-    lrow = jnp.where(col_idx >= k, row * inv_d, 0.0)    # (1, n)
-    lcol = jnp.where(row_idx >= k, col * inv_d, 0.0)    # (n, 1)
-    # Accumulate U = L^T row-by-row (row writes are sublane-cheap).
-    l = jax.lax.dynamic_update_slice(l, lrow, (k, 0))
-    # Rank-1 trailing update; rows/cols <= k are never read again, and
-    # the masked lrow/lcol leave them untouched anyway.
-    a = a - lcol * lrow
-    return (a, l)
+    lrow = jnp.where(lane >= k, row * inv_d, 0.0)        # (1, n)
+    out_ref[pl.ds(k, 1), :] = lrow
+    lcol = lrow.T                                        # (n, 1)
+    scratch_ref[:] = scratch_ref[:] - lcol * lrow
+    return 0
 
-  _, u = jax.lax.fori_loop(0, n, body, (a0, jnp.zeros_like(a0)))
-  out_ref[:] = u.T
+  jax.lax.fori_loop(0, n, body, 0, unroll=False)
+  # out currently holds U = L^T as rows; emit the lower factor.
+  out_ref[:] = out_ref[:].T
 
 
 @functools.partial(jax.jit, static_argnames=('interpret',))
@@ -63,6 +66,7 @@ def cholesky_panel(a: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
   return pl.pallas_call(
       _chol_panel_kernel,
       out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
+      scratch_shapes=[pltpu.VMEM((n, n), jnp.float32)],
       interpret=interpret,
   )(a.astype(jnp.float32))
 
