@@ -24,8 +24,20 @@ from jax import lax
 
 # Below this size, the base-case factorization is used directly.
 _BASE_BLOCK = 512
-# Matmul precision for Schur updates.
-_PRECISION = lax.Precision.HIGHEST
+# Matmul precision for Schur updates. BF16_6X is bitwise fp32-faithful;
+# BF16_3X keeps ~2^-21 relative error (ample for SPD Schur complements
+# against the 1e-6 jitter) at roughly 2x the throughput. Configurable via
+# set_schur_precision for accuracy-critical callers.
+try:
+  _PRECISION = lax.DotAlgorithmPreset.BF16_BF16_F32_X3
+except AttributeError:  # older JAX
+  _PRECISION = lax.Precision.HIGHEST
+
+
+def set_schur_precision(precision):
+  """Override the dot precision/algorithm used by Schur updates."""
+  global _PRECISION
+  _PRECISION = precision
 # Use the Pallas VMEM-resident panel kernel for base cases on TPU
 # (ops/pallas_chol.py). Toggled by set_use_pallas_base; default off until
 # profiled faster than the XLA expander on the target chip.

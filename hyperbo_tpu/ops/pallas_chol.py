@@ -58,6 +58,54 @@ def _chol_panel_kernel(a_ref, out_ref, scratch_ref):
   out_ref[:] = out_ref[:].T
 
 
+def _chol_panel_blocked_kernel(block_width, a_ref, out_ref):
+  """Left-looking blocked sweep, fully static (unrolled).
+
+  Panels of `block_width` columns are corrected by one MXU GEMM against
+  the already-finished factor, then factored with a column sweep whose
+  per-step update touches only the (n x block_width) panel. No dynamic
+  slicing, no transposes of carried state: columns are read natively.
+  """
+  n = a_ref.shape[0]
+  bw = block_width
+  a0 = a_ref[:]
+  a0 = 0.5 * (a0 + a0.T)
+  out_ref[:] = jnp.zeros_like(a0)
+  row_idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
+  for jb in range(n // bw):
+    col0 = jb * bw
+    panel = a0[:, col0:col0 + bw]                      # (n, bw)
+    if jb > 0:
+      l_prev = out_ref[:, :col0]                       # (n, col0)
+      strip = out_ref[col0:col0 + bw, :col0]           # (bw, col0)
+      panel = panel - jax.lax.dot_general(
+          l_prev, strip, (((1,), (1,)), ((), ())),
+          preferred_element_type=jnp.float32)
+    for k_local in range(bw):
+      k = col0 + k_local
+      col = panel[:, k_local:k_local + 1]              # (n, 1)
+      akk = col[k, 0]
+      inv_d = jax.lax.rsqrt(jnp.maximum(akk, 1e-30))
+      lcol = jnp.where(row_idx >= k, col * inv_d, 0.0)
+      out_ref[:, k:k + 1] = lcol
+      seg = lcol[col0:col0 + bw, 0:1]                  # (bw, 1)
+      panel = panel - lcol * seg.T                     # rank-1, panel-wide
+
+
+@functools.partial(jax.jit, static_argnames=('interpret', 'block_width'))
+def cholesky_panel_blocked(a: jnp.ndarray, interpret: bool = False,
+                           block_width: int = 128) -> jnp.ndarray:
+  """Lower Cholesky of an SPD panel via the static left-looking kernel."""
+  n = a.shape[-1]
+  kernel = functools.partial(_chol_panel_blocked_kernel, block_width)
+  return pl.pallas_call(
+      kernel,
+      out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
+      interpret=interpret,
+  )(a.astype(jnp.float32))
+
+
 @functools.partial(jax.jit, static_argnames=('interpret',))
 def cholesky_panel(a: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
   """Lower Cholesky factor of a single SPD panel (n <= 512, n % 128 == 0
