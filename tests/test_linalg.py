@@ -81,7 +81,11 @@ def test_matrix_rhs_vjp():
 def test_blocked_cholesky_matches_xla(n):
   key = jax.random.PRNGKey(4)
   a = _rand_spd(key, n)
-  l_blocked = chol_ops.cholesky(a, base_block=128)
+  chol_ops.set_use_recursive(True)
+  try:
+    l_blocked = chol_ops.cholesky(a, base_block=128)
+  finally:
+    chol_ops.set_use_recursive(False)
   l_ref = jnp.linalg.cholesky(a)
   np.testing.assert_allclose(l_blocked, l_ref, atol=5e-4)
 
@@ -89,7 +93,11 @@ def test_blocked_cholesky_matches_xla(n):
 def test_cholesky_batched():
   key = jax.random.PRNGKey(5)
   a = jax.vmap(lambda k: _rand_spd(k, 200))(jax.random.split(key, 3))
-  l = chol_ops.cholesky(a, base_block=64)
+  chol_ops.set_use_recursive(True)
+  try:
+    l = chol_ops.cholesky(a, base_block=64)
+  finally:
+    chol_ops.set_use_recursive(False)
   np.testing.assert_allclose(
       l @ jnp.swapaxes(l, -1, -2), a, atol=1e-3)
 
