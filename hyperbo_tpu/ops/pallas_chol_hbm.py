@@ -34,9 +34,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(n, block, a_hbm, l_hbm, panel, lbuf, strip, sem_a, sem_l,
-            sem_s, sem_out):
+def _kernel(n, block, chunk, a_hbm, l_hbm, panel, lbuf, strip, sem_a,
+            sem_l, sem_s, sem_out):
   nb = n // block
+  n_chunks = n // chunk
   row_idx_n = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
   row_idx_b = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
   col_idx_b = jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
@@ -49,21 +50,35 @@ def _kernel(n, block, a_hbm, l_hbm, panel, lbuf, strip, sem_a, sem_l,
     cp.start()
     cp.wait()
 
-    # 2. Left-looking correction against all finished panels.
+    # 2. Left-looking correction against all finished panels, in row
+    #    chunks; chunks entirely above the pivot row are skipped (their
+    #    panel rows are masked out in step 4 anyway).
     def correct(t, _):
       tcol = t * block
-      cl = pltpu.make_async_copy(
-          l_hbm.at[:, pl.ds(tcol, block)], lbuf, sem_l)
-      cl.start()
       cs = pltpu.make_async_copy(
           l_hbm.at[pl.ds(col0, block), pl.ds(tcol, block)], strip, sem_s)
       cs.start()
-      cl.wait()
       cs.wait()
-      update = jax.lax.dot_general(
-          lbuf[:], strip[:], (((1,), (1,)), ((), ())),
-          preferred_element_type=jnp.float32)
-      panel[:] = panel[:] - update
+
+      def chunk_step(c, _):
+        row0 = c * chunk
+
+        @pl.when(row0 + chunk > col0)
+        def _():
+          cl = pltpu.make_async_copy(
+              l_hbm.at[pl.ds(row0, chunk), pl.ds(tcol, block)], lbuf,
+              sem_l)
+          cl.start()
+          cl.wait()
+          update = jax.lax.dot_general(
+              lbuf[:], strip[:], (((1,), (1,)), ((), ())),
+              preferred_element_type=jnp.float32)
+          panel[pl.ds(row0, chunk), :] = (
+              panel[pl.ds(row0, chunk), :] - update)
+
+        return 0
+
+      jax.lax.fori_loop(0, n_chunks, chunk_step, 0)
       return 0
 
     jax.lax.fori_loop(0, j, correct, 0)
@@ -121,21 +136,25 @@ def _kernel(n, block, a_hbm, l_hbm, panel, lbuf, strip, sem_a, sem_l,
   jax.lax.fori_loop(0, nb, panel_step, 0)
 
 
-@functools.partial(jax.jit, static_argnames=('block', 'interpret'))
+@functools.partial(jax.jit, static_argnames=('block', 'chunk',
+                                             'interpret'))
 def cholesky_hbm(a: jnp.ndarray, block: int = 256,
+                 chunk: int = 2048,
                  interpret: bool = False) -> jnp.ndarray:
-  """Lower Cholesky factor of SPD `a` (n x n, n % block == 0)."""
+  """Lower Cholesky factor of SPD `a` (n x n, n % block == 0,
+  n % chunk == 0, chunk % block == 0 recommended)."""
   n = a.shape[-1]
-  assert n % block == 0, (n, block)
-  kernel = functools.partial(_kernel, n, block)
+  chunk = min(chunk, n)
+  assert n % block == 0 and n % chunk == 0, (n, block, chunk)
+  kernel = functools.partial(_kernel, n, block, chunk)
   return pl.pallas_call(
       kernel,
       in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
       out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
       out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
       scratch_shapes=[
-          pltpu.VMEM((n, block), jnp.float32),    # panel
-          pltpu.VMEM((n, block), jnp.float32),    # lbuf
+          pltpu.VMEM((n, block), jnp.float32),      # panel
+          pltpu.VMEM((chunk, block), jnp.float32),  # lbuf (row chunk)
           pltpu.VMEM((block, block), jnp.float32),  # strip
           pltpu.SemaphoreType.DMA,
           pltpu.SemaphoreType.DMA,
