@@ -2,26 +2,28 @@
 
 Motivation (PERF.md): XLA's factorization spends its time in 64
 sequential expander panels with HBM round-trips between every stage, and
-a per-pallas_call launch costs ~460 us — so the only way to beat it is
-ONE kernel that owns the whole factorization: panels stream through VMEM
-via explicit DMA, the diagonal blocks factorize with an in-register
-column sweep (~0.1-0.3 us/step once inside the kernel), their inverses
-accumulate during the same sweep, and all O(n^3) work runs as MXU
-dot_generals between DMAs.
+a per-pallas_call launch costs ~460 us — so the way to beat it is ONE
+kernel that owns the whole factorization: panels stream through VMEM via
+explicit DMA, diagonal blocks factorize with an in-VMEM column sweep,
+and all O(n^3) work runs as MXU dot_generals overlapped with
+double-buffered DMA.
 
 Left-looking layout, block width B (panel j = columns [jB, (j+1)B)):
 
   1. DMA A[:, jB:(j+1)B] -> panel (VMEM, n x B)
-  2. for t < j:  DMA L[:, tB:(t+1)B] -> lbuf;
-                 panel -= lbuf @ strip_t^T          (strip_t = rows jB..)
-  3. diag sweep: factor D = panel[jB:jB+B] -> L_D, accumulating
-                 W = L_D^{-1} by forward substitution in the same loop
-  4. below: panel @ W^T (one MXU dot), rows masked to > jB; rows jB..
-     replaced by L_D; rows < jB zeroed
-  5. DMA panel -> L[:, jB:(j+1)B]
+  2. for t < j, row chunks c (skipping chunks above the pivot):
+       panel[c] -= L[c, tB:(t+1)B] @ strip_t^T     (double-buffered DMA)
+  3. diagonal sweep in refs: U = L_D^T built row-by-row (B steps; the
+     pivot row is read with a dynamic-sublane ref slice, its masked
+     rescale IS row k of U, and one transpose feeds the rank-1 update)
+  4. W = L_D^{-1} by 64-wide batched forward substitution (static
+     unroll) + two levels of triangular block combines (MXU)
+  5. below-diagonal panel = panel @ W^T (one MXU dot), rows masked;
+     rows jB.. spliced with L_D
+  6. DMA panel -> L[:, jB:(j+1)B]
 
-Total DMA volume is O(n^2 * n/B); with B=256 at n=8192 that is ~4 GB.
-This v1 serializes DMA and compute (double-buffering is the follow-up).
+DMA volume is O(n^2 * nb) with above-pivot chunks skipped (~2 GB at
+n=8192, B=256), overlapped with the correction GEMMs.
 """
 
 from __future__ import annotations
@@ -33,100 +35,147 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_INV_BASE = 64
 
-def _kernel(n, block, chunk, a_hbm, l_hbm, panel, lbuf, strip, sem_a,
-            sem_l, sem_s, sem_out):
+
+def _batched_forward_subst(l_blocks):
+  """Inverses of a (G, 64, 64) batch of lower-triangular blocks.
+
+  Static 64-step forward substitution; everything is value-level with
+  static indices (Mosaic-safe).
+  """
+  g, m, _ = l_blocks.shape
+  w = jnp.zeros_like(l_blocks)
+  eye = jnp.eye(m, dtype=l_blocks.dtype)
+  for k in range(m):
+    lrow = l_blocks[:, k:k + 1, :]                    # (G, 1, 64)
+    lkk = lrow[:, :, k:k + 1]                         # (G, 1, 1)
+    acc = jax.lax.dot_general(
+        lrow, w, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)           # (G, 1, 64)
+    wrow = (eye[k:k + 1, :][None] - acc) / lkk
+    w = w + wrow * eye[:, k:k + 1][None]              # write row k
+  return w
+
+
+def _tri_inverse(l_mat, base=_INV_BASE):
+  """Inverse of a lower-triangular (B, B) matrix via block recursion.
+
+  The base diagonal blocks invert in ONE batched substitution (they are
+  independent); off-diagonal blocks combine with MXU matmuls:
+  inv([[A,0],[C,D]]) = [[A^-1,0],[-D^-1 C A^-1, D^-1]].
+  """
+  b = l_mat.shape[-1]
+  g = b // base
+  blocks = jnp.stack([l_mat[i * base:(i + 1) * base,
+                            i * base:(i + 1) * base] for i in range(g)])
+  inv_blocks = _batched_forward_subst(blocks)
+
+  # Iteratively combine: start from base-block inverses on the diagonal,
+  # double the block size each level.
+  w = jnp.zeros_like(l_mat)
+  for i in range(g):
+    w = w.at[i * base:(i + 1) * base, i * base:(i + 1) * base].set(
+        inv_blocks[i])
+  size = base
+  while size < b:
+    for i0 in range(0, b, 2 * size):
+      a_inv = w[i0:i0 + size, i0:i0 + size]
+      d_inv = w[i0 + size:i0 + 2 * size, i0 + size:i0 + 2 * size]
+      c = l_mat[i0 + size:i0 + 2 * size, i0:i0 + size]
+      off = -jax.lax.dot_general(
+          jax.lax.dot_general(d_inv, c, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32),
+          a_inv, (((1,), (0,)), ((), ())),
+          preferred_element_type=jnp.float32)
+      w = w.at[i0 + size:i0 + 2 * size, i0:i0 + size].set(off)
+    size *= 2
+  return w
+
+
+def _kernel(n, block, chunk, a_hbm, l_hbm, panel, lbuf, strip, d_ref,
+            u_ref, sem_a, sem_l, sem_s, sem_out):
   nb = n // block
   n_chunks = n // chunk
   row_idx_n = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-  row_idx_b = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
   col_idx_b = jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
 
   def panel_step(j, _):
     col0 = j * block
-    # 1. Load the raw panel.
     cp = pltpu.make_async_copy(
         a_hbm.at[:, pl.ds(col0, block)], panel, sem_a)
     cp.start()
     cp.wait()
 
-    # 2. Left-looking correction against all finished panels, in row
-    #    chunks; chunks entirely above the pivot row are skipped (their
-    #    panel rows are masked out in step 4 anyway).
+    # ---- 2. corrections, double-buffered over (t, chunk) ----
     def correct(t, _):
       tcol = t * block
       cs = pltpu.make_async_copy(
           l_hbm.at[pl.ds(col0, block), pl.ds(tcol, block)], strip, sem_s)
       cs.start()
       cs.wait()
+      # First chunk that matters: the one containing row col0.
+      c_start = jax.lax.div(col0, chunk)
+
+      def dma_for(c, slot):
+        return pltpu.make_async_copy(
+            l_hbm.at[pl.ds(c * chunk, chunk), pl.ds(tcol, block)],
+            lbuf.at[slot], sem_l.at[slot])
+
+      @pl.when(c_start < n_chunks)
+      def _():
+        dma_for(c_start, c_start % 2).start()
 
       def chunk_step(c, _):
-        row0 = c * chunk
+        slot = c % 2
 
-        @pl.when(row0 + chunk > col0)
+        @pl.when(c + 1 < n_chunks)
         def _():
-          cl = pltpu.make_async_copy(
-              l_hbm.at[pl.ds(row0, chunk), pl.ds(tcol, block)], lbuf,
-              sem_l)
-          cl.start()
-          cl.wait()
-          update = jax.lax.dot_general(
-              lbuf[:], strip[:], (((1,), (1,)), ((), ())),
-              preferred_element_type=jnp.float32)
-          panel[pl.ds(row0, chunk), :] = (
-              panel[pl.ds(row0, chunk), :] - update)
+          dma_for(c + 1, (c + 1) % 2).start()
 
+        dma_for(c, slot).wait()
+        update = jax.lax.dot_general(
+            lbuf[slot], strip[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        panel[pl.ds(c * chunk, chunk), :] = (
+            panel[pl.ds(c * chunk, chunk), :] - update)
         return 0
 
-      jax.lax.fori_loop(0, n_chunks, chunk_step, 0)
+      jax.lax.fori_loop(c_start, n_chunks, chunk_step, 0)
       return 0
 
     jax.lax.fori_loop(0, j, correct, 0)
 
-    # 3. Diagonal sweep with simultaneous inverse accumulation.
-    #    d: the B x B diagonal block (copied into registers);
-    #    w: L_D^{-1}, built row-by-row by forward substitution.
+    # ---- 3. diagonal sweep in refs: build U = L_D^T ----
     d0 = panel[pl.ds(col0, block), :]
-    d0 = 0.5 * (d0 + d0.T)
+    d_ref[:] = 0.5 * (d0 + d0.T)
+    u_ref[:] = jnp.zeros((block, block), jnp.float32)
 
-    def sweep(k, carry):
-      d, l_d, w = carry
-      onehot_col = (col_idx_b == k).astype(jnp.float32)       # (1, B)
-      onehot_row = (row_idx_b == k).astype(jnp.float32)       # (B, 1)
-      col = jax.lax.dot_general(d, onehot_col.T,
-                                (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-      akk = jnp.sum(col * onehot_row)
+    def sweep(k, _):
+      row = d_ref[pl.ds(k, 1), :]                    # (1, B)
+      onehot = (col_idx_b == k).astype(jnp.float32)
+      akk = jnp.sum(row * onehot)
       inv_d = jax.lax.rsqrt(jnp.maximum(akk, 1e-30))
-      lcol = jnp.where(row_idx_b >= k, col * inv_d, 0.0)      # (B, 1)
-      l_d = l_d + lcol * onehot_col                           # set col k
-      d = d - lcol * lcol.T
-      # Forward substitution row k of W: (e_k - L[k, :k] W[:k, :]) / l_kk.
-      # L[k, :k] is row k of the already-built l_d columns.
-      lrow_built = jax.lax.dot_general(onehot_row.T, l_d,
-                                       (((1,), (0,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
-      lrow_strict = jnp.where(col_idx_b < k, lrow_built, 0.0)  # (1, B)
-      acc = jax.lax.dot_general(lrow_strict, w,
-                                (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-      wrow = (onehot_col - acc) * inv_d                        # (1, B)
-      w = w + onehot_row * wrow                                # set row k
-      return d, l_d, w
+      lrow_u = jnp.where(col_idx_b >= k, row * inv_d, 0.0)  # row k of U
+      u_ref[pl.ds(k, 1), :] = lrow_u
+      lcol = lrow_u.T                                 # (B, 1)
+      d_ref[:] = d_ref[:] - lcol * lrow_u
+      return 0
 
-    zeros_b = jnp.zeros((block, block), jnp.float32)
-    _, l_d, w = jax.lax.fori_loop(
-        0, block, sweep, (d0, zeros_b, zeros_b))
+    jax.lax.fori_loop(0, block, sweep, 0)
 
-    # 4. Below-diagonal panel: A_below @ W^T; splice in L_D; zero above.
+    # ---- 4. W = L_D^{-1} ----
+    u = u_ref[:]
+    l_d = u.T
+    w = _tri_inverse(l_d)
+
+    # ---- 5. below-diagonal panel + splice ----
     below = jax.lax.dot_general(panel[:], w, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
     keep_below = (row_idx_n >= col0 + block).astype(jnp.float32)
-    result = below * keep_below
-    panel[:] = result
+    panel[:] = below * keep_below
     panel[pl.ds(col0, block), :] = l_d
 
-    # 5. Store the finished panel.
     co = pltpu.make_async_copy(
         panel, l_hbm.at[:, pl.ds(col0, block)], sem_out)
     co.start()
@@ -139,9 +188,9 @@ def _kernel(n, block, chunk, a_hbm, l_hbm, panel, lbuf, strip, sem_a,
 @functools.partial(jax.jit, static_argnames=('block', 'chunk',
                                              'interpret'))
 def cholesky_hbm(a: jnp.ndarray, block: int = 256,
-                 chunk: int = 2048,
+                 chunk: int = 1024,
                  interpret: bool = False) -> jnp.ndarray:
-  """Lower Cholesky factor of SPD `a` (n x n, n % block == 0,
+  """Lower Cholesky factor of SPD `a` (n x n; n % block == 0,
   n % chunk == 0, chunk % block == 0 recommended)."""
   n = a.shape[-1]
   chunk = min(chunk, n)
@@ -153,13 +202,15 @@ def cholesky_hbm(a: jnp.ndarray, block: int = 256,
       out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
       out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
       scratch_shapes=[
-          pltpu.VMEM((n, block), jnp.float32),      # panel
-          pltpu.VMEM((chunk, block), jnp.float32),  # lbuf (row chunk)
-          pltpu.VMEM((block, block), jnp.float32),  # strip
-          pltpu.SemaphoreType.DMA,
-          pltpu.SemaphoreType.DMA,
-          pltpu.SemaphoreType.DMA,
-          pltpu.SemaphoreType.DMA,
+          pltpu.VMEM((n, block), jnp.float32),         # panel
+          pltpu.VMEM((2, chunk, block), jnp.float32),  # lbuf x2 slots
+          pltpu.VMEM((block, block), jnp.float32),     # strip
+          pltpu.VMEM((block, block), jnp.float32),     # d_ref
+          pltpu.VMEM((block, block), jnp.float32),     # u_ref
+          pltpu.SemaphoreType.DMA,                     # sem_a
+          pltpu.SemaphoreType.DMA((2,)),               # sem_l slots
+          pltpu.SemaphoreType.DMA,                     # sem_s
+          pltpu.SemaphoreType.DMA,                     # sem_out
       ],
       compiler_params=pltpu.CompilerParams(has_side_effects=True),
       interpret=interpret,
