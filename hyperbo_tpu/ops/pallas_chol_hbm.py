@@ -38,59 +38,47 @@ from jax.experimental.pallas import tpu as pltpu
 _INV_BASE = 64
 
 
-def _batched_forward_subst(l_blocks):
-  """Inverses of a (G, 64, 64) batch of lower-triangular blocks.
+def _forward_subst(l_mat):
+  """Inverse of a lower-triangular (m, m) block by forward substitution.
 
-  Static 64-step forward substitution; everything is value-level with
-  static indices (Mosaic-safe).
+  Static unroll; rows accumulate through masked adds (Mosaic has no
+  scatter/dynamic_update_slice on values).
   """
-  g, m, _ = l_blocks.shape
-  w = jnp.zeros_like(l_blocks)
-  eye = jnp.eye(m, dtype=l_blocks.dtype)
+  m = l_mat.shape[-1]
+  eye = jnp.eye(m, dtype=l_mat.dtype)
+  w = jnp.zeros_like(l_mat)
   for k in range(m):
-    lrow = l_blocks[:, k:k + 1, :]                    # (G, 1, 64)
-    lkk = lrow[:, :, k:k + 1]                         # (G, 1, 1)
-    acc = jax.lax.dot_general(
-        lrow, w, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)           # (G, 1, 64)
-    wrow = (eye[k:k + 1, :][None] - acc) / lkk
-    w = w + wrow * eye[:, k:k + 1][None]              # write row k
+    lrow = l_mat[k:k + 1, :]                           # (1, m) static
+    lkk = lrow[:, k:k + 1]                             # (1, 1)
+    acc = jax.lax.dot_general(lrow, w, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    wrow = (eye[k:k + 1, :] - acc) / lkk
+    w = w + wrow * eye[:, k:k + 1]                     # masked row write
   return w
 
 
 def _tri_inverse(l_mat, base=_INV_BASE):
   """Inverse of a lower-triangular (B, B) matrix via block recursion.
 
-  The base diagonal blocks invert in ONE batched substitution (they are
-  independent); off-diagonal blocks combine with MXU matmuls:
-  inv([[A,0],[C,D]]) = [[A^-1,0],[-D^-1 C A^-1, D^-1]].
+  inv([[A,0],[C,D]]) = [[A^-1, 0], [-D^-1 C A^-1, D^-1]]; pure static
+  slices + concats + MXU matmuls (Mosaic-safe).
   """
-  b = l_mat.shape[-1]
-  g = b // base
-  blocks = jnp.stack([l_mat[i * base:(i + 1) * base,
-                            i * base:(i + 1) * base] for i in range(g)])
-  inv_blocks = _batched_forward_subst(blocks)
-
-  # Iteratively combine: start from base-block inverses on the diagonal,
-  # double the block size each level.
-  w = jnp.zeros_like(l_mat)
-  for i in range(g):
-    w = w.at[i * base:(i + 1) * base, i * base:(i + 1) * base].set(
-        inv_blocks[i])
-  size = base
-  while size < b:
-    for i0 in range(0, b, 2 * size):
-      a_inv = w[i0:i0 + size, i0:i0 + size]
-      d_inv = w[i0 + size:i0 + 2 * size, i0 + size:i0 + 2 * size]
-      c = l_mat[i0 + size:i0 + 2 * size, i0:i0 + size]
-      off = -jax.lax.dot_general(
-          jax.lax.dot_general(d_inv, c, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32),
-          a_inv, (((1,), (0,)), ((), ())),
-          preferred_element_type=jnp.float32)
-      w = w.at[i0 + size:i0 + 2 * size, i0:i0 + size].set(off)
-    size *= 2
-  return w
+  m = l_mat.shape[-1]
+  if m <= base:
+    return _forward_subst(l_mat)
+  h = m // 2
+  a_inv = _tri_inverse(l_mat[:h, :h], base)
+  d_inv = _tri_inverse(l_mat[h:, h:], base)
+  c = l_mat[h:, :h]
+  off = -jax.lax.dot_general(
+      jax.lax.dot_general(d_inv, c, (((1,), (0,)), ((), ())),
+                          preferred_element_type=jnp.float32),
+      a_inv, (((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32)
+  zeros = jnp.zeros((h, m - h), l_mat.dtype)
+  top = jnp.concatenate([a_inv, zeros], axis=1)
+  bot = jnp.concatenate([off, d_inv], axis=1)
+  return jnp.concatenate([top, bot], axis=0)
 
 
 def _kernel(n, block, chunk, a_hbm, l_hbm, panel, lbuf, strip, d_ref,
