@@ -95,35 +95,28 @@ def _kernel(n, block, chunk, a_hbm, l_hbm, panel, lbuf, strip, d_ref,
     cp.start()
     cp.wait()
 
-    # ---- 2. corrections, double-buffered over (t, chunk) ----
+    # ---- 2. corrections over (t, chunk); chunks above the pivot are
+    # skipped (their panel rows are masked in step 5 anyway). Few LARGE
+    # DMAs: per-iteration semaphore costs dominate small-chunk
+    # pipelines on this part (measured 5 us/iteration), so the loop is
+    # deliberately single-buffered with the biggest chunk that fits
+    # VMEM (~10.5 MB usable).
     def correct(t, _):
       tcol = t * block
       cs = pltpu.make_async_copy(
           l_hbm.at[pl.ds(col0, block), pl.ds(tcol, block)], strip, sem_s)
       cs.start()
       cs.wait()
-      # First chunk that matters: the one containing row col0.
       c_start = jax.lax.div(col0, chunk)
 
-      def dma_for(c, slot):
-        return pltpu.make_async_copy(
-            l_hbm.at[pl.ds(c * chunk, chunk), pl.ds(tcol, block)],
-            lbuf.at[slot], sem_l.at[slot])
-
-      @pl.when(c_start < n_chunks)
-      def _():
-        dma_for(c_start, c_start % 2).start()
-
       def chunk_step(c, _):
-        slot = c % 2
-
-        @pl.when(c + 1 < n_chunks)
-        def _():
-          dma_for(c + 1, (c + 1) % 2).start()
-
-        dma_for(c, slot).wait()
+        cl = pltpu.make_async_copy(
+            l_hbm.at[pl.ds(c * chunk, chunk), pl.ds(tcol, block)],
+            lbuf, sem_l)
+        cl.start()
+        cl.wait()
         update = jax.lax.dot_general(
-            lbuf[slot], strip[:], (((1,), (1,)), ((), ())),
+            lbuf[:], strip[:], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         panel[pl.ds(c * chunk, chunk), :] = (
             panel[pl.ds(c * chunk, chunk), :] - update)
@@ -191,12 +184,12 @@ def cholesky_hbm(a: jnp.ndarray, block: int = 256,
       out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
       scratch_shapes=[
           pltpu.VMEM((n, block), jnp.float32),         # panel
-          pltpu.VMEM((2, chunk, block), jnp.float32),  # lbuf x2 slots
+          pltpu.VMEM((chunk, block), jnp.float32),     # lbuf
           pltpu.VMEM((block, block), jnp.float32),     # strip
           pltpu.VMEM((block, block), jnp.float32),     # d_ref
           pltpu.VMEM((block, block), jnp.float32),     # u_ref
           pltpu.SemaphoreType.DMA,                     # sem_a
-          pltpu.SemaphoreType.DMA((2,)),               # sem_l slots
+          pltpu.SemaphoreType.DMA,                     # sem_l
           pltpu.SemaphoreType.DMA,                     # sem_s
           pltpu.SemaphoreType.DMA,                     # sem_out
       ],
