@@ -40,3 +40,24 @@ def test_blocked_cholesky_with_pallas_base():
     np.testing.assert_allclose(got, want, atol=5e-4)
   finally:
     chol_ops.set_use_pallas_base(False)
+
+
+@pytest.mark.parametrize('n,B,C', [(256, 128, 256), (512, 128, 256),
+                                   (512, 256, 512)])
+def test_hbm_cholesky_matches_xla(n, B, C):
+  """Single-kernel HBM-streaming factorization (interpret mode)."""
+  from hyperbo_tpu.ops import pallas_chol_hbm
+  key = jax.random.PRNGKey(n + B)
+  a = jax.random.normal(key, (n, n))
+  a = a @ a.T / n + jnp.eye(n)
+  got = pallas_chol_hbm.cholesky_hbm(a, block=B, chunk=C, interpret=True)
+  want = jnp.linalg.cholesky(a)
+  np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+def test_tri_inverse():
+  from hyperbo_tpu.ops import pallas_chol_hbm
+  l = jnp.tril(jax.random.normal(jax.random.PRNGKey(0), (256, 256)))
+  l = l + 8 * jnp.eye(256)
+  w = pallas_chol_hbm._tri_inverse(l)
+  np.testing.assert_allclose(w @ l, jnp.eye(256), atol=1e-4)
