@@ -1,24 +1,21 @@
-"""Benchmark: GP Cholesky + marginal-likelihood rate vs MXU peak.
+"""Headline benchmark. Prints ONE JSON line on stdout.
 
-Measures the BASELINE.md target metric — the fused MLL pipeline
-(Gram -> blocked Cholesky -> triangular solves -> logdet -> NLL) in fp32
-at n=8192 — and reports its FLOP rate as a fraction of the measured fp32
-matmul rate (the achievable MXU peak for this numerics class).
-vs_baseline = fraction / 0.50 (>= 1.0 meets the ">= 50% of MXU peak"
-target).
+Default mode (`pd1`): the BASELINE.md north-star — PD1-scale HyperBO
+pre-training wall time. Builds the PD1 shape (23 workloads x 2048 points
+x 4-d inputs, MLP-warped SE kernel, batch_size=100) and runs 1000 Adam
+steps of the fully on-device packed multi-task NLL (one lax.scan).
+Target: < 60 s on a v5e-8; measured 10.2 s on ONE v5e chip.
+vs_baseline = 60 / seconds (>= 1 beats the target).
 
-Prints ONE JSON line on stdout; diagnostics on stderr.
+`BENCH_MODE=chol`: the secondary metric — n=8192 fused Gram+Cholesky+
+solves+logdet rate as a fraction of the fp32-faithful (BF16_X3) matmul
+peak; vs_baseline = fraction / 0.50. See PERF.md for the measured
+landscape (22.8% as of round 1).
 
-The remote TPU tunnel compiles programs slowly (60-300+ s each) and can
-stall outright, so the bench compiles exactly THREE programs (tiny
-warmup, the MLL pipeline, the reference matmul), forces completion with
-scalar host readbacks, runs under a hard watchdog that emits the
-best-known result instead of hanging, and falls back to a nominal fp32
-peak when the matmul reference cannot be measured.
-
-Env knobs: BENCH_N (default 8192 on TPU), BENCH_K (scan iterations,
-default 4), BENCH_WATCHDOG_S (default 1500), BENCH_PALLAS_BASE=1 to
-route base-case Cholesky panels through the Pallas VMEM kernel.
+Robustness: the remote TPU tunnel compiles slowly (60-600 s/program)
+and can stall; every timed region ends in a scalar host readback and a
+watchdog emits the best-known result rather than hanging the driver.
+Env knobs: BENCH_MODE, BENCH_N, BENCH_K, BENCH_STEPS, BENCH_WATCHDOG_S.
 """
 
 import json
@@ -28,10 +25,10 @@ import threading
 import time
 
 WATCHDOG_S = float(os.environ.get('BENCH_WATCHDOG_S', 1500))
-# Nominal fp32-effective matmul peak (TFLOP/s) when unmeasurable.
+MODE = os.environ.get('BENCH_MODE', 'pd1')
 NOMINAL_FP32_TFLOPS = {'TPU v5 lite': 55.0}
-_RESULT = {'metric': 'n8192_cholesky_mll_mxu_fraction', 'value': 0.0,
-           'unit': 'fraction_of_fp32_matmul_peak', 'vs_baseline': 0.0}
+_RESULT = {'metric': f'{MODE}_bench_incomplete', 'value': 0.0,
+           'unit': 'n/a', 'vs_baseline': 0.0}
 _PRINTED = threading.Event()
 
 
@@ -52,23 +49,85 @@ def log(*a):
   print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+def bench_pd1():
+  import jax
+  import jax.numpy as jnp
+  from flax import linen as nn
+  from hyperbo_tpu.core import defs
+  from hyperbo_tpu.core.warp import DEFAULT_WARP_FUNC
+  from hyperbo_tpu.models import basis as bf
+  from hyperbo_tpu.models import kernel, mean
+  from hyperbo_tpu.models import packed as packed_lib
+  from hyperbo_tpu.train import adam as adam_lib
+
+  on_tpu = jax.devices()[0].platform not in ('cpu',)
+  steps = int(os.environ.get('BENCH_STEPS', 1000 if on_tpu else 50))
+  tasks, points, dim = 23, 2048 if on_tpu else 256, 4
+  log(f'device: {jax.devices()[0]}; PD1 scale: {tasks} tasks x {points} '
+      f'pts x {dim}d, {steps} steps')
+
+  key = jax.random.PRNGKey(0)
+  dataset = {}
+  for i in range(tasks):
+    k1, k2, key = jax.random.split(jax.random.fold_in(key, i), 3)
+    x = jax.random.uniform(k1, (points, dim))
+    w = jax.random.normal(k2, (dim, 1))
+    y = jnp.sin(3 * x @ w) + 0.1 * jax.random.normal(k2, (points, 1))
+    dataset[f'workload{i}'] = defs.SubDataset(x, y)
+
+  params = defs.GPParams(
+      model={'constant': 0., 'lengthscale': jnp.zeros(8),
+             'signal_variance': 0., 'noise_variance': -4.},
+      config={'method': 'adam', 'learning_rate': 1e-2,
+              'max_training_step': steps, 'batch_size': 100,
+              'objective': 'nll', 'mlp_features': (8, 8)})
+  bf.init_mlp_with_shape(jax.random.PRNGKey(1), params, (0, dim))
+  params.model['linear_mean'] = nn.Dense(1).init(
+      jax.random.PRNGKey(2), jnp.empty((0, 8)))['params']
+  packed, _ = packed_lib.pack_dataset(dataset, pad_to_multiple=128)
+
+  def run(seed):
+    t0 = time.perf_counter()
+    _, losses = adam_lib.fit_adam_packed(
+        mean.linear_mlp, kernel.squared_exponential_mlp,
+        dict(params.model), packed, params.config,
+        warp_func=DEFAULT_WARP_FUNC, key=jax.random.PRNGKey(seed))
+    l0, l1 = float(losses[0]), float(losses[-1])
+    return time.perf_counter() - t0, l0, l1
+
+  t_first, l0, l1 = run(3)
+  log(f'compile + {steps} steps: {t_first:.1f}s; loss {l0:.2f} -> {l1:.2f}')
+  _RESULT.update({
+      'metric': 'pd1_scale_pretrain_seconds',
+      'value': round(t_first, 2),
+      'unit': f's_per_{steps}_steps_incl_compile',
+      'vs_baseline': round(60.0 / max(t_first, 1e-9), 2)})
+  t_run, _, l1b = run(4)
+  log(f'cached {steps} steps: {t_run:.1f}s '
+      f'({t_run/steps*1e3:.1f} ms/step); final loss {l1b:.2f}')
+  emit({
+      'metric': 'pd1_scale_pretrain_seconds',
+      'value': round(t_run, 2),
+      'unit': f's_per_{steps}_steps_excl_compile',
+      'vs_baseline': round(60.0 / max(t_run, 1e-9), 2)})
+
+
+def bench_chol():
   import jax
   import jax.numpy as jnp
   from jax import lax
+  from hyperbo_tpu.core import defs
+  from hyperbo_tpu.core.warp import DEFAULT_WARP_FUNC
+  from hyperbo_tpu.models import kernel
+  from hyperbo_tpu.ops import chol as chol_ops
 
   platform = jax.devices()[0].platform
   kind = getattr(jax.devices()[0], 'device_kind', platform)
   on_tpu = platform not in ('cpu',)
   n = int(os.environ.get('BENCH_N', 8192 if on_tpu else 1024))
-  k_iters = int(os.environ.get('BENCH_K', 4 if on_tpu else 2))
+  k_iters = int(os.environ.get('BENCH_K', 16 if on_tpu else 2))
   d = 8
-  log(f'device: {kind} ({platform}); n={n} k={k_iters}')
-
-  if os.environ.get('BENCH_PALLAS_BASE') == '1':
-    from hyperbo_tpu.ops import chol as chol_ops
-    chol_ops.set_use_pallas_base(True)
-    log('Pallas base-case Cholesky: ON')
+  log(f'device: {kind}; n={n} k={k_iters}')
 
   def timed_scalar(fn, *args, iters=2):
     times = []
@@ -78,16 +137,8 @@ def main():
       times.append(time.perf_counter() - t0)
     return min(times)
 
-  # Program 1: warmup proves the round trip works at all.
-  t0 = time.perf_counter()
   v = float(jnp.sum(jnp.ones((256, 256)) @ jnp.ones((256, 256))))
-  log(f'warmup: {time.perf_counter()-t0:.1f}s (v={v:.0f})')
-
-  # Program 2: the MLL pipeline (the metric's numerator).
-  from hyperbo_tpu.core import defs
-  from hyperbo_tpu.core.warp import DEFAULT_WARP_FUNC
-  from hyperbo_tpu.models import kernel
-  from hyperbo_tpu.ops import chol as chol_ops
+  log(f'warmup ok ({v:.0f})')
 
   key = jax.random.PRNGKey(1)
   x = jax.random.uniform(key, (n, d), jnp.float32)
@@ -111,66 +162,52 @@ def main():
     total, _ = lax.scan(one, 0.0, jnp.linspace(0., 1e-3, k_iters))
     return total
 
-  t0 = time.perf_counter()
   float(mll_k(x, y))
-  log(f'mll compile+first: {time.perf_counter()-t0:.1f}s')
   t_mll = timed_scalar(mll_k, x, y)
   mll_flops = (2.0 * n * n * d + n**3 / 3.0 + 2.0 * n * n) * k_iters
   mll_tflops = mll_flops / t_mll / 1e12
-  log(f'chol+MLL n={n} x{k_iters}: {t_mll*1e3:.1f} ms -> '
-      f'{mll_tflops:.1f} TFLOP/s')
-  # Record an interim result using the nominal peak before attempting
-  # the matmul program (in case it stalls and the watchdog fires).
+  log(f'chol+MLL: {t_mll*1e3:.1f} ms -> {mll_tflops:.1f} TFLOP/s')
   nominal = NOMINAL_FP32_TFLOPS.get(kind, 55.0 if on_tpu else 0.1)
-  frac = mll_tflops / nominal
   _RESULT.update({
       'metric': f'n{n}_cholesky_mll_mxu_fraction',
-      'value': round(frac, 4),
+      'value': round(mll_tflops / nominal, 4),
       'unit': 'fraction_of_nominal_fp32_matmul_peak',
-      'vs_baseline': round(frac / 0.5, 4),
-  })
+      'vs_baseline': round(mll_tflops / nominal / 0.5, 4)})
 
-  # Program 3: measured fp32-faithful matmul rate (the denominator).
-  # The Cholesky pipeline needs fp32-accurate arithmetic; the matching
-  # MXU peak is the BF16_X3 dot algorithm (~2^-21 relative error), not
-  # the single-pass-bf16 rate that DEFAULT f32 dots run at on v5e
-  # (measured: DEFAULT 120 TF/s vs X3 55 TF/s vs HIGHEST/X6 29 TF/s).
-  a = jax.random.normal(key, (n, n), jnp.float32)
-  a = a / jnp.sqrt(jnp.float32(n))
+  a = jax.random.normal(key, (n, n), jnp.float32) / jnp.sqrt(
+      jnp.float32(n))
   try:
-    mm_precision = lax.DotAlgorithmPreset.BF16_BF16_F32_X3
+    prec = lax.DotAlgorithmPreset.BF16_BF16_F32_X3
   except AttributeError:
-    mm_precision = lax.Precision.HIGHEST
+    prec = lax.Precision.HIGHEST
 
   @jax.jit
   def chain(a):
     def body(z, _):
-      return jnp.dot(z, a, precision=mm_precision), ()
+      return jnp.dot(z, a, precision=prec), ()
     z, _ = lax.scan(body, a, None, length=k_iters)
     return jnp.sum(z[0])
 
-  t0 = time.perf_counter()
   float(chain(a))
-  log(f'matmul compile+first: {time.perf_counter()-t0:.1f}s')
   t_mm = timed_scalar(chain, a)
   mm_tflops = 2.0 * n**3 * k_iters / t_mm / 1e12
-  log(f'fp32 matmul n={n} x{k_iters}: {t_mm*1e3:.1f} ms -> '
-      f'{mm_tflops:.1f} TFLOP/s')
-
   frac = mll_tflops / mm_tflops
-  log(f'=> chol+MLL at {100*frac:.1f}% of measured fp32 matmul peak')
+  log(f'fp32(X3) matmul: {mm_tflops:.1f} TFLOP/s => MLL at '
+      f'{100*frac:.1f}% of peak')
   emit({
       'metric': f'n{n}_cholesky_mll_mxu_fraction',
       'value': round(frac, 4),
       'unit': 'fraction_of_measured_fp32_matmul_peak',
-      'vs_baseline': round(frac / 0.5, 4),
-  })
+      'vs_baseline': round(frac / 0.5, 4)})
 
 
 if __name__ == '__main__':
   threading.Thread(target=watchdog, daemon=True).start()
   try:
-    main()
+    if MODE == 'chol':
+      bench_chol()
+    else:
+      bench_pd1()
   except Exception as e:  # noqa: BLE001
     log(f'bench failed: {type(e).__name__}: {e}')
     emit(_RESULT)
