@@ -5,14 +5,14 @@ sequential expander panels with HBM round-trips between every stage, and
 a per-pallas_call launch costs ~460 us — so the way to beat it is ONE
 kernel that owns the whole factorization: panels stream through VMEM via
 explicit DMA, diagonal blocks factorize with an in-VMEM column sweep,
-and all O(n^3) work runs as MXU dot_generals overlapped with
-double-buffered DMA.
+and all O(n^3) work runs as MXU dot_generals between large-chunk DMAs
+(per-DMA semaphore costs rule out fine-grained pipelines; PERF.md).
 
 Left-looking layout, block width B (panel j = columns [jB, (j+1)B)):
 
   1. DMA A[:, jB:(j+1)B] -> panel (VMEM, n x B)
   2. for t < j, row chunks c (skipping chunks above the pivot):
-       panel[c] -= L[c, tB:(t+1)B] @ strip_t^T     (double-buffered DMA)
+       panel[c] -= L[c, tB:(t+1)B] @ strip_t^T     (large-chunk DMA)
   3. diagonal sweep in refs: U = L_D^T built row-by-row (B steps; the
      pivot row is read with a dynamic-sublane ref slice, its masked
      rescale IS row k of U, and one transpose feeds the rank-1 update)
@@ -179,8 +179,8 @@ def cholesky_hbm(a: jnp.ndarray, block: int = 256,
   kernel = functools.partial(_kernel, n, block, chunk)
   return pl.pallas_call(
       kernel,
-      in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-      out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+      in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+      out_specs=pl.BlockSpec(memory_space=pl.ANY),
       out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
       scratch_shapes=[
           pltpu.VMEM((n, block), jnp.float32),         # panel
