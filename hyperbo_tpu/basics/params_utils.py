@@ -4,3 +4,4 @@ from hyperbo_tpu.core.params_io import (  # noqa: F401
     load_params, log_params_loss, save_params, save_to_file,
     to_list_or_float)
 from hyperbo_tpu.core.warp import retrieve_params  # noqa: F401
+from hyperbo_tpu.core.defs import GPParams  # noqa: F401

@@ -18,8 +18,7 @@ acquisition definitions, same greedy argmax (re-selection allowed).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Optional, Tuple, Union
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

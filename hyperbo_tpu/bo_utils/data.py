@@ -1,4 +1,5 @@
 """Alias of hyperbo_tpu.data (reference hyperbo/bo_utils/data.py)."""
+from hyperbo_tpu.core.defs import SubDataset  # noqa: F401
 from hyperbo_tpu.data.frames import (  # noqa: F401
     get_aligned_dataset, get_dataset, perturb_dataset_with_flat_functions,
     process_dataframe, sample_dataframe, sample_sub_dataset)

@@ -16,12 +16,36 @@ points follow the reference's safe-sqrt semantics (clamped, not nan).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from hyperbo_tpu.core.warp import retrieve_params
 from hyperbo_tpu.models import basis as bf
 from hyperbo_tpu.ops import gram
 from hyperbo_tpu.ops import linalg
+
+
+def covariance_matrix(kernel_scalar):
+  """Lift a scalar kernel k(params, x1, x2, warp_func) to the matrix API.
+
+  For USER-DEFINED scalar kernels (the built-ins below use fused MXU
+  paths instead). Same contract as the reference decorator
+  (hyperbo/gp_utils/kernel.py:29-60): returns
+  f(params, vx1, vx2=None, warp_func=None, diag=False) -> n1 x n2, with
+  diag honored only when vx2 is None.
+  """
+  import functools as _functools
+
+  @_functools.wraps(kernel_scalar)
+  def matrix_map(params, vx1, vx2=None, warp_func=None, diag=False):
+    cov = _functools.partial(kernel_scalar, params, warp_func=warp_func)
+    if vx2 is None:
+      if diag:
+        return jax.vmap(lambda x: cov(x, x))(vx1)
+      vx2 = vx1
+    return jax.vmap(lambda a: jax.vmap(lambda b: cov(a, b))(vx2))(vx1)
+
+  return matrix_map
 
 
 def _scaled_sqdist(vx1, vx2, lengthscale):

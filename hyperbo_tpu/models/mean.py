@@ -15,6 +15,24 @@ from hyperbo_tpu.core.warp import retrieve_params
 from hyperbo_tpu.models import basis as bf
 
 
+def mean_vector(mean_scalar):
+  """Lift a scalar mean m(params, x, warp_func) to the vector API.
+
+  For USER-DEFINED scalar means (the built-ins below are already
+  matrix-level). Same contract as the reference decorator
+  (hyperbo/gp_utils/mean.py:30-51): returns
+  f(params, vx, warp_func=None) -> n x 1.
+  """
+  import functools as _functools
+  import jax as _jax
+
+  @_functools.wraps(mean_scalar)
+  def vector_map(params, vx, warp_func=None):
+    return _jax.vmap(lambda x: mean_scalar(params, x, warp_func))(vx)
+
+  return vector_map
+
+
 def zero(params, vx, warp_func=None):
   """Zero mean function: n x 1 zeros."""
   del params, warp_func

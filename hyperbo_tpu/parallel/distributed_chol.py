@@ -20,9 +20,6 @@ testing and on a TPU slice.
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

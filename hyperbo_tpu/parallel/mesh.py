@@ -18,7 +18,7 @@ v5e-8 slice, or the CPU virtual mesh used in tests.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -167,3 +167,50 @@ def bfgs(fun: Callable[[Dict[str, Any]], jnp.ndarray],
   logging.info('BFGS results: success=%s value=%s',
                results.success, results.fun)
   return unravel(results.x), results.fun
+
+
+def lbfgs_descent_dir_nocedal(grads, s, y):
+  """Two-loop recursion over PYTREES (reference-compatible helper,
+  hyperbo/basics/lbfgs.py:142-183). The main lbfgs() above uses the
+  flat-vector variant; this form serves callers holding dict histories."""
+  g_flat, unravel = flatten_util.ravel_pytree(grads)
+  s_flat = [flatten_util.ravel_pytree(si)[0] for si in s]
+  y_flat = [flatten_util.ravel_pytree(yi)[0] for yi in y]
+  return unravel(_two_loop(g_flat, s_flat, y_flat))
+
+
+def backtracking_linesearch(val_and_grad_fn, cur_val, params, grads,
+                            direction, alpha=1., c1=1e-4, c2=0.9,
+                            tau=0.5, max_steps=50, has_aux=False,
+                            args=tuple()):
+  """Two-sided Armijo+Wolfe backtracking over PYTREES
+  (reference-compatible helper, hyperbo/basics/lbfgs.py:51-139).
+
+  Returns (new_val, alpha): the accepted objective value and step size
+  (alpha=0 with the starting value when no finite progress was found).
+  """
+  g_flat, _ = flatten_util.ravel_pytree(grads)
+  d_flat, _ = flatten_util.ravel_pytree(direction)
+  gd = float(jnp.vdot(g_flat, d_flat))
+  if gd > 0.:
+    logging.info('Not a descent direction; exiting linesearch.')
+    return params, alpha
+  t = c1 * gd
+  new_val = None
+  for _ in range(max_steps):
+    new_params = jax.tree.map(lambda a, b: a + b * alpha, params,
+                              direction)
+    new_val, new_grads = val_and_grad_fn(new_params, *args)
+    if has_aux:
+      new_val = new_val[0]
+    f_val = float(new_val)
+    if np.isfinite(f_val) and f_val <= float(cur_val) + alpha * t:
+      ng_flat, _ = flatten_util.ravel_pytree(new_grads)
+      if float(jnp.vdot(ng_flat, d_flat)) >= c2 * gd:
+        return new_val, alpha
+      alpha *= 2.1
+    else:
+      alpha *= tau
+  if new_val is not None and np.isfinite(float(new_val)):
+    return new_val, alpha
+  return cur_val, 0.
