@@ -80,7 +80,8 @@ def bench_pd1():
              'signal_variance': 0., 'noise_variance': -4.},
       config={'method': 'adam', 'learning_rate': 1e-2,
               'max_training_step': steps, 'batch_size': 100,
-              'objective': 'nll', 'mlp_features': (8, 8)})
+              'objective': 'nll', 'mlp_features': (8, 8),
+              'fast_subsample': True})
   bf.init_mlp_with_shape(jax.random.PRNGKey(1), params, (0, dim))
   params.model['linear_mean'] = nn.Dense(1).init(
       jax.random.PRNGKey(2), jnp.empty((0, 8)))['params']

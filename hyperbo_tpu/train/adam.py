@@ -176,8 +176,22 @@ def fit_adam_packed(mean_func,
   if in_shardings is not None:
     packed = jax.device_put(packed, in_shardings)
 
-  def subsample(k, data):
-    return packed_lib.subsample_packed(k, data, batch_size)
+  # 'fast_subsample': O(1) sliding-window batches over pre-permuted rows
+  # (epoch-style SGD) instead of a fresh iid subset per step (reference
+  # semantics). Only when every task can fill a batch.
+  if (config.get('fast_subsample', False) and
+      int(jnp.min(jnp.where(packed.task_mask, packed.count,
+                            jnp.iinfo(jnp.int32).max))) >= batch_size):
+    if key is None:
+      key = jax.random.PRNGKey(0)
+    key, pkey = jax.random.split(key)
+    packed = packed_lib.prepermute_packed(pkey, packed)
+
+    def subsample(k, data):
+      return packed_lib.subsample_packed_window(k, data, batch_size)
+  else:
+    def subsample(k, data):
+      return packed_lib.subsample_packed(k, data, batch_size)
 
   return fit_adam_scan(loss_fn, model_params, packed, subsample, config,
                        key)

@@ -256,3 +256,34 @@ def test_packed_ekl_only_training():
       mean.constant, cov_func, init, dataset, warp_func=WF,
       objective=obj.ekl, key=jax.random.PRNGKey(24))
   assert full_loss(trained) < before
+
+
+def test_fast_subsample_training_improves():
+  """Window-batch fast path trains and matches full-loss improvement."""
+  from hyperbo_tpu.train import adam as adam_lib
+  cov_func = kernel.squared_exponential
+  dataset, _ = _ground_truth_dataset(jax.random.PRNGKey(30), cov_func,
+                                     n=16, num_fns=6)
+  init = _init_params('adam', obj.nll, cov_func, 2)
+  init.config['batch_size'] = 8
+  init.config['fast_subsample'] = True
+  packed, _ = packed_lib.pack_dataset(dataset)
+
+  def full_loss(m):
+    shim = GPParams(model=m, config=init.config)
+    return float(packed_lib.neg_log_marginal_likelihood_packed(
+        mean.constant, cov_func, shim, packed, warp_func=WF))
+
+  before = full_loss(init.model)
+  model, losses = adam_lib.fit_adam_packed(
+      mean.constant, cov_func, dict(init.model), packed, init.config,
+      warp_func=WF, key=jax.random.PRNGKey(31))
+  assert full_loss(model) < before
+  # window batches have full batch_size masks when counts allow
+  sub = packed_lib.subsample_packed_window(
+      jax.random.PRNGKey(32), packed_lib.prepermute_packed(
+          jax.random.PRNGKey(33), packed), 8)
+  assert sub.x.shape[1] == 8
+  import numpy as np
+  np.testing.assert_array_equal(np.asarray(sub.count),
+                                np.minimum(np.asarray(packed.count), 8))
