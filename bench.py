@@ -4,7 +4,7 @@ Default mode (`pd1`): the BASELINE.md north-star — PD1-scale HyperBO
 pre-training wall time. Builds the PD1 shape (23 workloads x 2048 points
 x 4-d inputs, MLP-warped SE kernel, batch_size=100) and runs 1000 Adam
 steps of the fully on-device packed multi-task NLL (one lax.scan).
-Target: < 60 s on a v5e-8; measured 10.2 s on ONE v5e chip.
+Target: < 60 s on a v5e-8; measured 5.2 s on ONE v5e chip.
 vs_baseline = 60 / seconds (>= 1 beats the target).
 
 `BENCH_MODE=chol`: the secondary metric — n=8192 fused Gram+Cholesky+
