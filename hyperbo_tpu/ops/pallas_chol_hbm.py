@@ -81,12 +81,12 @@ def _tri_inverse(l_mat, base=_INV_BASE):
   return jnp.concatenate([top, bot], axis=0)
 
 
-def _kernel(n, block, chunk, a_hbm, l_hbm, panel, lbuf, strip, d_ref,
-            u_ref, sem_a, sem_l, sem_s, sem_out):
+def _kernel(n, block, chunk, a_hbm, l_hbm, panel, lbuf, strip,
+            l_ref, sem_a, sem_l, sem_s, sem_out):
   nb = n // block
   n_chunks = n // chunk
   row_idx_n = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-  col_idx_b = jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
+  row_idx_b = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
 
   def panel_step(j, _):
     col0 = j * block
@@ -127,27 +127,36 @@ def _kernel(n, block, chunk, a_hbm, l_hbm, panel, lbuf, strip, d_ref,
 
     jax.lax.fori_loop(0, j, correct, 0)
 
-    # ---- 3. diagonal sweep in refs: build U = L_D^T ----
+    # ---- 3. diagonal factorization: micro-blocked left-looking sweep.
+    # Fully static (unrolled): each 64-wide column block is corrected by
+    # one MXU dot against the finished columns in l_ref, then factored
+    # with 64 static steps whose rank-1 updates touch only the (B x 64)
+    # active block value — no per-step ref round-trips, no dynamic
+    # slicing, one (64,1)->(1,64) transpose per step.
     d0 = panel[pl.ds(col0, block), :]
-    d_ref[:] = 0.5 * (d0 + d0.T)
-    u_ref[:] = jnp.zeros((block, block), jnp.float32)
-
-    def sweep(k, _):
-      row = d_ref[pl.ds(k, 1), :]                    # (1, B)
-      onehot = (col_idx_b == k).astype(jnp.float32)
-      akk = jnp.sum(row * onehot)
-      inv_d = jax.lax.rsqrt(jnp.maximum(akk, 1e-30))
-      lrow_u = jnp.where(col_idx_b >= k, row * inv_d, 0.0)  # row k of U
-      u_ref[pl.ds(k, 1), :] = lrow_u
-      lcol = lrow_u.T                                 # (B, 1)
-      d_ref[:] = d_ref[:] - lcol * lrow_u
-      return 0
-
-    jax.lax.fori_loop(0, block, sweep, 0)
+    d0 = 0.5 * (d0 + d0.T)
+    l_ref[:] = jnp.zeros((block, block), jnp.float32)
+    mb = _INV_BASE
+    for c0 in range(0, block, mb):
+      bcols = d0[:, c0:c0 + mb]
+      if c0 > 0:
+        lsofar = l_ref[:, 0:c0]                       # (B, c0)
+        strip2 = l_ref[c0:c0 + mb, 0:c0]              # (mb, c0) static
+        bcols = bcols - jax.lax.dot_general(
+            lsofar, strip2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+      for kl in range(mb):
+        k = c0 + kl
+        col = bcols[:, kl:kl + 1]                     # (B, 1) static
+        akk = col[k, 0]
+        inv_d = jax.lax.rsqrt(jnp.maximum(akk, 1e-30))
+        lcol = jnp.where(row_idx_b >= k, col * inv_d, 0.0)
+        l_ref[:, k:k + 1] = lcol                      # static col write
+        seg = lcol[c0:c0 + mb, 0:1].T                 # (1, mb)
+        bcols = bcols - lcol * seg
 
     # ---- 4. W = L_D^{-1} ----
-    u = u_ref[:]
-    l_d = u.T
+    l_d = l_ref[:]
     w = _tri_inverse(l_d)
 
     # ---- 5. below-diagonal panel + splice ----
@@ -186,8 +195,7 @@ def cholesky_hbm(a: jnp.ndarray, block: int = 256,
           pltpu.VMEM((n, block), jnp.float32),         # panel
           pltpu.VMEM((chunk, block), jnp.float32),     # lbuf
           pltpu.VMEM((block, block), jnp.float32),     # strip
-          pltpu.VMEM((block, block), jnp.float32),     # d_ref
-          pltpu.VMEM((block, block), jnp.float32),     # u_ref
+          pltpu.VMEM((block, block), jnp.float32),     # l_ref
           pltpu.SemaphoreType.DMA,                     # sem_a
           pltpu.SemaphoreType.DMA,                     # sem_l
           pltpu.SemaphoreType.DMA,                     # sem_s
