@@ -1,17 +1,21 @@
-"""MXU-blocked Cholesky factorization and triangular solves.
+"""Cholesky factorization and triangular solves (TPU-first).
 
 The O(n^3) Cholesky + solve pipeline is the bottom of every GP call stack
-(reference call stacks: SURVEY.md section 3). On TPU the right design is to
-push all O(n^3) work into large matmuls that tile onto the MXU:
+(reference call stacks: SURVEY.md section 3). `cholesky` defaults to
+XLA's built-in blocked factorization — measured fastest in the scanned
+pipelines (PERF.md) — with three research paths behind flags:
 
-  * `cholesky` uses a recursive 2x2 block factorization. At each level the
-    Schur-complement update  A22 - L21 @ L21^T  is one large matmul; only
-    the O(n * b^2) base-case panels run through XLA's sequential expander.
-  * `solve_triangular` / `cho_solve` wrap lax.linalg.triangular_solve, which
-    XLA lowers to blocked inverted-diagonal matmuls.
+  * set_use_recursive: explicit 2x2 block recursion whose Schur updates
+    run as large MXU matmuls at a configurable dot algorithm
+    (set_schur_precision; default BF16_X3, fp32-faithful);
+  * set_use_pallas_base: VMEM-resident Pallas panel kernel for the
+    recursion's base cases (ops/pallas_chol.py);
+  * set_use_hbm_kernel: single-kernel HBM-streaming factorization
+    (ops/pallas_chol_hbm.py), 14.6 ms vs XLA 16.2 ms at n=8192 on v5e.
 
-All factorizations run in fp32 (matmuls at HIGHEST MXU precision) — the
-bf16 MXU fast path is numerically unsafe for SPD factorization.
+`solve_triangular` / `cho_solve` wrap lax.linalg.triangular_solve (XLA
+lowers them to blocked inverted-diagonal matmuls); `chol_append*` are the
+O(n^2) rank-1 factor extensions used by the BO loops.
 """
 
 from __future__ import annotations
@@ -94,6 +98,12 @@ def _blocked_cholesky_jit(a, base_block):
 # default routes everything through XLA. The recursion and the Pallas
 # panel kernels remain available for research via the flags below.
 _USE_RECURSIVE = False
+# Route large single (unbatched) factorizations through the single-kernel
+# HBM-streaming Pallas implementation (ops/pallas_chol_hbm.py) — measured
+# 14.6 ms vs XLA's 16.2 ms at n=8192 fp32 on v5e, at ~1.8e-4 max abs
+# deviation (the below-panel solve runs through an explicit triangular
+# inverse). Opt-in until the accuracy/perf trade is the caller's call.
+_USE_HBM_KERNEL = False
 
 
 def set_use_recursive(value: bool):
@@ -102,9 +112,19 @@ def set_use_recursive(value: bool):
   _USE_RECURSIVE = bool(value)
 
 
+def set_use_hbm_kernel(value: bool):
+  """Route large factorizations through the Pallas HBM-streaming kernel."""
+  global _USE_HBM_KERNEL
+  _USE_HBM_KERNEL = bool(value)
+
+
 def cholesky(a: jnp.ndarray, base_block: int = _BASE_BLOCK) -> jnp.ndarray:
   """Lower Cholesky factor of an SPD matrix (..., n, n)."""
   n = a.shape[-1]
+  if _USE_HBM_KERNEL and a.ndim == 2 and n >= 1024 and n % 512 == 0:
+    from hyperbo_tpu.ops import pallas_chol_hbm
+    interpret = jax.devices()[0].platform == 'cpu'
+    return pallas_chol_hbm.cholesky_hbm(a, interpret=interpret)
   if _USE_RECURSIVE and n > base_block:
     return _blocked_cholesky(a, base_block)
   return _xla_cholesky(a)

@@ -178,7 +178,7 @@ def _kernel(n, block, chunk, a_hbm, l_hbm, panel, lbuf, strip,
 @functools.partial(jax.jit, static_argnames=('block', 'chunk',
                                              'interpret'))
 def cholesky_hbm(a: jnp.ndarray, block: int = 256,
-                 chunk: int = 1024,
+                 chunk: int = 512,
                  interpret: bool = False) -> jnp.ndarray:
   """Lower Cholesky factor of SPD `a` (n x n; n % block == 0,
   n % chunk == 0, chunk % block == 0 recommended)."""
