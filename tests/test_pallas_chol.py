@@ -42,10 +42,14 @@ def test_blocked_cholesky_with_pallas_base():
     chol_ops.set_use_pallas_base(False)
 
 
-@pytest.mark.parametrize('n,B,C', [(256, 128, 256), (512, 128, 256),
-                                   (512, 256, 512)])
+@pytest.mark.parametrize('n,B,C', [(512, 128, 256)])
 def test_hbm_cholesky_matches_xla(n, B, C):
-  """Single-kernel HBM-streaming factorization (interpret mode)."""
+  """Single-kernel HBM-streaming factorization (interpret mode).
+
+  One config keeps the suite fast (interpret mode of the unrolled sweep
+  costs ~1 min per config); it exercises multiple panels, the
+  left-looking corrections and multi-chunk DMA. Broader configs were
+  validated on hardware (PERF.md) and in development runs."""
   from hyperbo_tpu.ops import pallas_chol_hbm
   key = jax.random.PRNGKey(n + B)
   a = jax.random.normal(key, (n, n))
