@@ -33,8 +33,10 @@ SubDataset = defs.SubDataset
 _ACQ_SUBS = {
     'ei': (acfun.expected_improvement_sub, 'best_y'),
     'pi': (acfun.probability_of_improvement_sub, 'best_y_zeta'),
+    'pi3': (acfun.probability_of_improvement_sub, 'best_y_zeta05'),
     'ucb': (acfun.ucb_sub, 'beta3'),
     'ucb2': (acfun.ucb_sub, 'beta2'),
+    'ucb3': (acfun.ucb_sub, 'beta3'),
     'ucb4': (acfun.ucb_sub, 'beta4'),
 }
 
@@ -46,6 +48,10 @@ def _acq_param(kind: str, y_buf, mask, count):
   if kind == 'best_y_zeta':
     return jnp.where(count > 0,
                      jnp.max(jnp.where(mask[:, None], y_buf, -jnp.inf)) + 0.1,
+                     0.0)
+  if kind == 'best_y_zeta05':
+    return jnp.where(count > 0,
+                     jnp.max(jnp.where(mask[:, None], y_buf, -jnp.inf)) + 0.05,
                      0.0)
   if kind == 'beta2':
     return 2.0
