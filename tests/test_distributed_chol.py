@@ -32,3 +32,50 @@ def test_distributed_cholesky_4dev():
   got = distributed_chol.distributed_cholesky(a, mesh, block=64)
   want = jnp.linalg.cholesky(a)
   np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-4)
+
+
+def test_mll_distributed_matches_dense():
+  """Sharded Gram + distributed Cholesky NLL equals the dense value."""
+  from hyperbo_tpu.core import defs
+  from hyperbo_tpu.core.warp import DEFAULT_WARP_FUNC
+  from hyperbo_tpu.models import kernel, mean
+  from hyperbo_tpu.models import objectives as obj
+  from hyperbo_tpu.parallel import large
+
+  key = jax.random.PRNGKey(0)
+  n, d = 256, 3
+  x = jax.random.uniform(key, (n, d))
+  y = jax.random.normal(jax.random.PRNGKey(1), (n, 1))
+  params = defs.GPParams(model={
+      'constant': 0.3, 'lengthscale': jnp.ones(d) * 0.4,
+      'signal_variance': 0.2, 'noise_variance': -2.0})
+  wf = DEFAULT_WARP_FUNC
+  mesh = mesh_lib.create_mesh(8)
+
+  got = float(large.mll_distributed(
+      mean.constant, kernel.squared_exponential, params, x, y, mesh,
+      warp_func=wf, block=32))
+  want = float(obj.neg_log_marginal_likelihood(
+      mean_func=mean.constant, cov_func=kernel.squared_exponential,
+      params=params, dataset={0: defs.SubDataset(x, y)}, warp_func=wf))
+  np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_gram_rowsharded_matches_dense():
+  from hyperbo_tpu.core import defs
+  from hyperbo_tpu.core.warp import DEFAULT_WARP_FUNC
+  from hyperbo_tpu.models import kernel
+  from hyperbo_tpu.parallel import large
+
+  key = jax.random.PRNGKey(2)
+  x = jax.random.uniform(key, (64, 2))
+  params = defs.GPParams(model={
+      'lengthscale': jnp.ones(2) * 0.5, 'signal_variance': 0.1,
+      'noise_variance': -2.0})
+  wf = DEFAULT_WARP_FUNC
+  mesh = mesh_lib.create_mesh(8)
+  got = large.gram_rowsharded(kernel.matern52, params, x, mesh,
+                              warp_func=wf)
+  want = kernel.matern52(params, x, warp_func=wf)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             atol=2e-5)
