@@ -175,6 +175,168 @@ def _kernel(n, block, chunk, a_hbm, l_hbm, panel, lbuf, strip,
   jax.lax.fori_loop(0, nb, panel_step, 0)
 
 
+def _kernel_halves(n, block, chunk, half, a_hbm, l_hbm, halfbuf, lbuf,
+                   strip, l_ref, w_ref, sem_a, sem_l, sem_s, sem_out):
+  """v6: half-height panels + dual-buffered large-chunk corrections.
+
+  The panel buffer shrinks to (half, B), freeing VMEM for two
+  (chunk, B) correction buffers whose DMAs overlap the correction
+  GEMMs. Halves are processed in row order; the diagonal half runs the
+  sweep and stores W = L_D^{-1} in w_ref for the later halves.
+  """
+  nb = n // block
+  n_halves = n // half
+  chunks_per_half = half // chunk
+  row_idx_h = jax.lax.broadcasted_iota(jnp.int32, (half, 1), 0)
+  row_idx_b = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+
+  def panel_step(j, _):
+    col0 = j * block
+
+    def half_step(h, _):
+      row0 = h * half
+      is_dead = row0 + half <= col0          # entirely above the pivot
+      has_diag = jnp.logical_and(row0 <= col0, col0 < row0 + half)
+
+      @pl.when(is_dead)
+      def _():
+        halfbuf[:] = jnp.zeros((half, block), jnp.float32)
+        co = pltpu.make_async_copy(
+            halfbuf, l_hbm.at[pl.ds(row0, half), pl.ds(col0, block)],
+            sem_out)
+        co.start()
+        co.wait()
+
+      @pl.when(jnp.logical_not(is_dead))
+      def _():
+        cp = pltpu.make_async_copy(
+            a_hbm.at[pl.ds(row0, half), pl.ds(col0, block)], halfbuf,
+            sem_a)
+        cp.start()
+        cp.wait()
+
+        # Corrections: dual-buffered chunks within this half.
+        def correct(t, _):
+          tcol = t * block
+          cs = pltpu.make_async_copy(
+              l_hbm.at[pl.ds(col0, block), pl.ds(tcol, block)], strip,
+              sem_s)
+          cs.start()
+          cs.wait()
+
+          def dma_for(c, slot):
+            return pltpu.make_async_copy(
+                l_hbm.at[pl.ds(row0 + c * chunk, chunk),
+                         pl.ds(tcol, block)],
+                lbuf.at[slot], sem_l.at[slot])
+
+          dma_for(0, 0).start()
+
+          def chunk_step(c, _):
+            slot = c % 2
+
+            @pl.when(c + 1 < chunks_per_half)
+            def _():
+              dma_for(c + 1, (c + 1) % 2).start()
+
+            dma_for(c, slot).wait()
+            update = jax.lax.dot_general(
+                lbuf[slot], strip[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            halfbuf[pl.ds(c * chunk, chunk), :] = (
+                halfbuf[pl.ds(c * chunk, chunk), :] - update)
+            return 0
+
+          jax.lax.fori_loop(0, chunks_per_half, chunk_step, 0)
+          return 0
+
+        jax.lax.fori_loop(0, j, correct, 0)
+
+        # Diagonal half: factorize + store W for the later halves.
+        @pl.when(has_diag)
+        def _():
+          loc0 = col0 - row0
+          d0 = halfbuf[pl.ds(loc0, block), :]
+          d0 = 0.5 * (d0 + d0.T)
+          l_ref[:] = jnp.zeros((block, block), jnp.float32)
+          mb = _INV_BASE
+          for c0 in range(0, block, mb):
+            bcols = d0[:, c0:c0 + mb]
+            if c0 > 0:
+              bcols = bcols - jax.lax.dot_general(
+                  l_ref[:, 0:c0], l_ref[c0:c0 + mb, 0:c0],
+                  (((1,), (1,)), ((), ())),
+                  preferred_element_type=jnp.float32)
+            for kl in range(mb):
+              k = c0 + kl
+              col = bcols[:, kl:kl + 1]
+              akk = col[k, 0]
+              inv_d = jax.lax.rsqrt(jnp.maximum(akk, 1e-30))
+              lcol = jnp.where(row_idx_b >= k, col * inv_d, 0.0)
+              l_ref[:, k:k + 1] = lcol
+              seg = lcol[c0:c0 + mb, 0:1].T
+              bcols = bcols - lcol * seg
+          w_ref[:] = _tri_inverse(l_ref[:])
+
+        # Below-diagonal rows of this half (+ splice on the diag half).
+        w = w_ref[:]
+        below = jax.lax.dot_general(
+            halfbuf[:], w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        keep = ((row_idx_h + row0) >= col0 + block).astype(jnp.float32)
+        halfbuf[:] = below * keep
+
+        @pl.when(has_diag)
+        def _():
+          halfbuf[pl.ds(col0 - row0, block), :] = l_ref[:]
+
+        co = pltpu.make_async_copy(
+            halfbuf, l_hbm.at[pl.ds(row0, half), pl.ds(col0, block)],
+            sem_out)
+        co.start()
+        co.wait()
+
+      return 0
+
+    jax.lax.fori_loop(0, n_halves, half_step, 0)
+    return 0
+
+  jax.lax.fori_loop(0, nb, panel_step, 0)
+
+
+@functools.partial(jax.jit, static_argnames=('block', 'chunk', 'half',
+                                             'interpret'))
+def cholesky_hbm_halves(a: jnp.ndarray, block: int = 256,
+                        chunk: int = 2048, half: int = 4096,
+                        interpret: bool = False) -> jnp.ndarray:
+  """v6 factorization: half-height panels, dual-buffered corrections."""
+  n = a.shape[-1]
+  half = min(half, n)
+  chunk = min(chunk, half)
+  assert n % block == 0 and n % half == 0 and half % chunk == 0, (
+      n, block, chunk, half)
+  kernel = functools.partial(_kernel_halves, n, block, chunk, half)
+  return pl.pallas_call(
+      kernel,
+      in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+      out_specs=pl.BlockSpec(memory_space=pl.ANY),
+      out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
+      scratch_shapes=[
+          pltpu.VMEM((half, block), jnp.float32),       # halfbuf
+          pltpu.VMEM((2, chunk, block), jnp.float32),   # lbuf x2
+          pltpu.VMEM((block, block), jnp.float32),      # strip
+          pltpu.VMEM((block, block), jnp.float32),      # l_ref
+          pltpu.VMEM((block, block), jnp.float32),      # w_ref
+          pltpu.SemaphoreType.DMA,                      # sem_a
+          pltpu.SemaphoreType.DMA((2,)),                # sem_l
+          pltpu.SemaphoreType.DMA,                      # sem_s
+          pltpu.SemaphoreType.DMA,                      # sem_out
+      ],
+      compiler_params=pltpu.CompilerParams(has_side_effects=True),
+      interpret=interpret,
+  )(a.astype(jnp.float32))
+
+
 @functools.partial(jax.jit, static_argnames=('block', 'chunk',
                                              'interpret'))
 def cholesky_hbm(a: jnp.ndarray, block: int = 256,
