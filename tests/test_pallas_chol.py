@@ -65,3 +65,14 @@ def test_tri_inverse():
   l = l + 8 * jnp.eye(256)
   w = pallas_chol_hbm._tri_inverse(l)
   np.testing.assert_allclose(w @ l, jnp.eye(256), atol=1e-4)
+
+
+def test_hbm_cholesky_halves_matches_xla():
+  """v6 half-panel variant (interpret mode)."""
+  from hyperbo_tpu.ops import pallas_chol_hbm
+  n = 512
+  a = jax.random.normal(jax.random.PRNGKey(77), (n, n))
+  a = a @ a.T / n + jnp.eye(n)
+  got = pallas_chol_hbm.cholesky_hbm_halves(
+      a, block=128, chunk=128, half=256, interpret=True)
+  np.testing.assert_allclose(got, jnp.linalg.cholesky(a), atol=5e-4)
