@@ -129,6 +129,9 @@ def bench_chol():
   k_iters = int(os.environ.get('BENCH_K', 16 if on_tpu else 2))
   d = 8
   log(f'device: {kind}; n={n} k={k_iters}')
+  if os.environ.get('BENCH_HBM') == '1':
+    chol_ops.set_use_hbm_kernel(True)
+    log('Pallas HBM-streaming Cholesky: ON')
 
   def timed_scalar(fn, *args, iters=2):
     times = []
