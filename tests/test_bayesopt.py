@@ -124,3 +124,22 @@ def test_retrain_model_guard():
                                  'objective': obj.regkl}), None)
   with pytest.raises(ValueError):
     bayesopt.retrain_model(model, sub_dataset_key=sdk)
+
+
+@pytest.mark.parametrize('acname,hostfn', [
+    ('ucb', 'ucb'), ('ucb2', 'ucb2'), ('pi', 'probability_of_improvement'),
+])
+def test_ondevice_matches_host_loop_other_acquisitions(acname, hostfn):
+  params, dataset, sdk, queried = _setup(jax.random.PRNGKey(7))
+  iters = 4
+  model = gp.GP(dict(dataset), mean.constant, kernel.squared_exponential,
+                GPParams(model=dict(params.model),
+                         config=dict(params.config)), None)
+  host = bayesopt.simulated_bayesopt(
+      model, 'test', queried, const.ACFUN[hostfn], iters)
+  xo, yo, sel = ondevice.simulated_bayesopt_ondevice(
+      mean.constant, kernel.squared_exponential, dict(params.model),
+      dict(params.config), None, queried, iters=iters,
+      acquisition=acname, num_train_tasks=len(dataset))
+  np.testing.assert_allclose(np.asarray(host.y).flatten(),
+                             np.asarray(yo).flatten(), atol=1e-4)
