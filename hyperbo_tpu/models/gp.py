@@ -214,12 +214,24 @@ def infer_parameters(mean_func,
           warp_func=warp_func, params_save_file=get_params_path())
     elif method == 'slice_sample':
       _, subkey = jax.random.split(key, 2)
-      params.samples = slice_lib.slice_sample(
-          loss_func, params.model, subkey,
-          burnin=params.config.get('burnin', 50),
-          nsamples=params.config.get('nsamples', 50),
-          callback=callback,
-          logging_interval=params.config.get('logging_interval', 10))
+      # Default: the fully on-device sampler (one compiled program for
+      # the whole chain). The host loop remains for per-step callbacks
+      # or config['slice_sampler'] = 'host'.
+      sampler = params.config.get('slice_sampler', 'ondevice')
+      if callback is not None or sampler == 'host':
+        params.samples = slice_lib.slice_sample(
+            loss_func, params.model, subkey,
+            burnin=params.config.get('burnin', 50),
+            nsamples=params.config.get('nsamples', 50),
+            callback=callback,
+            logging_interval=params.config.get('logging_interval', 10))
+      else:
+        params.samples = slice_lib.slice_sample_ondevice(
+            loss_func, params.model, subkey,
+            burnin=params.config.get('burnin', 50),
+            nsamples=params.config.get('nsamples', 50),
+            num_chains=params.config.get('num_chains', 1),
+            init_jitter=params.config.get('chain_init_jitter', 0.0))
       if params.samples:
         params.model = params.samples[-1]
     else:

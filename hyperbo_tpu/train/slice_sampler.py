@@ -113,3 +113,171 @@ def slice_sample(objective_fn: Callable[[Dict[str, Any]], jnp.ndarray],
     if it >= burnin:
       keep.append(unravel(x))
   return keep
+
+
+# ---------------------------------------------------------------------------
+# On-device sampler: the whole chain (stepping out, shrinkage, coordinate
+# sweep, iteration loop) is traced into ONE jitted program, so an HGP
+# pre-training run costs O(1) device dispatches instead of one host round
+# trip per probe (the host loop above pays the ~28 ms tunnel RTT on every
+# stepping-out/shrinkage evaluation). Multiple chains run under vmap and
+# split the 2*nsamples budget, batching every log-prob evaluation (each a
+# multi-task GP NLL -> batched Gram + Cholesky on the MXU).
+# ---------------------------------------------------------------------------
+
+
+def _coord_update(log_prob, x, i, ll, key, width, max_steps_out, max_shrink):
+  """One traced univariate slice-sampling update of coordinate x[i].
+
+  Same semantics as _slice_sample_coord: stepping out bounded by
+  max_steps_out per side, shrinkage bounded by max_shrink with rejection
+  of non-finite proposals; on shrinkage exhaustion the coordinate (and
+  its log prob) is left unchanged.
+  """
+  k1, k2, k3, k4 = jax.random.split(key, 4)
+  log_y = ll + jnp.log(jax.random.uniform(k1))
+  x0i = x[i]
+  u = jax.random.uniform(k2)
+  left0 = x0i - u * width
+  right0 = left0 + width
+
+  def logp_at(v):
+    return log_prob(x.at[i].set(v))
+
+  def out_cond(side_sign):
+    def cond(state):
+      edge, j = state
+      return (j < max_steps_out) & (logp_at(edge) > log_y)
+    def body(state):
+      edge, j = state
+      return edge + side_sign * width, j + 1
+    return cond, body
+
+  cond_l, body_l = out_cond(-1.0)
+  left, _ = jax.lax.while_loop(cond_l, body_l, (left0, 0))
+  cond_r, body_r = out_cond(1.0)
+  right, _ = jax.lax.while_loop(cond_r, body_r, (right0, 0))
+
+  def shrink_cond(state):
+    _, _, _, _, _, done, j = state
+    return (~done) & (j < max_shrink)
+
+  def shrink_body(state):
+    k, left, right, xi, lli, done, j = state
+    k, kd = jax.random.split(k)
+    x1 = left + jax.random.uniform(kd) * (right - left)
+    ll_new = logp_at(x1)
+    accept = jnp.isfinite(ll_new) & (ll_new > log_y)
+    xi = jnp.where(accept, x1, xi)
+    lli = jnp.where(accept, ll_new, lli)
+    shrink_left = (~accept) & (x1 < x0i)
+    left = jnp.where(shrink_left, x1, left)
+    right = jnp.where((~accept) & ~shrink_left, x1, right)
+    return k, left, right, xi, lli, accept, j + 1
+
+  _, _, _, xi, lli, _, _ = jax.lax.while_loop(
+      shrink_cond, shrink_body, (k3, left, right, x0i, ll, False, 0))
+  del k4  # key-split parity with the host version
+  return x.at[i].set(xi), lli
+
+
+def _run_chain(log_prob, x, key, total, width, max_steps_out, max_shrink):
+  """Traced chain: `total` full coordinate sweeps; returns (total, dim) xs."""
+  dim = x.shape[0]
+  ll = log_prob(x)
+
+  def sweep(carry, _):
+    x, ll, key = carry
+    key, perm_key = jax.random.split(key)
+    order = jax.random.permutation(perm_key, dim)
+
+    def coord(p, state):
+      x, ll, k = state
+      k, ck = jax.random.split(k)
+      x, ll = _coord_update(log_prob, x, order[p], ll, ck, width,
+                            max_steps_out, max_shrink)
+      return x, ll, k
+
+    x, ll, key = jax.lax.fori_loop(0, dim, coord, (x, ll, key))
+    return (x, ll, key), (x, ll)
+
+  (_, _, _), (xs, lls) = jax.lax.scan(
+      sweep, (x, ll, key), None, length=total)
+  return xs, lls
+
+
+def slice_sample_ondevice(
+    objective_fn: Callable[[Dict[str, Any]], jnp.ndarray],
+    model_params: Dict[str, Any],
+    key: jax.Array,
+    burnin: int,
+    nsamples: int,
+    width: float = 1.0,
+    max_steps_out: int = 10,
+    max_shrink: int = 100,
+    num_chains: int = 1,
+    init_jitter: float = 0.0) -> List[Dict[str, Any]]:
+  """TPU-native slice sampler: one compiled program for the whole run.
+
+  Semantics match `slice_sample` (Neal-2003 stepping-out + shrinkage,
+  coordinate-wise in a fresh random order per sweep); the 2*nsamples
+  output budget is split evenly across `num_chains` vmapped chains, each
+  burning in independently (chain c > 0 starts from the given params plus
+  N(0, init_jitter^2) noise). The HGP output contract (a list of
+  2*nsamples model-parameter pytrees) is preserved.
+
+  Args:
+    objective_fn: model_params -> scalar objective; -objective_fn is the
+      unnormalized log posterior. Must be jittable.
+    model_params: starting parameters (unconstrained space).
+    key: PRNG key.
+    burnin: discarded leading sweeps (per chain).
+    nsamples: 2*nsamples total samples are returned.
+    width: initial slice width.
+    max_steps_out: stepping-out bound per side (host parity: 10).
+    max_shrink: shrinkage bound (host parity: 100).
+    num_chains: vmapped parallel chains; must divide 2*nsamples.
+    init_jitter: stddev of the per-chain init perturbation.
+
+  Returns:
+    List of sampled model parameter pytrees (length 2*nsamples).
+  """
+  x0, unravel = flatten_util.ravel_pytree(model_params)
+  x0 = jnp.asarray(x0, jnp.float32)
+
+  def log_prob(v):
+    return -objective_fn(unravel(v))
+
+  ll0 = float(jax.jit(log_prob)(x0))
+  if not np.isfinite(ll0):
+    raise ValueError(f'Slice sampler started at non-finite log prob {ll0}.')
+
+  want = 2 * nsamples
+  if num_chains < 1 or want % num_chains:
+    raise ValueError(
+        f'num_chains={num_chains} must divide 2*nsamples={want}.')
+  per_chain = want // num_chains
+  total = burnin + per_chain
+
+  @jax.jit
+  def run_all(x0, key):
+    ckeys = jax.random.split(key, num_chains + 1)
+    jit_keys = jax.random.split(ckeys[0], num_chains)
+    inits = jax.vmap(
+        lambda k, c: x0 + jnp.where(
+            c > 0, init_jitter, 0.0) * jax.random.normal(k, x0.shape))(
+                jit_keys, jnp.arange(num_chains))
+    xs, lls = jax.vmap(
+        lambda x, k: _run_chain(log_prob, x, k, total, width,
+                                max_steps_out, max_shrink))(
+                                    inits, ckeys[1:])
+    return xs[:, burnin:], lls[:, burnin:]
+
+  xs, lls = run_all(x0, key)
+  xs = np.asarray(jax.device_get(xs))  # (C, per_chain, dim)
+  logging.info('slice_sample_ondevice: %d chains x %d kept, final '
+               'log_prob per chain = %s', num_chains, per_chain,
+               np.asarray(lls[:, -1]))
+  # Interleave chains so truncating a prefix stays chain-balanced.
+  flat = xs.transpose(1, 0, 2).reshape(want, x0.shape[0])
+  return [unravel(jnp.asarray(row)) for row in flat]

@@ -64,6 +64,96 @@ def test_slice_sampling_hgp(cov_func):
     assert cov.shape == (nq, nq)
 
 
+def test_ondevice_matches_host_distribution():
+  """On-device sampler reproduces the host sampler's target distribution.
+
+  Toy posterior: independent N(mu, sigma^2) per coordinate (an objective
+  whose negation is the log density). Both samplers should recover the
+  mean/std within MCMC tolerance.
+  """
+  from hyperbo_tpu.train import slice_sampler
+
+  mu = jnp.array([1.0, -2.0])
+  sigma = jnp.array([0.5, 1.5])
+
+  def objective(params):
+    z = (params['theta'] - mu) / sigma
+    return 0.5 * jnp.sum(z * z)
+
+  init = {'theta': jnp.zeros(2)}
+  host = slice_sampler.slice_sample(
+      objective, init, jax.random.PRNGKey(0), burnin=50, nsamples=150)
+  dev = slice_sampler.slice_sample_ondevice(
+      objective, init, jax.random.PRNGKey(1), burnin=50, nsamples=150)
+  assert len(dev) == len(host) == 300
+
+  host_arr = jnp.stack([s['theta'] for s in host])
+  dev_arr = jnp.stack([s['theta'] for s in dev])
+  for arr in (host_arr, dev_arr):
+    assert jnp.all(jnp.abs(jnp.mean(arr, 0) - mu) < 0.35), jnp.mean(arr, 0)
+    assert jnp.all(jnp.abs(jnp.std(arr, 0) - sigma) < 0.45), jnp.std(arr, 0)
+
+
+def test_ondevice_multichain():
+  """Chains split the sample budget and sample the same distribution."""
+  from hyperbo_tpu.train import slice_sampler
+
+  def objective(params):
+    return 0.5 * jnp.sum(params['theta'] ** 2)
+
+  init = {'theta': jnp.zeros(3)}
+  samples = slice_sampler.slice_sample_ondevice(
+      objective, init, jax.random.PRNGKey(2), burnin=30, nsamples=100,
+      num_chains=4, init_jitter=0.5)
+  assert len(samples) == 200
+  arr = jnp.stack([s['theta'] for s in samples])
+  assert jnp.all(jnp.abs(jnp.mean(arr, 0)) < 0.35), jnp.mean(arr, 0)
+  assert jnp.all(jnp.abs(jnp.std(arr, 0) - 1.0) < 0.35), jnp.std(arr, 0)
+
+  with pytest.raises(ValueError):
+    slice_sampler.slice_sample_ondevice(
+        objective, init, jax.random.PRNGKey(3), burnin=1, nsamples=5,
+        num_chains=4)
+
+
+def test_slice_sampling_hgp_ondevice_path():
+  """HGP pre-training through the on-device sampler: contract + NLL."""
+  key = jax.random.PRNGKey(0)
+  n, nq, d = 6, 3, 2
+  vx = jax.random.normal(key, (n, d))
+  qx = jax.random.normal(jax.random.PRNGKey(1), (nq, d))
+  gt = GPParams(model={
+      'constant': 5., 'lengthscale': jnp.array([.1, .1]),
+      'signal_variance': 1.0, 'noise_variance': 0.01})
+  dataset = [
+      (vx, gp.sample_from_gp(jax.random.PRNGKey(i), mean.constant,
+                             kernel.squared_exponential, gt, vx,
+                             warp_func=WF))
+      for i in range(6)
+  ]
+  nsamples = 2
+  init_params = GPParams(
+      model={'constant': 5.1, 'lengthscale': jnp.array([0., 0.]),
+             'signal_variance': 0., 'noise_variance': -4.},
+      config={'method': 'slice_sample', 'burnin': 3,
+              'nsamples': nsamples, 'max_training_step': 0,
+              'num_chains': 2, 'chain_init_jitter': 0.1,
+              'priors': priors.DEFAULT_PRIORS, 'batch_size': 100})
+  model = gp.HGP(dataset, mean.constant, kernel.squared_exponential,
+                 init_params, WF)
+  model.initialize_params(jax.random.PRNGKey(2))
+  init_nll = float(model.stats(verbose=False)[0])
+  model.train()
+  inferred_nll = float(model.stats(verbose=False)[0])
+  assert inferred_nll < init_nll, (init_nll, inferred_nll)
+  assert len(model.params.samples) == nsamples * 2
+  predictions = model.predict(qx, 0, True, True)
+  assert len(predictions) == nsamples * 2
+  for mu, cov in predictions:
+    assert mu.shape == (nq, 1)
+    assert cov.shape == (nq, nq)
+
+
 def test_hgp_stats_averages_over_samples():
   key = jax.random.PRNGKey(3)
   vx = jax.random.normal(key, (5, 2))
