@@ -70,13 +70,14 @@ def acfun_wrapper(
                            acfun_callback: Callable[
                                ..., Any] = acfun_callback_default):
     if isinstance(model, gp.HGP):
-      predicts = model.predict(
-          x_queries, sub_dataset_key=sub_dataset_key,
-          full_cov=False, with_noise=True)
+      # Batched posterior over all S samples: ONE vmapped factorization
+      # per BO iteration instead of S sequential Choleskys (the per-
+      # sample loop invalidated every cache via update_model_params).
+      mu_s, var_s = model.predict_stacked(
+          x_queries, sub_dataset_key=sub_dataset_key, with_noise=True)
       acfun_param = acfun_callback(model, sub_dataset_key)
-      ac_vals = [acfun_sub(mu, jnp.sqrt(var), acfun_param)
-                 for mu, var in predicts]
-      return jnp.mean(jnp.stack(ac_vals), axis=0)
+      ac_vals = acfun_sub(mu_s, jnp.sqrt(var_s), acfun_param)
+      return jnp.mean(ac_vals, axis=0)
     mu, var = model.predict(
         x_queries, sub_dataset_key=sub_dataset_key,
         full_cov=False, with_noise=True)

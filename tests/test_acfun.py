@@ -93,6 +93,82 @@ def test_acquisitions_vmappable_over_models():
   assert np.all(np.isfinite(np.asarray(vals)))
 
 
+def test_hgp_acquisition_batched_single_factorization():
+  """HGP acquisition at S=100 runs ONE batched predict, not S loops.
+
+  Regression for the round-1 weakness where acfun's HGP branch looped
+  HGP.predict over samples, clearing all caches and re-factorizing S
+  times per BO iteration. The batched path executes the kernel function
+  a constant number of times (eager executions happen only while the
+  single vmapped program is traced).
+  """
+  calls = {'n': 0}
+  base_cov = kernel.squared_exponential
+
+  def counting_cov(params, x1, x2=None, warp_func=None, diag=False):
+    calls['n'] += 1
+    return base_cov(params, x1, x2, warp_func=warp_func, diag=diag)
+
+  counting_cov.__name__ = 'squared_exponential'
+
+  key = jax.random.PRNGKey(8)
+  x = jax.random.normal(key, (8, 2))
+  params = GPParams(
+      model={'constant': 1., 'lengthscale': jnp.array([.5, .5]),
+             'signal_variance': 1.0, 'noise_variance': 0.01},
+      config={'objective': 'nll'})
+  y = gp.sample_from_gp(jax.random.PRNGKey(9), mean.constant, base_cov,
+                        params, x, warp_func=WF)
+  model = gp.HGP({0: SubDataset(x, y)}, mean.constant, counting_cov,
+                 params, WF)
+  s = 100
+  model.params.samples = [
+      {k: jnp.asarray(v) + 0.001 * i for k, v in params.model.items()}
+      for i in range(s)
+  ]
+  qx = jax.random.normal(jax.random.PRNGKey(10), (7, 2))
+
+  calls['n'] = 0
+  vals = acfun.ei(model=model, sub_dataset_key=0, x_queries=qx)
+  assert vals.shape == (7, 1)
+  assert np.all(np.isfinite(np.asarray(vals)))
+  # Trace-time executions only: a handful, NOT O(S).
+  assert calls['n'] <= 6, calls['n']
+
+  # Repeated iterations at the same shapes reuse the compiled program.
+  calls['n'] = 0
+  acfun.ei(model=model, sub_dataset_key=0, x_queries=qx)
+  assert calls['n'] == 0, calls['n']
+
+
+def test_hgp_acquisition_matches_per_sample_loop():
+  """Batched HGP acquisition equals the explicit per-sample average."""
+  key = jax.random.PRNGKey(11)
+  x = jax.random.normal(key, (6, 2))
+  params = GPParams(
+      model={'constant': 1., 'lengthscale': jnp.array([.5, .5]),
+             'signal_variance': 1.0, 'noise_variance': 0.01},
+      config={'objective': 'nll'})
+  y = gp.sample_from_gp(jax.random.PRNGKey(12), mean.constant,
+                        kernel.squared_exponential, params, x, warp_func=WF)
+  model = gp.HGP({0: SubDataset(x, y)}, mean.constant,
+                 kernel.squared_exponential, params, WF)
+  s1 = dict(params.model)
+  s2 = dict(params.model)
+  s2['constant'] = 1.7
+  model.params.samples = [s1, s2]
+  qx = jax.random.normal(jax.random.PRNGKey(13), (5, 2))
+
+  got = acfun.ei(model=model, sub_dataset_key=0, x_queries=qx)
+  target = acfun.ei_callback_default(model, 0)
+  loop = model.predict(qx, 0, full_cov=False, with_noise=True)
+  want = jnp.mean(jnp.stack([
+      acfun.expected_improvement_sub(mu, jnp.sqrt(var), target)
+      for mu, var in loop]), axis=0)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             rtol=1e-4, atol=1e-5)
+
+
 def test_random_search_consumes_rng():
   model = _model(jax.random.PRNGKey(6))
   r0 = model.rng
