@@ -145,16 +145,29 @@ def infer_parameters(mean_func,
     return init_params
 
   if method == 'adam':
-    packed_build = None
-    if callback is None:
-      packed_build = _build_packed_training(
-          objective, dataset, params.config, mean_func, cov_func,
-          warp_func)
+    packed_build = _build_packed_training(
+        objective, dataset, params.config, mean_func, cov_func,
+        warp_func)
     if packed_build is not None:
       loss_fn, data, subsample_fn, pure_nll = packed_build
       _, subkey = jax.random.split(key, 2)
       num_restarts = int(params.config.get('num_restarts', 1))
-      if num_restarts > 1 and pure_nll:
+      save_every = params.config.get('checkpoint_every', 0)
+      periodic = callback is not None or (
+          save_every and get_params_path() is not None)
+
+      def chunk_hook(step, model, loss):
+        # Reference checkpoint semantics (gp.py:145-157 /
+        # params_utils.py:193-207) at chunk granularity: snapshot the
+        # live params so a crashed pre-training can resume mid-run.
+        params.model = model
+        params_io.log_params_loss(
+            step=step, params=params, loss=loss, warp_func=warp_func,
+            params_save_file=get_params_path())
+        if callback is not None:
+          callback(step, model, loss)
+
+      if num_restarts > 1 and pure_nll and not periodic:
         packed, _ = packed_lib.pack_dataset(dataset)
         model, final_loss, _ = adam_lib.fit_adam_packed_multistart(
             mean_func, cov_func, params.model, packed, params.config,
@@ -163,7 +176,7 @@ def infer_parameters(mean_func,
       else:
         model, losses = adam_lib.fit_adam_scan(
             loss_fn, params.model, data, subsample_fn, params.config,
-            key=subkey)
+            key=subkey, callback=chunk_hook if periodic else None)
         final_loss = losses[-1]
       if bool(jnp.isfinite(final_loss)):
         params.model = model

@@ -16,6 +16,7 @@ Two paths:
 
 from __future__ import annotations
 
+import functools
 import logging
 from typing import Any, Callable, Dict, Optional
 
@@ -89,14 +90,23 @@ def fit_adam_scan(loss_fn: Callable[[Dict[str, Any], Any], jnp.ndarray],
                   subsample_fn: Optional[Callable[[jax.Array, Any],
                                                   Any]],
                   config: Dict[str, Any],
-                  key: Optional[jax.Array] = None):
-  """Whole-training-run-on-device Adam: one lax.scan of fused steps.
+                  key: Optional[jax.Array] = None,
+                  callback: Optional[Callable[..., Any]] = None):
+  """Whole-training-run-on-device Adam via lax.scan over fused steps.
 
   Generic core under the packed objectives: `data` is any pytree of
   device buffers; `subsample_fn(key, data)` draws the per-step batch
   (None = full batch). A non-finite loss freezes the parameters for the
   remaining steps (on-device equivalent of the reference's
   break-on-instability).
+
+  With `callback` set (or config['checkpoint_every'] > 0) the run
+  executes as K-step compiled chunks — K = checkpoint_every, default
+  100 — and `callback(step, model_params, loss)` fires between chunks
+  (reference checkpoint semantics, hyperbo/gp_utils/gp.py:145-157,
+  at chunk granularity). The scan carry — model, optimizer state, PRNG
+  key, freeze flag — threads through the chunks, so a chunked run
+  computes EXACTLY the same iterates as one long scan.
 
   Returns:
     (model_params, losses): trained parameters and the (steps,) trace.
@@ -124,16 +134,33 @@ def fit_adam_scan(loss_fn: Callable[[Dict[str, Any], Any], jnp.ndarray],
     return (model, opt_state, k, frozen | ~jnp.isfinite(loss)), loss
 
   init_opt_state = config.get('opt_state')
+  if init_opt_state is None:
+    init_opt_state = optimizer.init(model_params)
 
-  @jax.jit
-  def run(model, k, opt_state):
-    if opt_state is None:
-      opt_state = optimizer.init(model)
-    (model, opt_state, _, _), losses = jax.lax.scan(
-        step, (model, opt_state, k, jnp.array(False)), None, length=steps)
-    return model, losses, opt_state
+  @functools.partial(jax.jit, static_argnums=(1,))
+  def run(carry, length):
+    return jax.lax.scan(step, carry, None, length=length)
 
-  model, losses, opt_state = run(model_params, key, init_opt_state)
+  chunk = int(config.get('checkpoint_every', 0) or 0)
+  if chunk <= 0:
+    chunk = 100 if callback is not None else steps
+  chunk = max(1, min(chunk, steps))
+
+  carry = (model_params, init_opt_state, key, jnp.array(False))
+  loss_chunks = []
+  done = 0
+  while done < steps:
+    length = min(chunk, steps - done)
+    carry, losses = run(carry, length)
+    loss_chunks.append(losses)
+    done += length
+    if callback is not None and done < steps:
+      callback(done, carry[0], losses[-1])
+  model, opt_state, _, _ = carry
+  losses = jnp.concatenate(loss_chunks) if len(loss_chunks) > 1 else (
+      loss_chunks[0])
+  if callback is not None:
+    callback(steps, model, losses[-1])
   if config.get('return_state'):
     return model, losses, opt_state
   return model, losses
