@@ -17,7 +17,6 @@ unbiased N/(N-1) predictive rescale) — on top of the TPU-native stack:
 from __future__ import annotations
 
 import collections
-import functools
 import logging
 from typing import Any, Callable, Dict, List, Tuple, Union
 
@@ -470,15 +469,24 @@ class GP:
         warp_func=self.warp_func,
         distance=distance)
 
+  def empirical_divergence_packed(self, partial: bool = True,
+                                  eps: float = 1e-6):
+    """Batched EKL over aligned sub-datasets: one vmapped pass on device
+    (full or partial KL), instead of the per-task host loop of
+    `empirical_divergence`. Returns 0 when there is no aligned data."""
+    try:
+      packed, _ = packed_lib.pack_aligned_dataset(self.dataset)
+    except ValueError:
+      return 0.
+    return packed_lib.multivariate_normal_divergence_packed(
+        self.mean_func, self.cov_func, self.params, packed,
+        warp_func=self.warp_func, partial=partial, eps=eps)
+
   def stats(self, verbose=True):
     """(nll, ekl, ekl_partial, euc, key2nll) for the current model."""
     nll, key2nll = self.neg_log_marginal_likelihood()
-    ekl = self.empirical_divergence(
-        distance=functools.partial(
-            divergences.kl_multivariate_normal, eps=1e-6, partial=False))
-    ekl_partial = self.empirical_divergence(
-        distance=functools.partial(
-            divergences.kl_multivariate_normal, eps=1e-6, partial=True))
+    ekl = self.empirical_divergence_packed(partial=False, eps=1e-6)
+    ekl_partial = self.empirical_divergence_packed(partial=True, eps=1e-6)
     euc = self.empirical_divergence(
         distance=divergences.euclidean_multivariate_normal)
     msg = (f'nll = {nll}, ekl = {ekl}, ekl_partial = {ekl_partial}, '

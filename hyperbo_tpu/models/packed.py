@@ -187,16 +187,14 @@ def pack_aligned_dataset(dataset: Dict[Union[int, str], SubDataset],
                               task_mask), keys
 
 
-def _partial_kl_one_task(mean_func, cov_func, params, x, y, n_mask,
-                         m_mask, count_n, count_m, warp_func):
-  """Masked partial KL for one padded aligned task.
+def _aligned_task_stats(mean_func, cov_func, params, x, y, n_mask, m_mask,
+                        count_m, warp_func, eps):
+  """Masked sample/model MVN statistics shared by the KL variants.
 
-  Equals the reference per-task value (objectives.py:65-82 with the
-  default partial KL): tr(K^-1 C) + (mu_K - mu_C)^T K^-1 (mu_K - mu_C)
-  + logdet K, where C/mu_C are the sample covariance/mean over the m
-  matched draws and K includes the noise ridge. Padded rows of K are
-  identity (zero contributions); padded draws are masked out of the
-  sample statistics.
+  Returns (mu_data, cov_data, mu_model, kmat, pair) where cov_data is the
+  biased sample covariance over the valid draws (+eps on the valid
+  diagonal) and kmat is the model covariance + (noise+eps) ridge; padded
+  rows/cols of both are zero (the KL variants fill what they need).
   """
   noise_variance, = retrieve_params(params, ['noise_variance'],
                                     warp_func=warp_func)
@@ -207,14 +205,79 @@ def _partial_kl_one_task(mean_func, cov_func, params, x, y, n_mask,
   cov_data = centered @ centered.T / m                    # biased, (n, n)
   pair = n_mask[:, None] & n_mask[None, :]
   mu_data = jnp.where(n_mask, mu_data, 0.0)
-  cov_data = jnp.where(pair, cov_data, 0.0)
+  eye = jnp.eye(x.shape[0], dtype=cov_data.dtype)
+  cov_data = jnp.where(pair, cov_data, 0.0) + eye * jnp.where(
+      n_mask, eps, 0.0)
 
   mu_model = mean_func(params, x, warp_func=warp_func).flatten()
   mu_model = jnp.where(n_mask, mu_model, 0.0)
   kmat = cov_func(params, x, warp_func=warp_func)
-  eye = jnp.eye(x.shape[0], dtype=kmat.dtype)
   kmat = jnp.where(pair, kmat, 0.0) + eye * jnp.where(
-      n_mask, noise_variance, 1.0)
+      n_mask, noise_variance + eps, 0.0)
+  return mu_data, cov_data, mu_model, kmat, pair
+
+
+def _full_kl_one_task(mean_func, cov_func, params, x, y, n_mask, m_mask,
+                      count_n, count_m, warp_func, eps):
+  """Masked FULL KL for one padded aligned task (jit-safe, static shapes).
+
+  Matches divergences.kl_multivariate_normal(partial=False) — the
+  reference's SVD-whitened full KL handling rank-deficient sample
+  covariances (hyperbo/gp_utils/utils.py:109-148) — without the dynamic
+  rank truncation: singular directions beyond the numerical rank (and
+  the padded dimensions, whose singular values are exactly 0) are zeroed
+  in the whitener and identity-filled in the whitened model covariance,
+  so each null dimension contributes 1 to the trace, 0 to the log-det
+  and 0 to the Mahalanobis term; subtracting the FULL padded size n_max
+  (instead of the rank) then reproduces the reference value:
+  0.5 * (tr_s + mahal + logdet_s - rank)
+    = 0.5 * ((tr_full - (n_max - rank)) + mahal + logdet_full - rank)
+    = 0.5 * (tr_full + mahal + logdet_full - n_max).
+  """
+  mu_data, cov_data, mu_model, kmat, _ = _aligned_task_stats(
+      mean_func, cov_func, params, x, y, n_mask, m_mask, count_m,
+      warp_func, eps)
+  n_max = x.shape[0]
+
+  u, s, _ = jnp.linalg.svd(cov_data)
+  # Reference rank tolerance (ops/linalg.svd_matrix_sqrt) with the TRUE
+  # row count, not the padded one.
+  tol = s.max() * jnp.finfo(s.dtype).eps / 2. * jnp.sqrt(
+      2. * count_n.astype(s.dtype) + 1.)
+  support = s > tol
+  s_safe = jnp.where(support, s, 1.0)
+  # Whitener W = pinv(U sqrt(S)) = diag(support/sqrt(s)) U^T; null rows 0.
+  w = (support / jnp.sqrt(s_safe))[:, None] * u.T
+  mu1 = w @ (mu_model - mu_data)
+  cov1 = w @ kmat @ w.T
+  eye = jnp.eye(n_max, dtype=cov1.dtype)
+  cov1 = cov1 + eye * (1.0 - support.astype(cov1.dtype))
+
+  chol = chol_ops.cholesky(cov1)
+  kinv_mu = chol_ops.cho_solve(chol, mu1)
+  vinv = chol_ops.solve_triangular(chol, eye, lower=True)
+  tr_full = jnp.sum(vinv * vinv)  # tr(cov1^{-1}) = ||chol^{-1}||_F^2
+  mahal = jnp.dot(mu1, kinv_mu)
+  logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+  return 0.5 * (tr_full + mahal + logdet - n_max)
+
+
+def _partial_kl_one_task(mean_func, cov_func, params, x, y, n_mask,
+                         m_mask, count_n, count_m, warp_func, eps=0.0):
+  """Masked partial KL for one padded aligned task.
+
+  Equals the reference per-task value (objectives.py:65-82 with the
+  default partial KL): tr(K^-1 C) + (mu_K - mu_C)^T K^-1 (mu_K - mu_C)
+  + logdet K, where C/mu_C are the sample covariance/mean over the m
+  matched draws and K includes the noise (+eps) ridge. Padded rows of K
+  are identity (zero contributions); padded draws are masked out of the
+  sample statistics.
+  """
+  mu_data, cov_data, mu_model, kmat, _ = _aligned_task_stats(
+      mean_func, cov_func, params, x, y, n_mask, m_mask, count_m,
+      warp_func, eps)
+  eye = jnp.eye(x.shape[0], dtype=kmat.dtype)
+  kmat = kmat + eye * jnp.where(n_mask, 0.0, 1.0)
 
   chol = chol_ops.cholesky(kmat)
   mu_diff = mu_model - mu_data
@@ -228,16 +291,22 @@ def _partial_kl_one_task(mean_func, cov_func, params, x, y, n_mask,
 
 def multivariate_normal_divergence_packed(
     mean_func, cov_func, params, packed: PackedAlignedDataset,
-    warp_func=None) -> jnp.ndarray:
-  """Mean partial-KL EKL over packed aligned tasks (vmapped, shardable).
+    warp_func=None, partial: bool = True,
+    eps: float = 0.0) -> jnp.ndarray:
+  """Mean EKL over packed aligned tasks (vmapped, shardable).
 
-  Matches objectives.multivariate_normal_divergence with the default
-  partial KL distance; the full-KL (SVD-whitened) variant stays on the
-  per-task path (its rank truncation is shape-dynamic).
+  partial=True matches objectives.multivariate_normal_divergence with
+  the default partial KL distance; partial=False is the FULL SVD-
+  whitened KL (divergences.kl_multivariate_normal(partial=False)) in a
+  masked static-shape form — both run as one batched computation over
+  the task axis. `eps` is the diagonal ridge the host path adds to both
+  covariances (GP.stats uses 1e-6).
   """
+  kl_fn = _partial_kl_one_task if partial else _full_kl_one_task
   per_task = jax.vmap(
-      lambda x, y, nm, mm, cn, cm: _partial_kl_one_task(
-          mean_func, cov_func, params, x, y, nm, mm, cn, cm, warp_func))(
+      lambda x, y, nm, mm, cn, cm: kl_fn(
+          mean_func, cov_func, params, x, y, nm, mm, cn, cm, warp_func,
+          eps))(
               packed.x, packed.y, packed.n_mask, packed.m_mask,
               packed.count_n, packed.count_m)
   per_task = jnp.where(packed.task_mask, per_task, 0.0)
