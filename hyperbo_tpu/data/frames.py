@@ -47,51 +47,105 @@ def get_dataset(trials, study_identifier, labels, verbose=True):
   return dataset
 
 
+def _observation_table(aligned_trials, study_identifier, labels):
+  """Dense (unique-hparam-row x group) metric table + observation mask.
+
+  Rows are the lexicographically sorted unique hyperparameter tuples;
+  columns are the study groups in order of first appearance. A duplicate
+  (hparam row, group) evaluation is an error (the trials do not define a
+  single matched table).
+
+  Returns (uniq_x, groups, table, observed).
+  """
+  groups = list(aligned_trials[study_identifier].unique())
+  g_index = {g: j for j, g in enumerate(groups)}
+  xs = aligned_trials[labels[:-1]].to_numpy()
+  gidx = np.array([g_index[g] for g in aligned_trials[study_identifier]])
+  ys = aligned_trials[labels[-1]].to_numpy(dtype=float)
+
+  uniq_x, row_ids = np.unique(xs, axis=0, return_inverse=True)
+  n, num_g = uniq_x.shape[0], len(groups)
+  flat = row_ids * num_g + gidx
+  if np.unique(flat).size != flat.size:
+    raise ValueError(
+        'duplicate (hyperparameter row, study group) evaluations; the '
+        'aligned trials do not define a single matched table.')
+  table = np.full((n, num_g), np.nan)
+  table[row_ids, gidx] = ys
+  observed = np.zeros((n, num_g), dtype=bool)
+  observed[row_ids, gidx] = True
+  return uniq_x, groups, table, observed
+
+
+def _subsample_rows(key, n, p_remove):
+  """Row indices kept by a (1 - p_remove) subsample (None = keep all)."""
+  if p_remove < 0 or p_remove >= 1:
+    raise ValueError(f'p_remove={p_remove} but p_remove must be <1 and >= 0.')
+  if p_remove == 0:
+    return None
+  n_remain = int(np.ceil((1 - p_remove) * n))
+  keep = np.random.RandomState(int(key[0])).choice(
+      n, size=n_remain, replace=False)
+  return np.sort(keep)
+
+
 def get_aligned_dataset(trials,
                         study_identifier,
                         labels,
                         key=None,
                         p_remove=0.,
                         verbose=True):
-  """Pivot matched trials into aligned n x m SubDatasets.
+  """Build aligned n x m SubDatasets from matched trials.
 
-  For each aligned_suffix (phase), trials are pivoted to a
-  (hyperparameter-row x study-group) table of metric values. Since not
-  every group evaluated every row, study groups with missing values are
-  swept combinatorially (up to 2 dropped groups, bounded as the
-  reference does) and each combination yields a SubDataset of fully
-  observed rows over the remaining groups.
+  For each aligned_suffix (phase), the matched trials define an
+  observation table: unique hyperparameter rows x study groups, with a
+  boolean observed-mask (not every group evaluated every row). Groups
+  with missing observations are swept combinatorially (up to 2 dropped
+  groups, the same bound the reference uses at
+  hyperbo/bo_utils/data.py:115-173): dropping a subset of those groups
+  selects the rows that are unobserved by ALL dropped groups and
+  observed by ALL remaining ones — pure mask algebra on the observation
+  matrix — and each non-empty selection becomes one SubDataset whose y
+  columns are the remaining groups.
   """
   aligned_dataset = {}
   trials = trials[trials['aligned']]
   for aligned_suffix in trials['aligned_suffix'].unique():
     aligned_trials = trials[trials['aligned_suffix'] == aligned_suffix]
-    aligned_groups = list(aligned_trials[study_identifier].unique())
-    pivot_df = aligned_trials.pivot(
-        index=labels[:-1], columns=study_identifier, values=labels[-1])
-    nan_groups = [c for c in pivot_df.columns
-                  if pivot_df[c].isna().values.any()]
-    combnum = min(3, len(nan_groups) + 1, len(aligned_groups) - 1)
-    for groups in itertools.chain(
-        *[itertools.combinations(nan_groups, r) for r in range(combnum)]):
-      remain_groups = [sg for sg in aligned_groups if sg not in groups]
-      if groups:
-        index = np.all([pivot_df[sg].isnull() for sg in groups], axis=0)
-        sub_df = pivot_df.loc[index, remain_groups].dropna().reset_index()
-      else:
-        sub_df = pivot_df.dropna().reset_index()
-      if sub_df.shape[0] > 0:
-        if verbose:
-          print('removed groups:', groups, '| remaining:', remain_groups,
-                '| rows:', sub_df.shape[0])
-        aligned_key = ';'.join(list(groups) + [aligned_suffix])
-        if key is not None:
-          key, subkey = jax.random.split(key, 2)
-          sub_df = sample_dataframe(subkey, sub_df, p_remove=p_remove)
-        aligned_dataset[aligned_key] = SubDataset(
-            x=jnp.array(sub_df[labels[:-1]].to_numpy()),
-            y=jnp.array(sub_df[remain_groups].to_numpy()),
-            aligned=';'.join(remain_groups + [aligned_suffix]))
+    uniq_x, groups, table, observed = _observation_table(
+        aligned_trials, study_identifier, labels)
+    g_index = {g: j for j, g in enumerate(groups)}
+
+    # Sorted so multi-group drop keys match the reference (whose pivot
+    # sorts its columns lexicographically).
+    gap_groups = sorted(g for j, g in enumerate(groups)
+                        if not observed[:, j].all())
+    max_dropped = min(3, len(gap_groups) + 1, len(groups) - 1)
+    for dropped in itertools.chain.from_iterable(
+        itertools.combinations(gap_groups, r) for r in range(max_dropped)):
+      remain = [g for g in groups if g not in dropped]
+      remain_idx = [g_index[g] for g in remain]
+      sel = observed[:, remain_idx].all(axis=1)
+      if dropped:
+        drop_idx = [g_index[g] for g in dropped]
+        sel &= ~observed[:, drop_idx].any(axis=1)
+      if not sel.any():
+        continue
+      x_rows = uniq_x[sel]
+      y_rows = table[np.ix_(sel, remain_idx)]
+      if verbose:
+        print('removed groups:', dropped, '| remaining:', remain,
+              '| rows:', x_rows.shape[0])
+      if key is not None:
+        key, subkey = jax.random.split(key, 2)
+        keep = _subsample_rows(subkey, x_rows.shape[0], p_remove)
+        if keep is not None:
+          x_rows, y_rows = x_rows[keep], y_rows[keep]
+      aligned_key = ';'.join(list(dropped) + [aligned_suffix])
+      aligned_dataset[aligned_key] = SubDataset(
+          x=jnp.array(x_rows),
+          y=jnp.array(y_rows),
+          aligned=';'.join(remain + [aligned_suffix]))
   msg = f'aligned dataset: {jax.tree.map(jnp.shape, aligned_dataset)}'
   logging.info(msg)
   if verbose:

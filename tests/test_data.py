@@ -83,6 +83,78 @@ def test_process_dataframe_pipeline():
     assert v.x.shape[0] == v.y.shape[0]
 
 
+def _pivot_oracle(trials, study_identifier, labels):
+  """Reference-spec aligned pivot (pandas), used only as a test oracle
+  for the vectorized observation-mask implementation."""
+  import itertools
+  out = {}
+  trials = trials[trials['aligned']]
+  for suffix in trials['aligned_suffix'].unique():
+    at = trials[trials['aligned_suffix'] == suffix]
+    aligned_groups = list(at[study_identifier].unique())
+    pv = at.pivot(index=labels[:-1], columns=study_identifier,
+                  values=labels[-1])
+    nan_groups = [c for c in pv.columns if pv[c].isna().values.any()]
+    combnum = min(3, len(nan_groups) + 1, len(aligned_groups) - 1)
+    for groups in itertools.chain(
+        *[itertools.combinations(nan_groups, r) for r in range(combnum)]):
+      remain = [g for g in aligned_groups if g not in groups]
+      if groups:
+        idx = np.all([pv[g].isnull() for g in groups], axis=0)
+        sub = pv.loc[idx, remain].dropna().reset_index()
+      else:
+        sub = pv.dropna().reset_index()
+      if sub.shape[0] > 0:
+        k = ';'.join(list(groups) + [suffix])
+        out[k] = (sub[labels[:-1]].to_numpy(), sub[remain].to_numpy(),
+                  ';'.join(remain + [suffix]))
+  return out
+
+
+def test_aligned_dataset_matches_pivot_oracle():
+  """Vectorized observation-mask build == reference pandas-pivot spec,
+  on randomized fixtures with per-group holes (incl. 2-group drops)."""
+  rng = np.random.RandomState(0)
+  for trial in range(4):
+    rows = []
+    grid = rng.uniform(size=(8, 2))
+    groups = [f'g{i},task{i}' for i in range(4)]
+    for gi, sg in enumerate(groups):
+      for ri, (h1, h2) in enumerate(grid):
+        # random holes (group 0 complete so len(groups)-1 bound differs
+        # from the nan-group count)
+        if gi > 0 and rng.uniform() < 0.3:
+          continue
+        rows.append(dict(study_group=sg, h1=h1, h2=h2,
+                         metric=float(rng.normal() + gi),
+                         aligned=True,
+                         aligned_suffix=f'ph{ri % 2}'))
+    trials = pd.DataFrame(rows)
+    labels = ['h1', 'h2', 'metric']
+    got = frames.get_aligned_dataset(trials, 'study_group', labels,
+                                     verbose=False)
+    want = _pivot_oracle(trials, 'study_group', labels)
+    assert set(got.keys()) == set(want.keys()), (trial, got.keys(),
+                                                 want.keys())
+    for k, sub in got.items():
+      wx, wy, wtag = want[k]
+      np.testing.assert_allclose(np.asarray(sub.x), wx, err_msg=k)
+      np.testing.assert_allclose(np.asarray(sub.y), wy, err_msg=k)
+      assert sub.aligned == wtag, (k, sub.aligned, wtag)
+
+
+def test_aligned_dataset_rejects_duplicate_evaluations():
+  rows = [dict(study_group='g0', h1=0.1, h2=0.2, metric=1.0,
+               aligned=True, aligned_suffix='ph0'),
+          dict(study_group='g0', h1=0.1, h2=0.2, metric=2.0,
+               aligned=True, aligned_suffix='ph0'),
+          dict(study_group='g1', h1=0.1, h2=0.2, metric=3.0,
+               aligned=True, aligned_suffix='ph0')]
+  with pytest.raises(ValueError):
+    frames.get_aligned_dataset(pd.DataFrame(rows), 'study_group',
+                               ['h1', 'h2', 'metric'], verbose=False)
+
+
 def test_process_dataframe_negates_metric_when_minimizing():
   trials = _toy_trials()
   labels = ['h1', 'h2', 'metric']
