@@ -188,13 +188,144 @@ def pd2(key,
       p_remove=p_remove)
 
 
-def grid2020(*args, **kwargs):
-  """GRID2020 loader requires the init2winit colab toolchain (not a
-  dependency); reference data.py:649-715. Gated with a clear error."""
-  raise NotImplementedError(
-      'grid2020 requires init2winit (not a dependency of this package); '
-      'load the experiment dataframe externally and call '
-      'hyperbo_tpu.data.frames.process_dataframe directly.')
+GRID2020_LABELS = [
+    'hps.opt_hparams.momentum',
+    'hps.lr_hparams.initial_learning_rate',
+    'hps.lr_hparams.power',
+    'hps.lr_hparams.decay_steps_factor',
+]
+
+
+def _flatten_hparams(d, prefix='hps.'):
+  """Nested hparams dict -> flat {'hps.a.b': value} columns."""
+  out = {}
+  for k, v in d.items():
+    if isinstance(v, dict):
+      out.update(_flatten_hparams(v, prefix=f'{prefix}{k}.'))
+    else:
+      out[f'{prefix}{k}'] = v
+  return out
+
+
+def add_best_eval_columns(df, metrics):
+  """Per-trial best (minimum) of each eval-curve metric column.
+
+  Mirrors init2winit's df_utils.add_best_eval_columns contract (used by
+  reference data.py:690-691): each metric column holds the evaluation
+  curve (sequence) or a scalar; 'best_<metric>' holds its minimum.
+  """
+  for metric in metrics:
+    if metric not in df.columns:
+      continue
+    df[f'best_{metric}'] = df[metric].map(
+        lambda v: float(np.min(v)) if np.ndim(v) > 0 else float(v))
+  return df
+
+
+def load_grid2020_directories(data_dirs,
+                              metrics=('valid/ce_loss',
+                                       'valid/error_rate')):
+  """Scan init2winit-style experiment directories into a trial table.
+
+  Self-contained replacement for init2winit's
+  colab.data_loader.parallel_load_trials_in_directories (reference
+  data.py:681-684; the OSS version also needs an undefined GRID2020
+  global). Expected layout, one row per trial:
+
+    <exp_dir>/<trial_*>/hparams.json       nested hps (incl. 'dataset')
+    <exp_dir>/<trial_*>/measurements.csv   eval curve w/ metric columns
+                        (or measurements.jsonl, records per line)
+
+  Returns a dataframe with flattened 'hps.*' columns, a 'dataset' study
+  column (hparams['dataset'], else the experiment dir name) and one
+  eval-curve column per metric.
+  """
+  import json as json_lib
+  import os
+  rows = []
+  for exp_dir in data_dirs:
+    exp_name = os.path.basename(os.path.normpath(exp_dir))
+    for trial_name in sorted(os.listdir(exp_dir)):
+      trial_dir = os.path.join(exp_dir, trial_name)
+      hparams_path = os.path.join(trial_dir, 'hparams.json')
+      if not os.path.isfile(hparams_path):
+        continue
+      with open(hparams_path) as f:
+        hparams = json_lib.load(f)
+      row = {'hps.' + k if not k.startswith('hps.') else k: v
+             for k, v in _flatten_hparams(hparams, prefix='').items()}
+      row['dataset'] = hparams.get('dataset', exp_name)
+      row['trial_dir'] = trial_dir
+      csv_path = os.path.join(trial_dir, 'measurements.csv')
+      jsonl_path = os.path.join(trial_dir, 'measurements.jsonl')
+      if os.path.isfile(csv_path):
+        meas = pd.read_csv(csv_path)
+      elif os.path.isfile(jsonl_path):
+        meas = pd.read_json(jsonl_path, orient='records', lines=True)
+      else:
+        continue
+      for metric in metrics:
+        if metric in meas.columns:
+          row[metric] = np.asarray(meas[metric], dtype=float)
+      rows.append(row)
+  if not rows:
+    raise FileNotFoundError(
+        f'No trials found under {list(data_dirs)}; expected '
+        '<exp_dir>/<trial>/hparams.json + measurements.csv|jsonl.')
+  return pd.DataFrame(rows)
+
+
+def grid2020(key,
+             p_observed,
+             verbose=True,
+             sub_dataset_key=None,
+             input_warp=True,
+             output_log_warp=True,
+             num_remove=0,
+             p_remove=0.,
+             data_dirs=None,
+             experiment_df=None):
+  """Load GRID2020 (init2winit grid study) and pick a random test study.
+
+  Parity with reference data.py:649-715 (same labels, momentum/lr input
+  warps, -log error-rate output warp, study_identifier='dataset'), with
+  the broken init2winit dependency replaced: pass `data_dirs` (scanned
+  by load_grid2020_directories) or a pre-loaded `experiment_df`.
+
+  Returns: (dataset, sub_dataset_key, queried_sub_dataset).
+  """
+  if experiment_df is None:
+    if data_dirs is None:
+      raise FileNotFoundError(
+          'grid2020 requires data_dirs=[experiment directories] or '
+          'experiment_df=<trial table>; the GRID2020 study is not '
+          'distributed with the package.')
+    experiment_df = load_grid2020_directories(data_dirs)
+  experiment_df = add_best_eval_columns(
+      experiment_df, ['valid/ce_loss', 'valid/error_rate'])
+  experiment_df.loc[:, 'aligned'] = True
+  experiment_df.loc[:, 'aligned_suffix'] = ''
+  labels = GRID2020_LABELS + ['best_valid/error_rate']
+  warp_func = {}
+  if input_warp:
+    warp_func = {
+        'hps.opt_hparams.momentum': lambda x: np.log(1 - x),
+        'hps.lr_hparams.initial_learning_rate': np.log,
+    }
+  if output_log_warp:
+    warp_func['best_valid/error_rate'] = lambda x: -np.log(x + 1e-10)
+  return frames.process_dataframe(
+      key=key,
+      trials=experiment_df,
+      study_identifier='dataset',
+      labels=labels,
+      p_observed=p_observed,
+      maximize_metric=False,
+      warp_func=warp_func,
+      verbose=verbose,
+      sub_dataset_key=sub_dataset_key,
+      num_remove=num_remove,
+      p_remove=p_remove)
 
 
 def _deduplicate(x, y, dataset_name, verbose=True):

@@ -267,3 +267,54 @@ def test_params_io_orbax_roundtrip(tmp_path):
   np.testing.assert_allclose(loaded.model['mlp']['w'],
                              params.model['mlp']['w'])
   assert loaded.config['method'] == 'adam'
+
+
+def test_grid2020_loader_from_directories(tmp_path):
+  """grid2020 on an init2winit-style directory tree (ref data.py:649-715)."""
+  rng = np.random.RandomState(1)
+  # A shared hyperparameter grid (same configs in both studies) so the
+  # aligned matched-trial pivot has content.
+  grid = [dict(momentum=rng.uniform(.1, .99),
+               initial_learning_rate=rng.uniform(1e-4, 1.),
+               power=rng.uniform(.1, 2.),
+               decay_steps_factor=rng.uniform(.1, .9)) for _ in range(8)]
+  import json
+  for ds in ['cifar10', 'mnist']:
+    exp = tmp_path / f'grid_{ds}'
+    for i, cfg in enumerate(grid):
+      trial = exp / f'trial_{i}'
+      trial.mkdir(parents=True)
+      (trial / 'hparams.json').write_text(json.dumps({
+          'dataset': ds,
+          'opt_hparams': {'momentum': cfg['momentum']},
+          'lr_hparams': {k: cfg[k] for k in
+                         ('initial_learning_rate', 'power',
+                          'decay_steps_factor')}}))
+      curve = rng.uniform(.05, .9, size=5)
+      pd.DataFrame({'valid/ce_loss': rng.uniform(.1, 3., size=5),
+                    'valid/error_rate': curve}).to_csv(
+                        trial / 'measurements.csv', index=False)
+  dirs = [str(tmp_path / 'grid_cifar10'), str(tmp_path / 'grid_mnist')]
+
+  dataset, sdk, queried = pd1_data.grid2020(
+      jax.random.PRNGKey(0), p_observed=0.5, verbose=False, data_dirs=dirs)
+  assert queried.x.shape[1] == 4
+  assert sdk in dataset
+  # Input warp applied: momentum column (label 0) is log(1-x) < 0; output
+  # warp -log(err + 1e-10) > 0 for err < 1.
+  assert np.all(np.asarray(queried.x[:, 0]) < 0)
+  assert np.all(np.asarray(queried.y) > 0)
+  # aligned=True rows produce matched-trial aligned sub-datasets.
+  assert any(v.aligned is not None for v in dataset.values())
+
+  # Pre-loaded experiment_df path agrees with the directory scan.
+  df = pd1_data.load_grid2020_directories(dirs)
+  assert df.shape[0] == 16
+  best = pd1_data.add_best_eval_columns(df.copy(),
+                                        ['valid/error_rate'])
+  assert np.all(best['best_valid/error_rate'].to_numpy() <= 0.9)
+  ds2, sdk2, q2 = pd1_data.grid2020(
+      jax.random.PRNGKey(0), p_observed=0.5, verbose=False,
+      experiment_df=df)
+  assert sdk2 == sdk
+  np.testing.assert_allclose(np.asarray(q2.x), np.asarray(queried.x))

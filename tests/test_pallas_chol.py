@@ -57,6 +57,21 @@ def test_hbm_cholesky_matches_xla(n, B, C):
   got = pallas_chol_hbm.cholesky_hbm(a, block=B, chunk=C, interpret=True)
   want = jnp.linalg.cholesky(a)
   np.testing.assert_allclose(got, want, atol=5e-4)
+  # Accuracy budget at the objective level: the kernel's explicit
+  # triangular-inverse solve (~1.8e-4 max factor deviation on hardware,
+  # ops/chol.py:101-105) must move the GP NLL (logdet + quadratic form)
+  # by < 1e-4 relative before it could ever become a default.
+  y = jax.random.normal(jax.random.PRNGKey(3), (n, 1))
+
+  def nll(fac):
+    kinvy = chol_ops.cho_solve(fac, y)
+    return float(0.5 * jnp.sum(y * kinvy)
+                 + jnp.sum(jnp.log(jnp.diagonal(fac)))
+                 + 0.5 * n * jnp.log(2 * jnp.pi))
+
+  nll_got, nll_want = nll(got), nll(want)
+  assert abs(nll_got - nll_want) <= 1e-4 * max(1.0, abs(nll_want)), (
+      nll_got, nll_want)
 
 
 def test_tri_inverse():
