@@ -304,6 +304,435 @@ def _kernel_halves(n, block, chunk, half, a_hbm, l_hbm, halfbuf, lbuf,
   jax.lax.fori_loop(0, nb, panel_step, 0)
 
 
+def _kernel_wide(n, block, chunk, tw, mode, a_hbm, l_hbm, panel, lbuf,
+                 strip, l_ref, sem_a, sem_l, sem_s, sem_out):
+  """v7: wide-strip corrections + dual-buffered chunk DMAs.
+
+  v5's correction loop is iteration-count bound (~5 us of DMA wait +
+  semaphore cost per (t, chunk) pair; PERF.md). Two changes attack it:
+
+    * the contraction runs over tw >= block finished columns at once
+      (fewer, larger GEMMs: K = tw instead of K = block). The output is
+      zeroed upfront so a strip whose tail crosses the pivot column
+      contributes exact zeros instead of garbage;
+    * the chunk DMA is double-buffered against the correction GEMM
+      (lbuf has 2 slots), hiding the HBM latency behind MXU work.
+  """
+  nb = n // block
+  n_chunks = n // chunk
+  row_idx_n = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+  row_idx_b = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+
+  # Zero the output once: wide strips read L columns at and beyond the
+  # pivot, which must be 0.0 (uninitialized HBM could hold NaN/Inf).
+  panel[:] = jnp.zeros((n, block), jnp.float32)
+
+  def zero_step(j, _):
+    co = pltpu.make_async_copy(
+        panel, l_hbm.at[:, pl.ds(j * block, block)], sem_out)
+    co.start()
+    co.wait()
+    return 0
+
+  jax.lax.fori_loop(0, nb, zero_step, 0)
+
+  def panel_step(j, _):
+    col0 = j * block
+    cp = pltpu.make_async_copy(
+        a_hbm.at[:, pl.ds(col0, block)], panel, sem_a)
+    cp.start()
+    cp.wait()
+
+    n_strips = jax.lax.div(col0 + tw - 1, tw)
+    c_start = jax.lax.div(col0, chunk)
+
+    def correct(s, _):
+      scol = s * tw
+      cs = pltpu.make_async_copy(
+          l_hbm.at[pl.ds(col0, block), pl.ds(scol, tw)], strip, sem_s)
+      cs.start()
+      cs.wait()
+
+      def dma_for(c, slot):
+        return pltpu.make_async_copy(
+            l_hbm.at[pl.ds(c * chunk, chunk), pl.ds(scol, tw)],
+            lbuf.at[slot], sem_l.at[slot])
+
+      dma_for(c_start, 0).start()
+
+      def chunk_step(c, _):
+        slot = jax.lax.rem(c - c_start, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+          dma_for(c + 1, jax.lax.rem(c + 1 - c_start, 2)).start()
+
+        dma_for(c, slot).wait()
+        if mode != 'dmaonly':
+          update = jax.lax.dot_general(
+              lbuf[slot], strip[:], (((1,), (1,)), ((), ())),
+              preferred_element_type=jnp.float32)
+          panel[pl.ds(c * chunk, chunk), :] = (
+              panel[pl.ds(c * chunk, chunk), :] - update)
+        return 0
+
+      jax.lax.fori_loop(c_start, n_chunks, chunk_step, 0)
+      return 0
+
+    if mode != 'nocorr':
+      jax.lax.fori_loop(0, n_strips, correct, 0)
+
+    if mode in ('nosweep', 'dmaonly'):
+      # Timing diagnostic: skip the sweep; W = I (output is garbage).
+      w = jnp.eye(block, dtype=jnp.float32)
+      l_ref[:] = w
+      below = jax.lax.dot_general(panel[:], w, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+      keep_below = (row_idx_n >= col0 + block).astype(jnp.float32)
+      panel[:] = below * keep_below
+      panel[pl.ds(col0, block), :] = l_ref[:]
+      co = pltpu.make_async_copy(
+          panel, l_hbm.at[:, pl.ds(col0, block)], sem_out)
+      co.start()
+      co.wait()
+      return 0
+
+    # Diagonal factorization: identical micro-blocked sweep to v5.
+    d0 = panel[pl.ds(col0, block), :]
+    d0 = 0.5 * (d0 + d0.T)
+    l_ref[:] = jnp.zeros((block, block), jnp.float32)
+    mb = _INV_BASE
+    for c0 in range(0, block, mb):
+      bcols = d0[:, c0:c0 + mb]
+      if c0 > 0:
+        bcols = bcols - jax.lax.dot_general(
+            l_ref[:, 0:c0], l_ref[c0:c0 + mb, 0:c0],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+      for kl in range(mb):
+        k = c0 + kl
+        col = bcols[:, kl:kl + 1]
+        akk = col[k, 0]
+        inv_d = jax.lax.rsqrt(jnp.maximum(akk, 1e-30))
+        lcol = jnp.where(row_idx_b >= k, col * inv_d, 0.0)
+        l_ref[:, k:k + 1] = lcol
+        seg = lcol[c0:c0 + mb, 0:1].T
+        bcols = bcols - lcol * seg
+
+    w = _tri_inverse(l_ref[:])
+    below = jax.lax.dot_general(panel[:], w, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    keep_below = (row_idx_n >= col0 + block).astype(jnp.float32)
+    panel[:] = below * keep_below
+    panel[pl.ds(col0, block), :] = l_ref[:]
+
+    co = pltpu.make_async_copy(
+        panel, l_hbm.at[:, pl.ds(col0, block)], sem_out)
+    co.start()
+    co.wait()
+    return 0
+
+  jax.lax.fori_loop(0, nb, panel_step, 0)
+
+
+def _stacked_sweep(d0, block, mb, row_idx_s, l_ref, w_ref):
+  """Factor [D; I] -> L_D (l_ref) and L_D^{-T} (w_ref) in one sweep.
+
+  The left-looking column sweep implements A -> A L^{-T}; running the
+  identical column operations (coefficients read from the TOP half) on
+  an identity block stacked below D yields I L^{-T} = L_D^{-T} for free,
+  replacing the separate forward-substitution triangular inverse.
+
+  The two halves live in SEPARATE (B, B) scratch refs: the remote
+  Mosaic toolchain crashes on dots whose operand is a sublane-offset-256
+  slice of a (2B, B) ref (bisected round 2, PERF.md), while per-column
+  writes of the (2B, 1) value's static halves compile fine.
+  """
+  s0 = jnp.concatenate([0.5 * (d0 + d0.T),
+                        jnp.eye(block, dtype=jnp.float32)], axis=0)
+  l_ref[:] = jnp.zeros((block, block), jnp.float32)
+  w_ref[:] = jnp.zeros((block, block), jnp.float32)
+  for c0 in range(0, block, mb):
+    bcols = s0[:, c0:c0 + mb]
+    if c0 > 0:
+      lsofar = jnp.concatenate([l_ref[:, 0:c0], w_ref[:, 0:c0]], axis=0)
+      bcols = bcols - jax.lax.dot_general(
+          lsofar, l_ref[c0:c0 + mb, 0:c0],
+          (((1,), (1,)), ((), ())),
+          preferred_element_type=jnp.float32)
+    for kl in range(mb):
+      k = c0 + kl
+      col = bcols[:, kl:kl + 1]
+      akk = col[k, 0]
+      inv_d = jax.lax.rsqrt(jnp.maximum(akk, 1e-30))
+      keep = (row_idx_s >= k) | (row_idx_s >= block)
+      lcol = jnp.where(keep, col * inv_d, 0.0)
+      l_ref[:, k:k + 1] = lcol[0:block, :]
+      w_ref[:, k:k + 1] = lcol[block:2 * block, :]
+      seg = lcol[c0:c0 + mb, 0:1].T
+      bcols = bcols - lcol * seg
+
+
+def _kernel_halfwide(n, block, chunk, tw, half, mode, a_hbm, l_hbm,
+                     halfbuf, lbuf, strip, l_ref, w_ref, sem_a, sem_l,
+                     sem_s, sem_out):
+  """v8: half-height panels + wide dual-buffered strips + stacked sweep.
+
+  The v7 breakdown (PERF.md round 2) shows per-DMA issue/wait overhead
+  dominating (~12.6 of 17.5 ms) and the diagonal stage costing ~4 ms.
+  v8 attacks both:
+
+    * the working panel shrinks to (half, B), freeing VMEM for
+      chunk x tw correction tiles of ~2 MB — an order of magnitude fewer
+      correction DMAs, dual-buffered behind the GEMMs;
+    * the diagonal stage runs ONE stacked sweep producing L_D and
+      L_D^{-T} together (_stacked_sweep) — no forward substitution, no
+      block triangular inverse;
+    * unlike v6, the sweep is NOT nested under pl.when inside the halves
+      loop: each panel processes its diagonal half explicitly first,
+      then loops over the strictly-below halves (the above-diagonal
+      tiles are zeroed once upfront).
+  """
+  nb = n // block
+  n_halves = n // half
+  chunks_per_half = half // chunk
+  mb = _INV_BASE
+  row_idx_h = jax.lax.broadcasted_iota(jnp.int32, (half, 1), 0)
+  row_idx_s = jax.lax.broadcasted_iota(jnp.int32, (2 * block, 1), 0)
+
+  # Zero the output once: wide strips read L columns at/beyond the pivot.
+  halfbuf[:] = jnp.zeros((half, block), jnp.float32)
+
+  def zero_step(i, _):
+    hh = jax.lax.div(i, nb)
+    jj = jax.lax.rem(i, nb)
+    co = pltpu.make_async_copy(
+        halfbuf, l_hbm.at[pl.ds(hh * half, half),
+                          pl.ds(jj * block, block)], sem_out)
+    co.start()
+    co.wait()
+    return 0
+
+  jax.lax.fori_loop(0, n_halves * nb, zero_step, 0)
+
+  if mode == 'zero_only':
+    return
+
+  def corrections(j, row0, skip_dead):
+    """halfbuf[rows row0..row0+half) -= L[rows, :col0] L[col0-row, :col0]^T."""
+    col0 = j * block
+    n_strips = jax.lax.div(col0 + tw - 1, tw)
+    # Chunks fully above the pivot column are dead (diagonal half only).
+    c_start = jax.lax.select(
+        skip_dead, jax.lax.div(col0 - row0, chunk), 0)
+
+    def correct(s, _):
+      scol = s * tw
+      cs = pltpu.make_async_copy(
+          l_hbm.at[pl.ds(col0, block), pl.ds(scol, tw)], strip, sem_s)
+      cs.start()
+      cs.wait()
+
+      def dma_for(c, slot):
+        return pltpu.make_async_copy(
+            l_hbm.at[pl.ds(row0 + c * chunk, chunk), pl.ds(scol, tw)],
+            lbuf.at[slot], sem_l.at[slot])
+
+      dma_for(c_start, 0).start()
+
+      def chunk_step(c, _):
+        slot = jax.lax.rem(c - c_start, 2)
+
+        @pl.when(c + 1 < chunks_per_half)
+        def _():
+          dma_for(c + 1, jax.lax.rem(c + 1 - c_start, 2)).start()
+
+        dma_for(c, slot).wait()
+        if mode != 'dmaonly':
+          update = jax.lax.dot_general(
+              lbuf[slot], strip[:], (((1,), (1,)), ((), ())),
+              preferred_element_type=jnp.float32)
+          halfbuf[pl.ds(c * chunk, chunk), :] = (
+              halfbuf[pl.ds(c * chunk, chunk), :] - update)
+        return 0
+
+      jax.lax.fori_loop(c_start, chunks_per_half, chunk_step, 0)
+      return 0
+
+    jax.lax.fori_loop(0, n_strips, correct, 0)
+
+  def panel_step(j, _):
+    col0 = j * block
+    h0 = jax.lax.div(col0, half)
+    row0_d = h0 * half
+    loc0 = col0 - row0_d
+
+    # --- diagonal half ---
+    cp = pltpu.make_async_copy(
+        a_hbm.at[pl.ds(row0_d, half), pl.ds(col0, block)], halfbuf,
+        sem_a)
+    cp.start()
+    cp.wait()
+
+    if mode in ('belowtest10', 'belowtest11', 'belowtest_mask',
+                'belowtest_splice'):
+      # Compile probes for the B=256 Mosaic crash (round 2).
+      l_ref[:] = jnp.eye(block, dtype=jnp.float32)
+      w_ref[:] = jnp.eye(block, dtype=jnp.float32)
+      dims = (((1,), (1,)), ((), ())) if mode == 'belowtest11' else (
+          ((1,), (0,)), ((), ()))
+      below = jax.lax.dot_general(halfbuf[:], w_ref[:], dims,
+                                  preferred_element_type=jnp.float32)
+      if mode in ('belowtest_mask', 'belowtest_splice'):
+        keep = ((row_idx_h + row0_d) >= col0 + block).astype(jnp.float32)
+        below = below * keep
+      halfbuf[:] = below
+      if mode == 'belowtest_splice':
+        halfbuf[pl.ds(loc0, block), :] = l_ref[:]
+      co = pltpu.make_async_copy(
+          halfbuf, l_hbm.at[pl.ds(row0_d, half), pl.ds(col0, block)],
+          sem_out)
+      co.start()
+      co.wait()
+      return 0
+
+    corrections(j, row0_d, skip_dead=True)
+
+    if mode in ('skeleton',):
+      co = pltpu.make_async_copy(
+          halfbuf, l_hbm.at[pl.ds(row0_d, half), pl.ds(col0, block)],
+          sem_out)
+      co.start()
+      co.wait()
+      return 0
+    if mode in ('nosweep', 'dmaonly', 'nobelow'):
+      l_ref[:] = jnp.eye(block, dtype=jnp.float32)
+      w_ref[:] = jnp.eye(block, dtype=jnp.float32)
+    else:
+      d0 = halfbuf[pl.ds(loc0, block), :]
+      _stacked_sweep(d0, block, mb, row_idx_s, l_ref, w_ref)
+
+    if mode != 'nobelow':
+      below = jax.lax.dot_general(
+          halfbuf[:], w_ref[:], (((1,), (0,)), ((), ())),
+          preferred_element_type=jnp.float32)
+      keep = ((row_idx_h + row0_d) >= col0 + block).astype(jnp.float32)
+      halfbuf[:] = below * keep
+      halfbuf[pl.ds(loc0, block), :] = l_ref[:]
+    co = pltpu.make_async_copy(
+        halfbuf, l_hbm.at[pl.ds(row0_d, half), pl.ds(col0, block)],
+        sem_out)
+    co.start()
+    co.wait()
+
+    # --- strictly-below halves ---
+    def half_step(h, _):
+      row0 = h * half
+      cp = pltpu.make_async_copy(
+          a_hbm.at[pl.ds(row0, half), pl.ds(col0, block)], halfbuf,
+          sem_a)
+      cp.start()
+      cp.wait()
+      corrections(j, row0, skip_dead=False)
+      if mode != 'nobelow':
+        halfbuf[:] = jax.lax.dot_general(
+            halfbuf[:], w_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+      co = pltpu.make_async_copy(
+          halfbuf, l_hbm.at[pl.ds(row0, half), pl.ds(col0, block)],
+          sem_out)
+      co.start()
+      co.wait()
+      return 0
+
+    jax.lax.fori_loop(h0 + 1, n_halves, half_step, 0)
+    return 0
+
+  jax.lax.fori_loop(0, nb, panel_step, 0)
+
+
+@functools.partial(jax.jit, static_argnames=('block', 'chunk', 'tw',
+                                             'half', 'mode', 'interpret'))
+def cholesky_hbm_halfwide(a: jnp.ndarray, block: int = 256,
+                          chunk: int = 512, tw: int = 1024,
+                          half: int = 2048, mode: str = 'full',
+                          interpret: bool = False) -> jnp.ndarray:
+  """v8 factorization: half-height panels, wide strips, stacked sweep.
+
+  VMEM: half*block + 2*chunk*tw + block*tw + 2*block*block floats
+  (7.5 MB at the defaults) — must stay under the remote toolchain's
+  ~9.3 MB scratch ceiling (measured round 2).
+  """
+  n = a.shape[-1]
+  half = min(half, n)
+  chunk = min(chunk, half)
+  tw = min(tw, n)
+  assert (n % block == 0 and n % half == 0 and half % chunk == 0 and
+          tw % block == 0 and n % tw == 0 and half % block == 0), (
+              n, block, chunk, tw, half)
+  assert mode in ('full', 'nosweep', 'dmaonly', 'nobelow', 'skeleton',
+                  'zero_only', 'belowtest10', 'belowtest11',
+                  'belowtest_mask', 'belowtest_splice'), mode
+  kernel = functools.partial(_kernel_halfwide, n, block, chunk, tw, half,
+                             mode)
+  return pl.pallas_call(
+      kernel,
+      in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+      out_specs=pl.BlockSpec(memory_space=pl.ANY),
+      out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
+      scratch_shapes=[
+          pltpu.VMEM((half, block), jnp.float32),       # halfbuf
+          pltpu.VMEM((2, chunk, tw), jnp.float32),      # lbuf x2
+          pltpu.VMEM((block, tw), jnp.float32),         # strip
+          pltpu.VMEM((block, block), jnp.float32),      # l_ref
+          pltpu.VMEM((block, block), jnp.float32),      # w_ref
+          pltpu.SemaphoreType.DMA,                      # sem_a
+          pltpu.SemaphoreType.DMA((2,)),                # sem_l
+          pltpu.SemaphoreType.DMA,                      # sem_s
+          pltpu.SemaphoreType.DMA,                      # sem_out
+      ],
+      compiler_params=pltpu.CompilerParams(has_side_effects=True),
+      interpret=interpret,
+  )(a.astype(jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=('block', 'chunk', 'tw',
+                                             'mode', 'interpret'))
+def cholesky_hbm_wide(a: jnp.ndarray, block: int = 256,
+                      chunk: int = 512, tw: int = 512,
+                      mode: str = 'full',
+                      interpret: bool = False) -> jnp.ndarray:
+  """v7 factorization: wide-strip corrections, dual-buffered chunk DMAs.
+
+  VMEM budget: n*block (panel) + 2*chunk*tw (lbuf) + block*tw (strip)
+  + block*block (l_ref) floats — keep under ~10.5 MB.
+  """
+  n = a.shape[-1]
+  chunk = min(chunk, n)
+  assert n % block == 0 and n % chunk == 0 and tw % block == 0 and (
+      n % tw == 0), (n, block, chunk, tw)
+  assert mode in ('full', 'nosweep', 'nocorr', 'dmaonly'), mode
+  kernel = functools.partial(_kernel_wide, n, block, chunk, tw, mode)
+  return pl.pallas_call(
+      kernel,
+      in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+      out_specs=pl.BlockSpec(memory_space=pl.ANY),
+      out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
+      scratch_shapes=[
+          pltpu.VMEM((n, block), jnp.float32),          # panel
+          pltpu.VMEM((2, chunk, tw), jnp.float32),      # lbuf x2
+          pltpu.VMEM((block, tw), jnp.float32),         # strip
+          pltpu.VMEM((block, block), jnp.float32),      # l_ref
+          pltpu.SemaphoreType.DMA,                      # sem_a
+          pltpu.SemaphoreType.DMA((2,)),                # sem_l
+          pltpu.SemaphoreType.DMA,                      # sem_s
+          pltpu.SemaphoreType.DMA,                      # sem_out
+      ],
+      compiler_params=pltpu.CompilerParams(has_side_effects=True),
+      interpret=interpret,
+  )(a.astype(jnp.float32))
+
+
 @functools.partial(jax.jit, static_argnames=('block', 'chunk', 'half',
                                              'interpret'))
 def cholesky_hbm_halves(a: jnp.ndarray, block: int = 256,

@@ -91,3 +91,27 @@ def test_hbm_cholesky_halves_matches_xla():
   got = pallas_chol_hbm.cholesky_hbm_halves(
       a, block=128, chunk=128, half=256, interpret=True)
   np.testing.assert_allclose(got, jnp.linalg.cholesky(a), atol=5e-4)
+
+
+def test_hbm_cholesky_wide_matches_xla():
+  """v7 wide-strip variant (interpret mode): dual-buffered chunk DMAs,
+  tw-wide contractions over the upfront-zeroed output."""
+  from hyperbo_tpu.ops import pallas_chol_hbm
+  n = 512
+  a = jax.random.normal(jax.random.PRNGKey(21), (n, n))
+  a = a @ a.T / n + jnp.eye(n)
+  got = pallas_chol_hbm.cholesky_hbm_wide(
+      a, block=128, chunk=128, tw=256, interpret=True)
+  np.testing.assert_allclose(got, jnp.linalg.cholesky(a), atol=5e-4)
+
+
+def test_hbm_cholesky_halfwide_matches_xla():
+  """v8 half-panel variant (interpret mode): stacked [D; I] sweep
+  produces L_D and L_D^{-T} together; wide dual-buffered strips."""
+  from hyperbo_tpu.ops import pallas_chol_hbm
+  n = 512
+  a = jax.random.normal(jax.random.PRNGKey(22), (n, n))
+  a = a @ a.T / n + jnp.eye(n)
+  got = pallas_chol_hbm.cholesky_hbm_halfwide(
+      a, block=128, chunk=128, tw=256, half=256, interpret=True)
+  np.testing.assert_allclose(got, jnp.linalg.cholesky(a), atol=5e-4)
