@@ -435,7 +435,8 @@ def _kernel_wide(n, block, chunk, tw, mode, a_hbm, l_hbm, panel, lbuf,
   jax.lax.fori_loop(0, nb, panel_step, 0)
 
 
-def _stacked_sweep(d0, block, mb, row_idx_s, l_ref, w_ref):
+def _stacked_sweep(d0, block, mb, row_idx_s, l_ref, w_ref,
+                   wstore='linvT'):
   """Factor [D; I] -> L_D (l_ref) and L_D^{-T} (w_ref) in one sweep.
 
   The left-looking column sweep implements A -> A L^{-T}; running the
@@ -455,7 +456,11 @@ def _stacked_sweep(d0, block, mb, row_idx_s, l_ref, w_ref):
   for c0 in range(0, block, mb):
     bcols = s0[:, c0:c0 + mb]
     if c0 > 0:
-      lsofar = jnp.concatenate([l_ref[:, 0:c0], w_ref[:, 0:c0]], axis=0)
+      if wstore == 'linvT':
+        wcols = w_ref[:, 0:c0]
+      else:                       # w_ref rows are L^{-1} rows
+        wcols = w_ref[0:c0, :].T  # = L^{-T}[:, :c0]
+      lsofar = jnp.concatenate([l_ref[:, 0:c0], wcols], axis=0)
       bcols = bcols - jax.lax.dot_general(
           lsofar, l_ref[c0:c0 + mb, 0:c0],
           (((1,), (1,)), ((), ())),
@@ -468,14 +473,17 @@ def _stacked_sweep(d0, block, mb, row_idx_s, l_ref, w_ref):
       keep = (row_idx_s >= k) | (row_idx_s >= block)
       lcol = jnp.where(keep, col * inv_d, 0.0)
       l_ref[:, k:k + 1] = lcol[0:block, :]
-      w_ref[:, k:k + 1] = lcol[block:2 * block, :]
+      if wstore == 'linvT':
+        w_ref[:, k:k + 1] = lcol[block:2 * block, :]
+      else:
+        w_ref[k:k + 1, :] = lcol[block:2 * block, 0:1].T
       seg = lcol[c0:c0 + mb, 0:1].T
       bcols = bcols - lcol * seg
 
 
-def _kernel_halfwide(n, block, chunk, tw, half, mode, a_hbm, l_hbm,
-                     halfbuf, lbuf, strip, l_ref, w_ref, sem_a, sem_l,
-                     sem_s, sem_out):
+def _kernel_halfwide(n, block, chunk, tw, half, mode, wstore, a_hbm,
+                     l_hbm, halfbuf, lbuf, strip, l_ref, w_ref, sem_a,
+                     sem_l, sem_s, sem_out):
   """v8: half-height panels + wide dual-buffered strips + stacked sweep.
 
   The v7 breakdown (PERF.md round 2) shows per-DMA issue/wait overhead
@@ -605,16 +613,19 @@ def _kernel_halfwide(n, block, chunk, tw, half, mode, a_hbm, l_hbm,
       co.start()
       co.wait()
       return 0
+    wdims = ((((1,), (0,)), ((), ())) if wstore == 'linvT' else
+             (((1,), (1,)), ((), ())))
     if mode in ('nosweep', 'dmaonly', 'nobelow'):
       l_ref[:] = jnp.eye(block, dtype=jnp.float32)
       w_ref[:] = jnp.eye(block, dtype=jnp.float32)
     else:
       d0 = halfbuf[pl.ds(loc0, block), :]
-      _stacked_sweep(d0, block, mb, row_idx_s, l_ref, w_ref)
+      _stacked_sweep(d0, block, mb, row_idx_s, l_ref, w_ref,
+                     wstore=wstore)
 
     if mode != 'nobelow':
       below = jax.lax.dot_general(
-          halfbuf[:], w_ref[:], (((1,), (0,)), ((), ())),
+          halfbuf[:], w_ref[:], wdims,
           preferred_element_type=jnp.float32)
       keep = ((row_idx_h + row0_d) >= col0 + block).astype(jnp.float32)
       halfbuf[:] = below * keep
@@ -636,7 +647,7 @@ def _kernel_halfwide(n, block, chunk, tw, half, mode, a_hbm, l_hbm,
       corrections(j, row0, skip_dead=False)
       if mode != 'nobelow':
         halfbuf[:] = jax.lax.dot_general(
-            halfbuf[:], w_ref[:], (((1,), (0,)), ((), ())),
+            halfbuf[:], w_ref[:], wdims,
             preferred_element_type=jnp.float32)
       co = pltpu.make_async_copy(
           halfbuf, l_hbm.at[pl.ds(row0, half), pl.ds(col0, block)],
@@ -652,10 +663,12 @@ def _kernel_halfwide(n, block, chunk, tw, half, mode, a_hbm, l_hbm,
 
 
 @functools.partial(jax.jit, static_argnames=('block', 'chunk', 'tw',
-                                             'half', 'mode', 'interpret'))
+                                             'half', 'mode', 'wstore',
+                                             'interpret'))
 def cholesky_hbm_halfwide(a: jnp.ndarray, block: int = 256,
                           chunk: int = 512, tw: int = 1024,
                           half: int = 2048, mode: str = 'full',
+                          wstore: str = 'linvT',
                           interpret: bool = False) -> jnp.ndarray:
   """v8 factorization: half-height panels, wide strips, stacked sweep.
 
@@ -673,8 +686,9 @@ def cholesky_hbm_halfwide(a: jnp.ndarray, block: int = 256,
   assert mode in ('full', 'nosweep', 'dmaonly', 'nobelow', 'skeleton',
                   'zero_only', 'belowtest10', 'belowtest11',
                   'belowtest_mask', 'belowtest_splice'), mode
+  assert wstore in ('linvT', 'linv'), wstore
   kernel = functools.partial(_kernel_halfwide, n, block, chunk, tw, half,
-                             mode)
+                             mode, wstore)
   return pl.pallas_call(
       kernel,
       in_specs=[pl.BlockSpec(memory_space=pl.ANY)],

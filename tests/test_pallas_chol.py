@@ -115,3 +115,27 @@ def test_hbm_cholesky_halfwide_matches_xla():
   got = pallas_chol_hbm.cholesky_hbm_halfwide(
       a, block=128, chunk=128, tw=256, half=256, interpret=True)
   np.testing.assert_allclose(got, jnp.linalg.cholesky(a), atol=5e-4)
+
+
+def test_fused_mll_matches_dense_pipeline():
+  """Single-kernel fused Gram+Cholesky+solve+logdet (interpret mode).
+
+  quad = y^T K^-1 y must match the dense solve and logdet the dense
+  factor; L parity guards the embedded v8 factorization."""
+  from hyperbo_tpu.ops import pallas_mll
+  n, d = 512, 4
+  x = jax.random.uniform(jax.random.PRNGKey(5), (n, d)) * 2.0
+  y = jax.random.normal(jax.random.PRNGKey(6), (n, 1))
+  sv, da = 1.3, 0.11
+  sq = jnp.sum((x[:, None, :] - x[None, :, :]) ** 2, -1)
+  kmat = sv * jnp.exp(-0.5 * sq) + da * jnp.eye(n)
+  lref = jnp.linalg.cholesky(kmat)
+  l, quad, ld = pallas_mll.mll_fused_hbm(
+      x, y, sv, da, block=128, chunk=128, tw=256, half=256,
+      interpret=True)
+  np.testing.assert_allclose(l, lref, atol=5e-4)
+  np.testing.assert_allclose(
+      float(quad), float(jnp.sum(y * jnp.linalg.solve(kmat, y))),
+      rtol=1e-4)
+  np.testing.assert_allclose(
+      float(ld), float(jnp.sum(jnp.log(jnp.diagonal(lref)))), rtol=1e-5)
