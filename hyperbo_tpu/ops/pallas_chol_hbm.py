@@ -38,6 +38,35 @@ from jax.experimental.pallas import tpu as pltpu
 _INV_BASE = 64
 
 
+def _dekker_split(x):
+  """x = hi + lo with hi exactly bf16-representable (<= 8 significand
+  bits), in pure f32 VPU arithmetic (Dekker splitting, splitter
+  2^16 + 1). The remote toolchain crashes on Precision.HIGHEST and on
+  bf16 casts inside kernels; the MXU converts f32 operands to bf16 per
+  pass, so split operands recover ~2^-16 relative accuracy with three
+  single-pass dots (X3 emulation). Measured in-kernel default dots run
+  single-pass bf16 (2.3e-3 rel err, round 2)."""
+  c = x * 65537.0
+  hi = c - (c - x)
+  return hi, x - hi
+
+
+def _pdot(a, b, dims, precise=True):
+  """dot_general with optional 3-pass split-operand precision."""
+  if not precise:
+    return jax.lax.dot_general(a, b, dims,
+                               preferred_element_type=jnp.float32)
+  a_hi, a_lo = _dekker_split(a)
+  b_hi, b_lo = _dekker_split(b)
+  o = jax.lax.dot_general(a_hi, b_hi, dims,
+                          preferred_element_type=jnp.float32)
+  o += jax.lax.dot_general(a_hi, b_lo, dims,
+                           preferred_element_type=jnp.float32)
+  o += jax.lax.dot_general(a_lo, b_hi, dims,
+                           preferred_element_type=jnp.float32)
+  return o
+
+
 def _forward_subst(l_mat):
   """Inverse of a lower-triangular (m, m) block by forward substitution.
 
@@ -255,7 +284,7 @@ def _kernel_halves(n, block, chunk, half, a_hbm, l_hbm, halfbuf, lbuf,
         # Diagonal half: factorize + store W for the later halves.
         @pl.when(has_diag)
         def _():
-          loc0 = col0 - row0
+          loc0 = pl.multiple_of(col0 - row0, block)
           d0 = halfbuf[pl.ds(loc0, block), :]
           d0 = 0.5 * (d0 + d0.T)
           l_ref[:] = jnp.zeros((block, block), jnp.float32)
@@ -573,7 +602,7 @@ def _kernel_halfwide(n, block, chunk, tw, half, mode, wstore, a_hbm,
     col0 = j * block
     h0 = jax.lax.div(col0, half)
     row0_d = h0 * half
-    loc0 = col0 - row0_d
+    loc0 = pl.multiple_of(col0 - row0_d, block)
 
     # --- diagonal half ---
     cp = pltpu.make_async_copy(
@@ -809,3 +838,54 @@ def cholesky_hbm(a: jnp.ndarray, block: int = 256,
       compiler_params=pltpu.CompilerParams(has_side_effects=True),
       interpret=interpret,
   )(a.astype(jnp.float32))
+
+
+def _sweep_fori(d0, block, mb, lane_idx, lt_ref, wt_ref, top_ref,
+                bot_ref, precise=False):
+  """Transposed fori-loop sweep: lt_ref rows = L columns, wt_ref rows =
+  L^{-1} rows.
+
+  Same [D; I] stacked algebra as _split_sweep, but the per-column steps
+  run in a lax.fori_loop with DYNAMIC k: rows are written at dynamic
+  SUBLANE offsets (well-supported) and the per-step scalar pivot is
+  extracted with a one-hot lane reduction. This keeps the Mosaic
+  program O(micro-blocks) instead of O(block) unrolled steps — the
+  unrolled sweep alone takes 33 s to compile at B=256 and its
+  composition with the rest of the kernel crashes the remote
+  compile-helper (round 2, PERF.md).
+
+  All consumers use transposed layouts: L_D = lt_ref^T, below-panel
+  dots contract with wt_ref via (((1,), (1,)), ...) — the pattern the
+  toolchain accepts at B=256.
+  """
+  eye = jnp.eye(block, dtype=jnp.float32)
+  lt_ref[:] = jnp.zeros((block, block), jnp.float32)
+  wt_ref[:] = jnp.zeros((block, block), jnp.float32)
+  for c0 in range(0, block, mb):
+    top = d0[c0:c0 + mb, :]                # = d0[:, c0:c0+mb]^T (symm)
+    bot = eye[c0:c0 + mb, :]
+    if c0 > 0:
+      seed = lt_ref[0:c0, c0:c0 + mb]      # (c0, mb) static slice
+      top = top - _pdot(seed, lt_ref[0:c0, :], (((0,), (0,)), ((), ())),
+                        precise)
+      bot = bot - _pdot(seed, wt_ref[0:c0, :], (((0,), (0,)), ((), ())),
+                        precise)
+    top_ref[:] = top
+    bot_ref[:] = bot
+
+    def step(kl, _):
+      k = c0 + kl
+      trow = top_ref[pl.ds(kl, 1), :]                  # (1, B)
+      brow = bot_ref[pl.ds(kl, 1), :]
+      akk = jnp.sum(jnp.where(lane_idx == k, trow, 0.0))
+      inv_d = jax.lax.rsqrt(jnp.maximum(akk, 1e-30))
+      lrow = jnp.where(lane_idx >= k, trow * inv_d, 0.0)
+      wrow = brow * inv_d
+      lt_ref[pl.ds(k, 1), :] = lrow
+      wt_ref[pl.ds(k, 1), :] = wrow
+      seg = lrow[0:1, c0:c0 + mb].T                    # (mb, 1)
+      top_ref[:] = top_ref[:] - seg * lrow
+      bot_ref[:] = bot_ref[:] - seg * wrow
+      return 0
+
+    jax.lax.fori_loop(0, mb, step, 0)

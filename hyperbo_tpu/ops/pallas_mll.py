@@ -30,157 +30,258 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from hyperbo_tpu.ops.pallas_chol_hbm import _INV_BASE, _stacked_sweep
+from hyperbo_tpu.ops.pallas_chol_hbm import (_INV_BASE, _dekker_split,
+                                             _pdot, _stacked_sweep,
+                                             _sweep_fori)
 
 
-def _kernel_mll(n, d, block, chunk, tw, half, wstore, xt_ref, y_ref,
-                sv_ref, diag_ref, l_hbm, quad_ref, ld_ref, halfbuf,
-                lbuf, strip, l_ref, w_ref, z_ref, s_ref,
-                sem_l, sem_s, sem_out):
+def mll_fused_hbm(x_scaled, y, signal_variance, diag_add,
+                  block: int = 256, chunk: int = 512, tw: int = 1024,
+                  half: int = 2048, wstore: str = 'linv',
+                  interpret: bool = False):
+  """Compatibility alias for the panel-major kernel (v9).
+
+  The original row-major fused kernel (v8-fused) depended on
+  lane-dynamic VMEM slices that the remote Mosaic toolchain miscompiles
+  (NaNs on hardware, round 2) and a column-panel layout whose strided
+  DMAs dominated runtime; mll_fused_pm supersedes it. chunk/tw are
+  accepted and ignored.
+  """
+  del chunk, tw
+  return mll_fused_pm(x_scaled, y, signal_variance, diag_add,
+                      block=block, half=min(half, 1024), wstore=wstore,
+                      return_l=True, interpret=interpret)
+
+
+def _split_sweep(d0, block, mb, row_idx_b, l_ref, w_ref, wstore,
+                 precise=False):
+  """Factor D -> L_D (l_ref) and its inverse transpose/inverse (w_ref).
+
+  Same stacked-[D; I] algebra as _stacked_sweep, but the top (D) and
+  bottom (I) halves are carried as SEPARATE (B, mb) values — no tall
+  (2B, *) values or offset-B slices, which the remote Mosaic toolchain
+  miscompiles or rejects at B=256 (bisected round 2, PERF.md).
+  wstore='linvT': w_ref holds L_D^{-T} (column writes);
+  wstore='linv':  w_ref holds L_D^{-1} (row writes) so downstream dots
+  use the ((1,),(1,)) contraction the toolchain accepts at B=256.
+  """
+  eye = jnp.eye(block, dtype=jnp.float32)
+  l_ref[:] = jnp.zeros((block, block), jnp.float32)
+  w_ref[:] = jnp.zeros((block, block), jnp.float32)
+  for c0 in range(0, block, mb):
+    top = d0[:, c0:c0 + mb]
+    bot = eye[:, c0:c0 + mb]
+    if c0 > 0:
+      strip2 = l_ref[c0:c0 + mb, 0:c0]                 # (mb, c0)
+      top = top - _pdot(l_ref[:, 0:c0], strip2,
+                        (((1,), (1,)), ((), ())), precise)
+      if wstore == 'linvT':
+        wcols = w_ref[:, 0:c0]                         # L^{-T} columns
+      else:
+        wcols = w_ref[0:c0, :].T                       # rows -> columns
+      bot = bot - _pdot(wcols, strip2, (((1,), (1,)), ((), ())),
+                        precise)
+    for kl in range(mb):
+      k = c0 + kl
+      tcol = top[:, kl:kl + 1]
+      bcol = bot[:, kl:kl + 1]
+      akk = tcol[k, 0]
+      inv_d = jax.lax.rsqrt(jnp.maximum(akk, 1e-30))
+      lcol = jnp.where(row_idx_b >= k, tcol * inv_d, 0.0)
+      wcol = bcol * inv_d
+      l_ref[:, k:k + 1] = lcol
+      if wstore == 'linvT':
+        w_ref[:, k:k + 1] = wcol
+      else:
+        w_ref[k:k + 1, :] = wcol.T
+      seg = lcol[c0:c0 + mb, 0:1].T                    # (1, mb)
+      top = top - lcol * seg
+      bot = bot - wcol * seg
+
+
+def _kernel_mll_pm(n, d, block, half, wstore, sweep, precise, mode,
+                   xa_hbm,
+                   xb_hbm, y_ref, sv_ref, diag_ref, l_hbm, quad_ref,
+                   ld_ref, halfbuf, lbuf, strip, l_ref, w_ref, z_ref,
+                   s_ref, xbuf, xcbuf, top_ref, bot_ref,
+                   sem_l, sem_s, sem_x, sem_out):
+  """Panel-major fused MLL (v9).
+
+  L lives as (nb, n, B) — panel j is l_hbm[j] — so EVERY transfer is a
+  contiguous HBM region: the (half, B) correction loads, the (B, B)
+  strips and the output stores. The row-major column-panel layout made
+  each DMA pay ~17 ns per 512-1024 byte row (measured: an 11.6 ms DMA
+  skeleton for ~1.3 GB); contiguous panels remove that entirely.
+  Corrections stream whole halves (no chunk subdivision): one
+  (half, B) x (B, B)^T MXU GEMM per (panel t, half), dual-buffered on
+  both the strip and the half tiles.
+
+  No lane-dynamic VECTOR ops anywhere: y and z are panel-major
+  (nb, B) refs (sublane-dynamic row access only) and x tiles arrive by
+  DMA from HBM — round-2 hardware runs showed lane-dynamic VMEM slices
+  produce NaNs despite exact interpret-mode results.
+  """
   nb = n // block
   n_halves = n // half
-  chunks_per_half = half // chunk
   mb = _INV_BASE
   row_idx_h = jax.lax.broadcasted_iota(jnp.int32, (half, 1), 0)
-  row_idx_s = jax.lax.broadcasted_iota(jnp.int32, (2 * block, 1), 0)
+  row_idx_b = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
   tile_r = jax.lax.broadcasted_iota(jnp.int32, (half, block), 0)
   tile_c = jax.lax.broadcasted_iota(jnp.int32, (half, block), 1)
-  ones_d = jnp.ones((d, 1), jnp.float32)
   eye_b = jnp.eye(block, dtype=jnp.float32)
 
-  # Zero the output L (wide strips read at/beyond the pivot) and the
-  # solve/accumulator state.
   halfbuf[:] = jnp.zeros((half, block), jnp.float32)
 
+  # Zero pass, two DMAs in flight (all reads from the same zeroed
+  # halfbuf; ping-pong on the two lbuf semaphores).
+  def zero_dma(i, slot):
+    jj = jax.lax.div(i, n_halves)
+    hh = jax.lax.rem(i, n_halves)
+    return pltpu.make_async_copy(
+        halfbuf, l_hbm.at[jj, pl.ds(hh * half, half), :],
+        sem_l.at[slot])
+
+  zero_dma(0, 0).start()
+
   def zero_step(i, _):
-    hh = jax.lax.div(i, nb)
-    jj = jax.lax.rem(i, nb)
-    co = pltpu.make_async_copy(
-        halfbuf, l_hbm.at[pl.ds(hh * half, half),
-                          pl.ds(jj * block, block)], sem_out)
-    co.start()
-    co.wait()
+    slot = jax.lax.rem(i, 2)
+
+    @pl.when(i + 1 < nb * n_halves)
+    def _():
+      zero_dma(i + 1, jax.lax.rem(i + 1, 2)).start()
+
+    zero_dma(i, slot).wait()
     return 0
 
-  jax.lax.fori_loop(0, n_halves * nb, zero_step, 0)
-  z_ref[:] = jnp.zeros((1, n), jnp.float32)
+  jax.lax.fori_loop(0, nb * n_halves, zero_step, 0)
+  z_ref[:] = jnp.zeros((nb, block), jnp.float32)
 
-  def gram_tile(row0, col0):
-    """sv * exp(-0.5 sqdist) tile for rows [row0,row0+half) x B cols."""
-    xr = xt_ref[:, pl.ds(row0, half)]                 # (d, half)
-    xc = xt_ref[:, pl.ds(col0, block)]                # (d, B)
-    cross = jax.lax.dot_general(xr, xc, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-    sq_r = jax.lax.dot_general(xr * xr, ones_d, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    sq_c = jax.lax.dot_general(xc * xc, ones_d, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    sqd = sq_r + sq_c.T - 2.0 * cross
+  def gram_tile(h, j):
+    # sqd comes from ONE natural-layout MXU dot on the host-prepared
+    # distance embedding: xa = [-2x, |x|^2, 1], xb = [x, 1, |x|^2]
+    # (both lane-padded to 128), so xa xb^T = |xi-xj|^2 directly.
+    # In-kernel sublane-contracted (d, *) norm dots returned ~2e-2
+    # absolute tile errors on hardware (round 2, exp 18) — this
+    # embedding avoids them and the cancellation-prone assembly.
+    # Both arrays are stored tile-major — (n_halves, half, 128) and
+    # (nb, B, 128) — so the DMAs are contiguous; row-major slices paid
+    # ~17 ns/row in strided overhead (~2.4 ms/iteration total).
+    cx = pltpu.make_async_copy(xa_hbm.at[h], xbuf, sem_x)
+    cx.start()
+    cx.wait()
+    cc = pltpu.make_async_copy(xb_hbm.at[j], xcbuf, sem_x)
+    cc.start()
+    cc.wait()
+    sqd = _pdot(xbuf[:], xcbuf[:], (((1,), (1,)), ((), ())), precise)
     return sv_ref[0, 0] * jnp.exp(-0.5 * jnp.maximum(sqd, 0.0))
 
-  def corrections(j, row0, with_solve):
-    """halfbuf -= L[rows, :col0] L[col0.., :col0]^T; optionally s += ..."""
-    col0 = j * block
-    n_strips = jax.lax.div(col0 + tw - 1, tw)
-    c_start = jax.lax.select(
-        with_solve, jax.lax.div(col0 - row0, chunk), 0)
+  if sweep == 'fori':
+    wstore = 'linv'      # w_ref rows are L^{-1} rows in this layout
+  wdims = ((((1,), (0,)), ((), ())) if wstore == 'linvT' else
+           (((1,), (1,)), ((), ())))
 
-    def correct(s, _):
-      scol = s * tw
-      cs = pltpu.make_async_copy(
-          l_hbm.at[pl.ds(col0, block), pl.ds(scol, tw)], strip, sem_s)
-      cs.start()
+  def corrections(j, row0, col0, with_solve):
+    """halfbuf -= sum_t L[t][rows] L[t][col-rows]^T, dual-buffered."""
+    if mode == 'nocorr':
+      return
+
+    def dma_pair(t, slot):
+      return (pltpu.make_async_copy(
+          l_hbm.at[t, pl.ds(col0, block), :], strip.at[slot],
+          sem_s.at[slot]),
+              pltpu.make_async_copy(
+          l_hbm.at[t, pl.ds(row0, half), :], lbuf.at[slot],
+          sem_l.at[slot]))
+
+    @pl.when(j > 0)
+    def _():
+      cs0, cl0 = dma_pair(0, 0)
+      cs0.start()
+      cl0.start()
+
+    def t_step(t, _):
+      slot = jax.lax.rem(t, 2)
+
+      @pl.when(t + 1 < j)
+      def _():
+        cs1, cl1 = dma_pair(t + 1, jax.lax.rem(t + 1, 2))
+        cs1.start()
+        cl1.start()
+
+      cs, cl = dma_pair(t, slot)
       cs.wait()
+      cl.wait()
       if with_solve:
-        # Forward-solve partial sum: s += L[j, cols] z[cols] — the strip
-        # is exactly the row block the solve needs.
-        zs = z_ref[0:1, pl.ds(scol, tw)]              # (1, tw)
-        s_ref[:] = s_ref[:] + jnp.sum(strip[:] * zs, axis=1,
+        zs = z_ref[pl.ds(t, 1), :]                      # (1, B)
+        s_ref[:] = s_ref[:] + jnp.sum(strip[slot] * zs, axis=1,
                                       keepdims=True)
-
-      def dma_for(c, slot):
-        return pltpu.make_async_copy(
-            l_hbm.at[pl.ds(row0 + c * chunk, chunk), pl.ds(scol, tw)],
-            lbuf.at[slot], sem_l.at[slot])
-
-      dma_for(c_start, 0).start()
-
-      def chunk_step(c, _):
-        slot = jax.lax.rem(c - c_start, 2)
-
-        @pl.when(c + 1 < chunks_per_half)
-        def _():
-          dma_for(c + 1, jax.lax.rem(c + 1 - c_start, 2)).start()
-
-        dma_for(c, slot).wait()
-        update = jax.lax.dot_general(
-            lbuf[slot], strip[:], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        halfbuf[pl.ds(c * chunk, chunk), :] = (
-            halfbuf[pl.ds(c * chunk, chunk), :] - update)
-        return 0
-
-      jax.lax.fori_loop(c_start, chunks_per_half, chunk_step, 0)
+      if mode != 'dmaonly':
+        update = _pdot(lbuf[slot], strip[slot],
+                       (((1,), (1,)), ((), ())), precise)
+        halfbuf[:] = halfbuf[:] - update
       return 0
 
-    jax.lax.fori_loop(0, n_strips, correct, 0)
+    jax.lax.fori_loop(0, j, t_step, 0)
 
   def panel_step(j, _):
     col0 = j * block
     h0 = jax.lax.div(col0, half)
     row0_d = h0 * half
-    loc0 = col0 - row0_d
+    # multiple_of: Mosaic's alignment prover cannot see through the
+    # subtraction; without the hint every B=256 half-panel kernel dies
+    # with "cannot statically prove that index ... is a multiple of 8".
+    loc0 = pl.multiple_of(col0 - row0_d, block)
 
-    # --- diagonal half: Gram tile + jitter, corrections + solve taps ---
-    tile = gram_tile(row0_d, col0)
+    # --- diagonal half ---
+    tile = gram_tile(h0, j)
     on_diag = ((tile_r + row0_d) == (tile_c + col0)).astype(jnp.float32)
     halfbuf[:] = tile + diag_ref[0, 0] * on_diag
     s_ref[:] = jnp.zeros((block, 1), jnp.float32)
-    corrections(j, row0_d, with_solve=True)
+    corrections(j, row0_d, col0, with_solve=True)
 
     d0 = halfbuf[pl.ds(loc0, block), :]
-    _stacked_sweep(d0, block, mb, row_idx_s, l_ref, w_ref,
-                   wstore=wstore)
-
-    # log det += sum log diag L_D
-    ld = l_ref[:]
-    ld_ref[0, 0] += jnp.sum(jnp.where(eye_b > 0.0, jnp.log(
-        jnp.maximum(ld, 1e-30)), 0.0))
-
-    # z_j = L_D^{-1} (y_j - s_j), stored lane-major.
-    v = y_ref[0:1, pl.ds(col0, block)] - s_ref[:].T    # (1, B)
-    if wstore == 'linvT':
-      zj = jax.lax.dot_general(v, w_ref[:], (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+    d0 = 0.5 * (d0 + d0.T)
+    if mode == 'nosweep':
+      l_ref[:] = jnp.eye(block, dtype=jnp.float32)
+      w_ref[:] = jnp.eye(block, dtype=jnp.float32)
+      l_d = l_ref[:]
+    elif sweep == 'fori':
+      # l_ref holds L^T (rows = columns), w_ref holds L^{-1} rows.
+      lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
+      _sweep_fori(d0, block, mb, lane_idx, l_ref, w_ref, top_ref,
+                  bot_ref, precise=precise)
+      l_d = l_ref[:].T
     else:
-      zj = jax.lax.dot_general(v, w_ref[:], (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    z_ref[0:1, pl.ds(col0, block)] = zj
+      _split_sweep(d0, block, mb, row_idx_b, l_ref, w_ref, wstore,
+                   precise=precise)
+      l_d = l_ref[:]
 
-    wdims = ((((1,), (0,)), ((), ())) if wstore == 'linvT' else
-             (((1,), (1,)), ((), ())))
-    below = jax.lax.dot_general(halfbuf[:], w_ref[:], wdims,
-                                preferred_element_type=jnp.float32)
-    keep = ((row_idx_h + row0_d) >= col0 + block).astype(jnp.float32)
-    halfbuf[:] = below * keep
-    halfbuf[pl.ds(loc0, block), :] = l_ref[:]
+    ld_diag = l_ref[:]   # diag identical under transpose
+    ld_ref[0, 0] += jnp.sum(jnp.where(eye_b > 0.0, jnp.log(
+        jnp.maximum(ld_diag, 1e-30)), 0.0))
+
+    # z_j = L_D^{-1} (y_j - s_j): (1, B) row stored panel-major.
+    v = y_ref[pl.ds(j, 1), :] - s_ref[:].T
+    zj = _pdot(v, w_ref[:], wdims, precise)
+    z_ref[pl.ds(j, 1), :] = zj
+
+    below = _pdot(halfbuf[:], w_ref[:], wdims, precise)
+    keep = (row_idx_h + row0_d) >= col0 + block
+    halfbuf[:] = jnp.where(keep, below, 0.0)
+    halfbuf[pl.ds(loc0, block), :] = l_d
     co = pltpu.make_async_copy(
-        halfbuf, l_hbm.at[pl.ds(row0_d, half), pl.ds(col0, block)],
-        sem_out)
+        halfbuf, l_hbm.at[j, pl.ds(row0_d, half), :], sem_out)
     co.start()
     co.wait()
 
-    # --- strictly-below halves ---
+    # --- strictly-below halves (all rows > col0 + B: no masking) ---
     def half_step(h, _):
       row0 = h * half
-      halfbuf[:] = gram_tile(row0, col0)
-      corrections(j, row0, with_solve=False)
-      halfbuf[:] = jax.lax.dot_general(
-          halfbuf[:], w_ref[:], wdims,
-          preferred_element_type=jnp.float32)
+      halfbuf[:] = gram_tile(h, j)
+      corrections(j, row0, col0, with_solve=False)
+      halfbuf[:] = _pdot(halfbuf[:], w_ref[:], wdims, precise)
       co = pltpu.make_async_copy(
-          halfbuf, l_hbm.at[pl.ds(row0, half), pl.ds(col0, block)],
-          sem_out)
+          halfbuf, l_hbm.at[j, pl.ds(row0, half), :], sem_out)
       co.start()
       co.wait()
       return 0
@@ -193,73 +294,84 @@ def _kernel_mll(n, d, block, chunk, tw, half, wstore, xt_ref, y_ref,
   quad_ref[0, 0] = jnp.sum(z_ref[:] * z_ref[:])
 
 
-@functools.partial(jax.jit, static_argnames=('block', 'chunk', 'tw',
-                                             'half', 'wstore',
-                                             'interpret'))
-def mll_fused_hbm(x_scaled: jnp.ndarray, y: jnp.ndarray,
-                  signal_variance, diag_add, block: int = 256,
-                  chunk: int = 512, tw: int = 1024, half: int = 2048,
-                  wstore: str = 'linvT',
-                  interpret: bool = False):
-  """Fused SE-kernel GP NLL pieces in one Pallas kernel.
+@functools.partial(jax.jit, static_argnames=('block', 'half', 'wstore',
+                                             'sweep', 'precise', 'mode',
+                                             'return_l', 'interpret'))
+def mll_fused_pm(x_scaled: jnp.ndarray, y: jnp.ndarray,
+                 signal_variance, diag_add, block: int = 256,
+                 half: int = 2048, wstore: str = 'linv',
+                 sweep: str = 'fori', precise: bool = True,
+                 mode: str = 'full',
+                 return_l: bool = False,
+                 interpret: bool = False):
+  """Panel-major fused SE-kernel GP NLL (v9; see _kernel_mll_pm).
 
-  Args:
-    x_scaled: (n, d) inputs already divided by the length scales.
-    y: (n, 1) centered targets.
-    signal_variance: scalar kernel variance.
-    diag_add: scalar added to the Gram diagonal (noise + jitter).
-    block/chunk/tw/half/wstore: factorization tiling (see
-      cholesky_hbm_halfwide).
-
-  Returns:
-    (l, quad, logdet_half): the lower factor, y^T K^{-1} y, and
-    sum(log(diag(l))). NLL = 0.5*quad + logdet_half + n/2 log(2 pi).
+  Returns (quad, logdet_half) — or (l, quad, logdet_half) with
+  return_l=True, where l is reassembled to the usual (n, n) lower form.
   """
   n, d = x_scaled.shape
   half = min(half, n)
-  chunk = min(chunk, half)
-  tw = min(tw, n)
-  assert (n % block == 0 and n % half == 0 and half % chunk == 0 and
-          tw % block == 0 and n % tw == 0 and half % block == 0), (
-              n, block, chunk, tw, half)
+  assert (n % block == 0 and n % half == 0 and half % block == 0), (
+      n, block, half)
   assert wstore in ('linvT', 'linv'), wstore
-  xt = x_scaled.astype(jnp.float32).T                     # (d, n)
-  yrow = y.astype(jnp.float32).reshape(1, n)
+  assert sweep in ('fori', 'unroll'), sweep
+  nb = n // block
+  xs32 = x_scaled.astype(jnp.float32)
+  sqn = jnp.sum(xs32 * xs32, axis=1, keepdims=True)
+  onev = jnp.ones((n, 1), jnp.float32)
+  feat = 128
+  assert d + 2 <= feat, d
+  pad = jnp.zeros((n, feat - d - 2), jnp.float32)
+  xa = jnp.concatenate([-2.0 * xs32, sqn, onev, pad],
+                       axis=1).reshape(n // half, half, feat)
+  xb = jnp.concatenate([xs32, onev, sqn, pad],
+                       axis=1).reshape(nb, block, feat)
+  y_pm = y.astype(jnp.float32).reshape(nb, block)
   sv = jnp.asarray(signal_variance, jnp.float32).reshape(1, 1)
   da = jnp.asarray(diag_add, jnp.float32).reshape(1, 1)
-  kernel = functools.partial(_kernel_mll, n, d, block, chunk, tw, half,
-                             wstore)
-  l, quad, ld = pl.pallas_call(
+  assert mode in ('full', 'nosweep', 'nocorr', 'dmaonly'), mode
+  kernel = functools.partial(_kernel_mll_pm, n, d, block, half, wstore,
+                             sweep, precise, mode)
+  l_pm, quad, ld = pl.pallas_call(
       kernel,
       in_specs=[
-          pl.BlockSpec(memory_space=pltpu.VMEM),       # xt
-          pl.BlockSpec(memory_space=pltpu.VMEM),       # y row
+          pl.BlockSpec(memory_space=pl.ANY),           # xa in HBM
+          pl.BlockSpec(memory_space=pl.ANY),           # xb in HBM
+          pl.BlockSpec(memory_space=pltpu.VMEM),       # y panel-major
           pl.BlockSpec(memory_space=pltpu.SMEM),       # sv
           pl.BlockSpec(memory_space=pltpu.SMEM),       # diag_add
       ],
       out_specs=(
-          pl.BlockSpec(memory_space=pl.ANY),           # L
+          pl.BlockSpec(memory_space=pl.ANY),           # L panels
           pl.BlockSpec(memory_space=pltpu.SMEM),       # quad
           pl.BlockSpec(memory_space=pltpu.SMEM),       # logdet
       ),
       out_shape=(
-          jax.ShapeDtypeStruct((n, n), jnp.float32),
+          jax.ShapeDtypeStruct((nb, n, block), jnp.float32),
           jax.ShapeDtypeStruct((1, 1), jnp.float32),
           jax.ShapeDtypeStruct((1, 1), jnp.float32),
       ),
       scratch_shapes=[
           pltpu.VMEM((half, block), jnp.float32),       # halfbuf
-          pltpu.VMEM((2, chunk, tw), jnp.float32),      # lbuf x2
-          pltpu.VMEM((block, tw), jnp.float32),         # strip
+          pltpu.VMEM((2, half, block), jnp.float32),    # lbuf x2
+          pltpu.VMEM((2, block, block), jnp.float32),   # strip x2
           pltpu.VMEM((block, block), jnp.float32),      # l_ref
           pltpu.VMEM((block, block), jnp.float32),      # w_ref
-          pltpu.VMEM((1, n), jnp.float32),              # z row
+          pltpu.VMEM((nb, block), jnp.float32),         # z panel-major
           pltpu.VMEM((block, 1), jnp.float32),          # s partial
+          pltpu.VMEM((half, 128), jnp.float32),         # xa row tile
+          pltpu.VMEM((block, 128), jnp.float32),        # xb col tile
+          pltpu.VMEM((_INV_BASE, block), jnp.float32),  # sweep top
+          pltpu.VMEM((_INV_BASE, block), jnp.float32),  # sweep bot
           pltpu.SemaphoreType.DMA((2,)),                # sem_l
-          pltpu.SemaphoreType.DMA,                      # sem_s
+          pltpu.SemaphoreType.DMA((2,)),                # sem_s
+          pltpu.SemaphoreType.DMA,                      # sem_x
           pltpu.SemaphoreType.DMA,                      # sem_out
       ],
       compiler_params=pltpu.CompilerParams(has_side_effects=True),
       interpret=interpret,
-  )(xt, yrow, sv, da)
-  return l, quad[0, 0], ld[0, 0]
+  )(xa, xb, y_pm, sv, da)
+  if return_l:
+    l = jnp.moveaxis(l_pm, 0, 1).reshape(n, n)
+    return l, quad[0, 0], ld[0, 0]
+  return quad[0, 0], ld[0, 0]
