@@ -145,7 +145,9 @@ def bench_chol():
   kind = getattr(jax.devices()[0], 'device_kind', platform)
   on_tpu = platform not in ('cpu',)
   n = int(os.environ.get('BENCH_N', 8192 if on_tpu else 1024))
-  k_iters = int(os.environ.get('BENCH_K', 16 if on_tpu else 2))
+  # 64 iterations amortize the ~28 ms tunnel dispatch+readback to
+  # <0.5 ms/iter (it is not kernel time; BENCH_K to override).
+  k_iters = int(os.environ.get('BENCH_K', 64 if on_tpu else 2))
   d = 8
   log(f'device: {kind}; n={n} k={k_iters}')
   if os.environ.get('BENCH_HBM') == '1':

@@ -873,19 +873,28 @@ def _sweep_fori(d0, block, mb, lane_idx, lt_ref, wt_ref, top_ref,
     top_ref[:] = top
     bot_ref[:] = bot
 
-    def step(kl, _):
-      k = c0 + kl
+    # Inner steps are issue-bound (~0.5 us each); two columns per fori
+    # iteration and NO >=k lane mask on lrow. The unmasked lanes < k
+    # carry only the ~1e-7 elimination residue (exactly-zero in exact
+    # arithmetic); the final factor is tril-masked once by the caller.
+    def substep(k):
+      kl = k - c0
       trow = top_ref[pl.ds(kl, 1), :]                  # (1, B)
       brow = bot_ref[pl.ds(kl, 1), :]
       akk = jnp.sum(jnp.where(lane_idx == k, trow, 0.0))
       inv_d = jax.lax.rsqrt(jnp.maximum(akk, 1e-30))
-      lrow = jnp.where(lane_idx >= k, trow * inv_d, 0.0)
+      lrow = trow * inv_d
       wrow = brow * inv_d
       lt_ref[pl.ds(k, 1), :] = lrow
       wt_ref[pl.ds(k, 1), :] = wrow
       seg = lrow[0:1, c0:c0 + mb].T                    # (mb, 1)
       top_ref[:] = top_ref[:] - seg * lrow
       bot_ref[:] = bot_ref[:] - seg * wrow
+
+    def step(i, _):
+      k = c0 + 2 * i
+      substep(k)
+      substep(k + 1)
       return 0
 
-    jax.lax.fori_loop(0, mb, step, 0)
+    jax.lax.fori_loop(0, mb // 2, step, 0)

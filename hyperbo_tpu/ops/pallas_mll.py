@@ -100,7 +100,7 @@ def _split_sweep(d0, block, mb, row_idx_b, l_ref, w_ref, wstore,
 
 
 def _kernel_mll_pm(n, d, block, half, wstore, sweep, precise, mode,
-                   xa_hbm,
+                   mb, slots, xa_hbm,
                    xb_hbm, y_ref, sv_ref, diag_ref, l_hbm, quad_ref,
                    ld_ref, halfbuf, lbuf, strip, l_ref, w_ref, z_ref,
                    s_ref, xbuf, xcbuf, top_ref, bot_ref,
@@ -123,12 +123,13 @@ def _kernel_mll_pm(n, d, block, half, wstore, sweep, precise, mode,
   """
   nb = n // block
   n_halves = n // half
-  mb = _INV_BASE
   row_idx_h = jax.lax.broadcasted_iota(jnp.int32, (half, 1), 0)
   row_idx_b = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
   tile_r = jax.lax.broadcasted_iota(jnp.int32, (half, block), 0)
   tile_c = jax.lax.broadcasted_iota(jnp.int32, (half, block), 1)
   eye_b = jnp.eye(block, dtype=jnp.float32)
+  tril_b = (jax.lax.broadcasted_iota(jnp.int32, (block, block), 0) >=
+            jax.lax.broadcasted_iota(jnp.int32, (block, block), 1))
 
   halfbuf[:] = jnp.zeros((half, block), jnp.float32)
 
@@ -193,18 +194,21 @@ def _kernel_mll_pm(n, d, block, half, wstore, sweep, precise, mode,
           l_hbm.at[t, pl.ds(row0, half), :], lbuf.at[slot],
           sem_l.at[slot]))
 
-    @pl.when(j > 0)
-    def _():
-      cs0, cl0 = dma_pair(0, 0)
-      cs0.start()
-      cl0.start()
+    # Warm-up: fill all DMA slots.
+    for w in range(slots - 1):
+      @pl.when(w < j)
+      def _(w=w):
+        cs0, cl0 = dma_pair(w, w)
+        cs0.start()
+        cl0.start()
 
     def t_step(t, _):
-      slot = jax.lax.rem(t, 2)
+      slot = jax.lax.rem(t, slots)
 
-      @pl.when(t + 1 < j)
+      @pl.when(t + slots - 1 < j)
       def _():
-        cs1, cl1 = dma_pair(t + 1, jax.lax.rem(t + 1, 2))
+        nxt = t + slots - 1
+        cs1, cl1 = dma_pair(nxt, jax.lax.rem(nxt, slots))
         cs1.start()
         cl1.start()
 
@@ -250,7 +254,7 @@ def _kernel_mll_pm(n, d, block, half, wstore, sweep, precise, mode,
       lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
       _sweep_fori(d0, block, mb, lane_idx, l_ref, w_ref, top_ref,
                   bot_ref, precise=precise)
-      l_d = l_ref[:].T
+      l_d = jnp.where(tril_b, l_ref[:].T, 0.0)
     else:
       _split_sweep(d0, block, mb, row_idx_b, l_ref, w_ref, wstore,
                    precise=precise)
@@ -296,12 +300,13 @@ def _kernel_mll_pm(n, d, block, half, wstore, sweep, precise, mode,
 
 @functools.partial(jax.jit, static_argnames=('block', 'half', 'wstore',
                                              'sweep', 'precise', 'mode',
+                                             'mb', 'slots',
                                              'return_l', 'interpret'))
 def mll_fused_pm(x_scaled: jnp.ndarray, y: jnp.ndarray,
                  signal_variance, diag_add, block: int = 256,
                  half: int = 2048, wstore: str = 'linv',
                  sweep: str = 'fori', precise: bool = True,
-                 mode: str = 'full',
+                 mode: str = 'full', mb: int = 32, slots: int = 2,
                  return_l: bool = False,
                  interpret: bool = False):
   """Panel-major fused SE-kernel GP NLL (v9; see _kernel_mll_pm).
@@ -330,8 +335,9 @@ def mll_fused_pm(x_scaled: jnp.ndarray, y: jnp.ndarray,
   sv = jnp.asarray(signal_variance, jnp.float32).reshape(1, 1)
   da = jnp.asarray(diag_add, jnp.float32).reshape(1, 1)
   assert mode in ('full', 'nosweep', 'nocorr', 'dmaonly'), mode
+  assert block % mb == 0 and mb % 2 == 0, (block, mb)
   kernel = functools.partial(_kernel_mll_pm, n, d, block, half, wstore,
-                             sweep, precise, mode)
+                             sweep, precise, mode, mb, slots)
   l_pm, quad, ld = pl.pallas_call(
       kernel,
       in_specs=[
@@ -353,18 +359,18 @@ def mll_fused_pm(x_scaled: jnp.ndarray, y: jnp.ndarray,
       ),
       scratch_shapes=[
           pltpu.VMEM((half, block), jnp.float32),       # halfbuf
-          pltpu.VMEM((2, half, block), jnp.float32),    # lbuf x2
-          pltpu.VMEM((2, block, block), jnp.float32),   # strip x2
+          pltpu.VMEM((slots, half, block), jnp.float32),   # lbuf
+          pltpu.VMEM((slots, block, block), jnp.float32),  # strip
           pltpu.VMEM((block, block), jnp.float32),      # l_ref
           pltpu.VMEM((block, block), jnp.float32),      # w_ref
           pltpu.VMEM((nb, block), jnp.float32),         # z panel-major
           pltpu.VMEM((block, 1), jnp.float32),          # s partial
           pltpu.VMEM((half, 128), jnp.float32),         # xa row tile
           pltpu.VMEM((block, 128), jnp.float32),        # xb col tile
-          pltpu.VMEM((_INV_BASE, block), jnp.float32),  # sweep top
-          pltpu.VMEM((_INV_BASE, block), jnp.float32),  # sweep bot
-          pltpu.SemaphoreType.DMA((2,)),                # sem_l
-          pltpu.SemaphoreType.DMA((2,)),                # sem_s
+          pltpu.VMEM((mb, block), jnp.float32),         # sweep top
+          pltpu.VMEM((mb, block), jnp.float32),         # sweep bot
+          pltpu.SemaphoreType.DMA((slots,)),            # sem_l
+          pltpu.SemaphoreType.DMA((slots,)),            # sem_s
           pltpu.SemaphoreType.DMA,                      # sem_x
           pltpu.SemaphoreType.DMA,                      # sem_out
       ],
