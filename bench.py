@@ -186,16 +186,17 @@ def bench_chol():
     ls, sv = retrieve_params(params, ['lengthscale', 'signal_variance'],
                              warp_func=DEFAULT_WARP_FUNC)
     fb = int(os.environ.get('BENCH_FUSED_BLOCK', 256 if on_tpu else 128))
-    fh = int(os.environ.get('BENCH_FUSED_HALF', 1024 if on_tpu else 256))
+    fh = int(os.environ.get('BENCH_FUSED_HALF', 512 if on_tpu else 256))
+    fg = int(os.environ.get('BENCH_FUSED_GROUP', 2))
 
     @jax.jit
     def mll_k(x, y):
       x_scaled = x / ls
 
       def one(carry, bump):
-        quad, ld = pallas_mll.mll_fused_pm(
+        quad, ld = pallas_mll.mll_fused_g(
             x_scaled, y, jnp.squeeze(sv), 0.1 + bump, block=fb,
-            half=fh, interpret=not on_tpu)
+            half=fh, group=fg, interpret=not on_tpu)
         nll = 0.5 * quad + ld + 0.5 * n * jnp.log(2 * jnp.pi)
         return carry + nll, ()
       total, _ = lax.scan(one, 0.0, jnp.linspace(0., 1e-3, k_iters))

@@ -381,3 +381,309 @@ def mll_fused_pm(x_scaled: jnp.ndarray, y: jnp.ndarray,
     l = jnp.moveaxis(l_pm, 0, 1).reshape(n, n)
     return l, quad[0, 0], ld[0, 0]
   return quad[0, 0], ld[0, 0]
+
+
+def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
+                  xa_hbm, xb_hbm, y_ref, sv_ref, diag_ref, l_hbm,
+                  quad_ref, ld_ref, halfbuf, lbuf, strip, lt_s, wt_s,
+                  w_all, seg_ref, z_ref, s_ref, xbuf, xcbuf, top_ref,
+                  bot_ref, sem_l, sem_s, sem_x, sem_out):
+  """Grouped panel-major fused MLL (v11).
+
+  Corrections process `group` panel columns per pass: the (half, B)
+  row tiles of earlier panels are loaded from HBM ONCE per group
+  instead of once per panel — the correction re-read volume, the
+  measured floor of v9 (~2.1 ms at n=8192), scales as 1/group. The
+  coupling between the group's columns runs as in-VMEM GEMMs:
+
+    for inner column i: subtract contributions of already-finished
+    inner columns t < i (seg blocks read back from the just-spliced
+    halfbuf / the cached diagonal seg block), sweep the diagonal,
+    scale the below rows, splice.
+
+  W_i factors stack in w_all for the below halves; z taps follow the
+  same structure (HBM strips for cross-group, seg blocks in-group).
+  Layout rules as v9: tile-major inputs, panel-major L, no
+  lane-dynamic vector ops, pl.multiple_of on subtracted offsets,
+  Dekker-split dots (the piecewise 2x2 GEMM keeps split temps inside
+  the VMEM ceiling).
+  """
+  nb = n // block
+  gb = group * block
+  ng = nb // group
+  n_halves = n // half
+  row_idx_h = jax.lax.broadcasted_iota(jnp.int32, (half, 1), 0)
+  eye_b = jnp.eye(block, dtype=jnp.float32)
+  tril_b = (jax.lax.broadcasted_iota(jnp.int32, (block, block), 0) >=
+            jax.lax.broadcasted_iota(jnp.int32, (block, block), 1))
+
+  halfbuf[:] = jnp.zeros((half, gb), jnp.float32)
+
+  def zero_dma(i, slot):
+    jj = jax.lax.div(i, n_halves)
+    hh = jax.lax.rem(i, n_halves)
+    return pltpu.make_async_copy(
+        halfbuf.at[:, 0:block],
+        l_hbm.at[jj, pl.ds(hh * half, half), :], sem_l.at[slot])
+
+  zero_dma(0, 0).start()
+
+  def zero_step(i, _):
+    slot = jax.lax.rem(i, 2)
+
+    @pl.when(i + 1 < nb * n_halves)
+    def _():
+      zero_dma(i + 1, jax.lax.rem(i + 1, 2)).start()
+
+    zero_dma(i, slot).wait()
+    return 0
+
+  jax.lax.fori_loop(0, nb * n_halves, zero_step, 0)
+  z_ref[:] = jnp.zeros((nb, block), jnp.float32)
+
+  def gram_tile(h, jg):
+    cx = pltpu.make_async_copy(xa_hbm.at[h], xbuf, sem_x)
+    cx.start()
+    cx.wait()
+    cc = pltpu.make_async_copy(xb_hbm.at[jg], xcbuf, sem_x)
+    cc.start()
+    cc.wait()
+    sqd = _pdot(xbuf[:], xcbuf[:], (((1,), (1,)), ((), ())), precise)
+    return sv_ref[0, 0] * jnp.exp(-0.5 * jnp.maximum(sqd, 0.0))
+
+  wdims = (((1,), (1,)), ((), ()))
+
+  def correction_gemm(slot):
+    """halfbuf -= lbuf[slot] @ strip[slot]^T, piecewise so the
+    Dekker-split temporaries stay well under the VMEM ceiling."""
+    rps = max(2, half // 512)
+    hp = half // rps
+    for rp in range(rps):
+      for cp in range(group):
+        update = _pdot(lbuf[slot][rp * hp:(rp + 1) * hp, :],
+                      strip[slot][cp * block:(cp + 1) * block, :],
+                      wdims, precise)
+        halfbuf[rp * hp:(rp + 1) * hp,
+                cp * block:(cp + 1) * block] = (
+            halfbuf[rp * hp:(rp + 1) * hp,
+                    cp * block:(cp + 1) * block] - update)
+
+  def corrections(jg, row0, gcol0, with_solve):
+    t_count = jg * group
+
+    def dma_pair(t, slot):
+      return (pltpu.make_async_copy(
+          l_hbm.at[t, pl.ds(gcol0, gb), :], strip.at[slot],
+          sem_s.at[slot]),
+              pltpu.make_async_copy(
+          l_hbm.at[t, pl.ds(row0, half), :], lbuf.at[slot],
+          sem_l.at[slot]))
+
+    for w in range(slots - 1):
+      @pl.when(w < t_count)
+      def _(w=w):
+        cs0, cl0 = dma_pair(w, w)
+        cs0.start()
+        cl0.start()
+
+    def t_step(t, _):
+      slot = jax.lax.rem(t, slots)
+
+      @pl.when(t + slots - 1 < t_count)
+      def _():
+        nxt = t + slots - 1
+        cs1, cl1 = dma_pair(nxt, jax.lax.rem(nxt, slots))
+        cs1.start()
+        cl1.start()
+
+      cs, cl = dma_pair(t, slot)
+      cs.wait()
+      cl.wait()
+      if with_solve:
+        zs = z_ref[pl.ds(t, 1), :]                      # (1, B)
+        s_ref[:] = s_ref[:] + jnp.sum(strip[slot] * zs, axis=1,
+                                      keepdims=True)
+      if mode != 'dmaonly':
+        correction_gemm(slot)
+      return 0
+
+    jax.lax.fori_loop(0, t_count, t_step, 0)
+
+  def sweep_inner(loc_i, i):
+    """Sweep halfbuf[loc_i:loc_i+B, iB:(i+1)B] -> lt_s, W into w_all."""
+    d0 = halfbuf[pl.ds(loc_i, block), i * block:(i + 1) * block]
+    d0 = 0.5 * (d0 + d0.T)
+    if mode == 'nosweep':
+      lt_s[:] = jnp.eye(block, dtype=jnp.float32)
+      wt_s[:] = jnp.eye(block, dtype=jnp.float32)
+    else:
+      lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
+      _sweep_fori(d0, block, mb, lane_idx, lt_s, wt_s, top_ref,
+                  bot_ref, precise=precise)
+    w_all[i * block:(i + 1) * block, :] = wt_s[:]
+
+  def panel_group(jg, _):
+    gcol0 = jg * gb
+    h0 = jax.lax.div(gcol0, half)
+    row0_d = h0 * half
+    loc0 = pl.multiple_of(gcol0 - row0_d, gb)
+
+    # --- diagonal half ---
+    tile = gram_tile(h0, jg)
+    tile_r = jax.lax.broadcasted_iota(jnp.int32, (half, gb), 0)
+    tile_c = jax.lax.broadcasted_iota(jnp.int32, (half, gb), 1)
+    on_diag = ((tile_r + row0_d) == (tile_c + gcol0)).astype(jnp.float32)
+    halfbuf[:] = tile + diag_ref[0, 0] * on_diag
+    s_ref[:] = jnp.zeros((gb, 1), jnp.float32)
+    corrections(jg, row0_d, gcol0, with_solve=True)
+
+    for i in range(group):
+      ib = i * block
+      loc_i = pl.multiple_of(loc0 + ib, block)
+      col_abs = gcol0 + ib
+      # in-group corrections from finished inner columns t < i: the
+      # seg block L[col_i rows, col_t] reads back from the spliced
+      # halfbuf.
+      s_i = s_ref[ib:ib + block, :]
+      for t in range(i):
+        tb = t * block
+        seg = halfbuf[pl.ds(loc_i, block), tb:tb + block]
+        cols_t = halfbuf[:, tb:tb + block]
+        upd = _pdot(cols_t, seg, wdims, precise)
+        halfbuf[:, ib:ib + block] = halfbuf[:, ib:ib + block] - upd
+        zt = z_ref[pl.ds(jg * group + t, 1), :]
+        s_i = s_i + jnp.sum(seg * zt, axis=1, keepdims=True)
+      sweep_inner(loc_i, i)
+      ld = lt_s[:]
+      ld_ref[0, 0] += jnp.sum(jnp.where(eye_b > 0.0, jnp.log(
+          jnp.maximum(ld, 1e-30)), 0.0))
+      v = y_ref[pl.ds(jg * group + i, 1), :] - s_i.T
+      zj = _pdot(v, wt_s[:], wdims, precise)
+      z_ref[pl.ds(jg * group + i, 1), :] = zj
+      below = _pdot(halfbuf[:, ib:ib + block], wt_s[:], wdims, precise)
+      keep = (row_idx_h + row0_d) >= col_abs + block
+      below = jnp.where(keep, below, 0.0)
+      halfbuf[:, ib:ib + block] = below
+      l_d = jnp.where(tril_b, lt_s[:].T, 0.0)
+      halfbuf[pl.ds(loc_i, block), ib:ib + block] = l_d
+
+    if group > 1:
+      # Cache the strictly-below-diagonal in-group seg block(s) for
+      # the below halves (read from the spliced rows).
+      seg_ref[:] = halfbuf[pl.ds(loc0, gb), :]
+
+    def store_half(row0):
+      for i in range(group):
+        co = pltpu.make_async_copy(
+            halfbuf.at[:, i * block:(i + 1) * block],
+            l_hbm.at[jg * group + i, pl.ds(row0, half), :], sem_out)
+        co.start()
+        co.wait()
+
+    store_half(row0_d)
+
+    # --- strictly-below halves ---
+    def half_step(h, _):
+      row0 = h * half
+      halfbuf[:] = gram_tile(h, jg)
+      corrections(jg, row0, gcol0, with_solve=False)
+      for i in range(group):
+        ib = i * block
+        for t in range(i):
+          tb = t * block
+          seg = seg_ref[ib:ib + block, tb:tb + block]
+          upd = _pdot(halfbuf[:, tb:tb + block], seg, wdims, precise)
+          halfbuf[:, ib:ib + block] = halfbuf[:, ib:ib + block] - upd
+        halfbuf[:, ib:ib + block] = _pdot(
+            halfbuf[:, ib:ib + block], w_all[ib:ib + block, :], wdims,
+            precise)
+      store_half(row0)
+      return 0
+
+    jax.lax.fori_loop(h0 + 1, n_halves, half_step, 0)
+    return 0
+
+  ld_ref[0, 0] = 0.0
+  jax.lax.fori_loop(0, ng, panel_group, 0)
+  quad_ref[0, 0] = jnp.sum(z_ref[:] * z_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=('block', 'half', 'precise',
+                                             'mode', 'mb', 'slots',
+                                             'group', 'return_l',
+                                             'interpret'))
+def mll_fused_g(x_scaled: jnp.ndarray, y: jnp.ndarray,
+                signal_variance, diag_add, block: int = 256,
+                half: int = 1024, precise: bool = True,
+                mode: str = 'full', mb: int = 32, slots: int = 2,
+                group: int = 2, return_l: bool = False,
+                interpret: bool = False):
+  """Grouped panel-major fused SE-kernel GP NLL (v11; _kernel_mll_g)."""
+  n, d = x_scaled.shape
+  half = min(half, n)
+  gb = group * block
+  assert (n % block == 0 and n % half == 0 and half % gb == 0 and
+          n % gb == 0), (n, block, half, group)
+  assert mode in ('full', 'nosweep', 'dmaonly'), mode
+  assert block % mb == 0 and mb % 2 == 0, (block, mb)
+  nb = n // block
+  xs32 = x_scaled.astype(jnp.float32)
+  sqn = jnp.sum(xs32 * xs32, axis=1, keepdims=True)
+  onev = jnp.ones((n, 1), jnp.float32)
+  feat = 128
+  assert d + 2 <= feat, d
+  pad = jnp.zeros((n, feat - d - 2), jnp.float32)
+  xa = jnp.concatenate([-2.0 * xs32, sqn, onev, pad],
+                       axis=1).reshape(n // half, half, feat)
+  xb = jnp.concatenate([xs32, onev, sqn, pad],
+                       axis=1).reshape(n // gb, gb, feat)
+  y_pm = y.astype(jnp.float32).reshape(nb, block)
+  sv = jnp.asarray(signal_variance, jnp.float32).reshape(1, 1)
+  da = jnp.asarray(diag_add, jnp.float32).reshape(1, 1)
+  kernel = functools.partial(_kernel_mll_g, n, d, block, half, precise,
+                             mode, mb, slots, group)
+  l_pm, quad, ld = pl.pallas_call(
+      kernel,
+      in_specs=[
+          pl.BlockSpec(memory_space=pl.ANY),            # xa tiles
+          pl.BlockSpec(memory_space=pl.ANY),            # xb tiles
+          pl.BlockSpec(memory_space=pltpu.VMEM),        # y panel-major
+          pl.BlockSpec(memory_space=pltpu.SMEM),        # sv
+          pl.BlockSpec(memory_space=pltpu.SMEM),        # diag_add
+      ],
+      out_specs=(
+          pl.BlockSpec(memory_space=pl.ANY),            # L panels
+          pl.BlockSpec(memory_space=pltpu.SMEM),        # quad
+          pl.BlockSpec(memory_space=pltpu.SMEM),        # logdet
+      ),
+      out_shape=(
+          jax.ShapeDtypeStruct((nb, n, block), jnp.float32),
+          jax.ShapeDtypeStruct((1, 1), jnp.float32),
+          jax.ShapeDtypeStruct((1, 1), jnp.float32),
+      ),
+      scratch_shapes=[
+          pltpu.VMEM((half, gb), jnp.float32),          # halfbuf
+          pltpu.VMEM((slots, half, block), jnp.float32),   # lbuf
+          pltpu.VMEM((slots, gb, block), jnp.float32),     # strip
+          pltpu.VMEM((block, block), jnp.float32),      # lt_s
+          pltpu.VMEM((block, block), jnp.float32),      # wt_s
+          pltpu.VMEM((gb, block), jnp.float32),         # w_all
+          pltpu.VMEM((gb, gb), jnp.float32),            # seg cache
+          pltpu.VMEM((nb, block), jnp.float32),         # z
+          pltpu.VMEM((gb, 1), jnp.float32),             # s partial
+          pltpu.VMEM((half, 128), jnp.float32),         # xa tile
+          pltpu.VMEM((gb, 128), jnp.float32),           # xb tile
+          pltpu.VMEM((mb, block), jnp.float32),         # sweep top
+          pltpu.VMEM((mb, block), jnp.float32),         # sweep bot
+          pltpu.SemaphoreType.DMA((slots,)),            # sem_l
+          pltpu.SemaphoreType.DMA((slots,)),            # sem_s
+          pltpu.SemaphoreType.DMA,                      # sem_x
+          pltpu.SemaphoreType.DMA,                      # sem_out
+      ],
+      compiler_params=pltpu.CompilerParams(has_side_effects=True),
+      interpret=interpret,
+  )(xa, xb, y_pm, sv, da)
+  if return_l:
+    l = jnp.moveaxis(l_pm, 0, 1).reshape(n, n)
+    return l, quad[0, 0], ld[0, 0]
+  return quad[0, 0], ld[0, 0]
