@@ -840,43 +840,41 @@ def cholesky_hbm(a: jnp.ndarray, block: int = 256,
   )(a.astype(jnp.float32))
 
 
-def _sweep_fori(d0, block, mb, lane_idx, lt_ref, wt_ref, top_ref,
-                bot_ref, precise=False):
-  """Transposed fori-loop sweep: lt_ref rows = L columns, wt_ref rows =
-  L^{-1} rows.
+def _sweep_fori(read_top, block, mb, lane_idx, lt_ref, wt_ref, wt_off,
+                top_ref, bot_ref, precise=False):
+  """Transposed fori-loop sweep: lt_ref rows = L columns; W rows are
+  written into wt_ref at row offset wt_off.
 
   Same [D; I] stacked algebra as _split_sweep, but the per-column steps
   run in a lax.fori_loop with DYNAMIC k: rows are written at dynamic
   SUBLANE offsets (well-supported) and the per-step scalar pivot is
-  extracted with a one-hot lane reduction. This keeps the Mosaic
-  program O(micro-blocks) instead of O(block) unrolled steps — the
-  unrolled sweep alone takes 33 s to compile at B=256 and its
-  composition with the rest of the kernel crashes the remote
-  compile-helper (round 2, PERF.md).
+  extracted with a one-hot lane reduction.
 
-  All consumers use transposed layouts: L_D = lt_ref^T, below-panel
-  dots contract with wt_ref via (((1,), (1,)), ...) — the pattern the
-  toolchain accepts at B=256.
+  `read_top(c0)` returns rows [c0, c0+mb) of the SYMMETRIC diagonal
+  block (callers read them straight out of the working buffer): row
+  reads replace the (B, B) d0 materialization + transpose, which
+  dominated the sweep cost on hardware (~50 us per block for the
+  transpose alone vs ~15 us for all 256 elimination steps; round 2).
   """
   eye = jnp.eye(block, dtype=jnp.float32)
   lt_ref[:] = jnp.zeros((block, block), jnp.float32)
-  wt_ref[:] = jnp.zeros((block, block), jnp.float32)
   for c0 in range(0, block, mb):
-    top = d0[c0:c0 + mb, :]                # = d0[:, c0:c0+mb]^T (symm)
+    top = read_top(c0)
     bot = eye[c0:c0 + mb, :]
     if c0 > 0:
       seed = lt_ref[0:c0, c0:c0 + mb]      # (c0, mb) static slice
       top = top - _pdot(seed, lt_ref[0:c0, :], (((0,), (0,)), ((), ())),
                         precise)
-      bot = bot - _pdot(seed, wt_ref[0:c0, :], (((0,), (0,)), ((), ())),
-                        precise)
+      bot = bot - _pdot(seed,
+                        wt_ref[wt_off:wt_off + c0, :],
+                        (((0,), (0,)), ((), ())), precise)
     top_ref[:] = top
     bot_ref[:] = bot
 
-    # Inner steps are issue-bound (~0.5 us each); two columns per fori
-    # iteration and NO >=k lane mask on lrow. The unmasked lanes < k
-    # carry only the ~1e-7 elimination residue (exactly-zero in exact
-    # arithmetic); the final factor is tril-masked once by the caller.
+    # Inner steps are issue-bound; two columns per fori iteration and
+    # NO >=k lane mask on lrow (the lanes < k carry only the ~1e-7
+    # elimination residue; callers mask once if they need strict
+    # triangularity).
     def substep(k):
       kl = k - c0
       trow = top_ref[pl.ds(kl, 1), :]                  # (1, B)
@@ -886,7 +884,7 @@ def _sweep_fori(d0, block, mb, lane_idx, lt_ref, wt_ref, top_ref,
       lrow = trow * inv_d
       wrow = brow * inv_d
       lt_ref[pl.ds(k, 1), :] = lrow
-      wt_ref[pl.ds(k, 1), :] = wrow
+      wt_ref[pl.ds(wt_off + k, 1), :] = wrow
       seg = lrow[0:1, c0:c0 + mb].T                    # (mb, 1)
       top_ref[:] = top_ref[:] - seg * lrow
       bot_ref[:] = bot_ref[:] - seg * wrow

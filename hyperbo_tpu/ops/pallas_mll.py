@@ -130,6 +130,8 @@ def _kernel_mll_pm(n, d, block, half, wstore, sweep, precise, mode,
   eye_b = jnp.eye(block, dtype=jnp.float32)
   tril_b = (jax.lax.broadcasted_iota(jnp.int32, (block, block), 0) >=
             jax.lax.broadcasted_iota(jnp.int32, (block, block), 1))
+  triu_b = (jax.lax.broadcasted_iota(jnp.int32, (block, block), 0) <=
+            jax.lax.broadcasted_iota(jnp.int32, (block, block), 1))
 
   halfbuf[:] = jnp.zeros((half, block), jnp.float32)
 
@@ -243,19 +245,23 @@ def _kernel_mll_pm(n, d, block, half, wstore, sweep, precise, mode,
     s_ref[:] = jnp.zeros((block, 1), jnp.float32)
     corrections(j, row0_d, col0, with_solve=True)
 
-    d0 = halfbuf[pl.ds(loc0, block), :]
-    d0 = 0.5 * (d0 + d0.T)
     if mode == 'nosweep':
       l_ref[:] = jnp.eye(block, dtype=jnp.float32)
       w_ref[:] = jnp.eye(block, dtype=jnp.float32)
       l_d = l_ref[:]
     elif sweep == 'fori':
       # l_ref holds L^T (rows = columns), w_ref holds L^{-1} rows.
+      def read_top(c0):
+        return halfbuf[pl.ds(pl.multiple_of(loc0 + c0, mb), mb), :]
       lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
-      _sweep_fori(d0, block, mb, lane_idx, l_ref, w_ref, top_ref,
-                  bot_ref, precise=precise)
-      l_d = jnp.where(tril_b, l_ref[:].T, 0.0)
+      _sweep_fori(read_top, block, mb, lane_idx, l_ref, w_ref, 0,
+                  top_ref, bot_ref, precise=precise)
+      # Spliced TRANSPOSED (see _kernel_mll_g): later strips never read
+      # earlier diagonal blocks; return_l fixes the export.
+      l_d = jnp.where(triu_b, l_ref[:], 0.0)
     else:
+      d0 = halfbuf[pl.ds(loc0, block), :]
+      d0 = 0.5 * (d0 + d0.T)
       _split_sweep(d0, block, mb, row_idx_b, l_ref, w_ref, wstore,
                    precise=precise)
       l_d = l_ref[:]
@@ -379,6 +385,13 @@ def mll_fused_pm(x_scaled: jnp.ndarray, y: jnp.ndarray,
   )(xa, xb, y_pm, sv, da)
   if return_l:
     l = jnp.moveaxis(l_pm, 0, 1).reshape(n, n)
+    if sweep == 'fori':
+      # Diagonal (B, B) blocks are stored transposed by the kernel.
+      idx = jnp.arange(nb)
+      blocks = l.reshape(nb, block, nb, block).transpose(0, 2, 1, 3)
+      diagb = blocks[idx, idx]
+      blocks = blocks.at[idx, idx].set(jnp.swapaxes(diagb, -1, -2))
+      l = blocks.transpose(0, 2, 1, 3).reshape(n, n)
     return l, quad[0, 0], ld[0, 0]
   return quad[0, 0], ld[0, 0]
 
@@ -415,6 +428,8 @@ def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
   row_idx_h = jax.lax.broadcasted_iota(jnp.int32, (half, 1), 0)
   eye_b = jnp.eye(block, dtype=jnp.float32)
   tril_b = (jax.lax.broadcasted_iota(jnp.int32, (block, block), 0) >=
+            jax.lax.broadcasted_iota(jnp.int32, (block, block), 1))
+  triu_b = (jax.lax.broadcasted_iota(jnp.int32, (block, block), 0) <=
             jax.lax.broadcasted_iota(jnp.int32, (block, block), 1))
 
   halfbuf[:] = jnp.zeros((half, gb), jnp.float32)
@@ -510,17 +525,21 @@ def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
     jax.lax.fori_loop(0, t_count, t_step, 0)
 
   def sweep_inner(loc_i, i):
-    """Sweep halfbuf[loc_i:loc_i+B, iB:(i+1)B] -> lt_s, W into w_all."""
-    d0 = halfbuf[pl.ds(loc_i, block), i * block:(i + 1) * block]
-    d0 = 0.5 * (d0 + d0.T)
+    """Sweep the diagonal block of inner column i: L^T rows into lt_s,
+    W = L^{-1} rows straight into w_all[iB:(i+1)B]."""
+    ib = i * block
     if mode == 'nosweep':
       lt_s[:] = jnp.eye(block, dtype=jnp.float32)
-      wt_s[:] = jnp.eye(block, dtype=jnp.float32)
+      w_all[ib:ib + block, :] = jnp.eye(block, dtype=jnp.float32)
     else:
+      def read_top(c0):
+        # Rows of the symmetric diagonal block, read in place — no
+        # (B, B) materialization/transpose.
+        return halfbuf[pl.ds(pl.multiple_of(loc_i + c0, mb), mb),
+                       ib:ib + block]
       lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
-      _sweep_fori(d0, block, mb, lane_idx, lt_s, wt_s, top_ref,
-                  bot_ref, precise=precise)
-    w_all[i * block:(i + 1) * block, :] = wt_s[:]
+      _sweep_fori(read_top, block, mb, lane_idx, lt_s, w_all, ib,
+                  top_ref, bot_ref, precise=precise)
 
   def panel_group(jg, _):
     gcol0 = jg * gb
@@ -554,18 +573,25 @@ def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
         zt = z_ref[pl.ds(jg * group + t, 1), :]
         s_i = s_i + jnp.sum(seg * zt, axis=1, keepdims=True)
       sweep_inner(loc_i, i)
+      wt_i = w_all[ib:ib + block, :]
       ld = lt_s[:]
       ld_ref[0, 0] += jnp.sum(jnp.where(eye_b > 0.0, jnp.log(
           jnp.maximum(ld, 1e-30)), 0.0))
       v = y_ref[pl.ds(jg * group + i, 1), :] - s_i.T
-      zj = _pdot(v, wt_s[:], wdims, precise)
+      zj = _pdot(v, wt_i, wdims, precise)
       z_ref[pl.ds(jg * group + i, 1), :] = zj
-      below = _pdot(halfbuf[:, ib:ib + block], wt_s[:], wdims, precise)
+      below = _pdot(halfbuf[:, ib:ib + block], wt_i, wdims, precise)
       keep = (row_idx_h + row0_d) >= col_abs + block
       below = jnp.where(keep, below, 0.0)
       halfbuf[:, ib:ib + block] = below
-      l_d = jnp.where(tril_b, lt_s[:].T, 0.0)
-      halfbuf[pl.ds(loc_i, block), ib:ib + block] = l_d
+      # Diagonal block spliced TRANSPOSED (lt = L_D^T, upper-tri of L
+      # masked): correction strips/lbuf tiles of later groups never
+      # read earlier diagonal blocks (their rows lie strictly above
+      # every later row range), so only the exported L sees it — the
+      # wrapper re-transposes diag blocks when return_l=True. This
+      # avoids a ~50 us (B, B) in-kernel transpose per inner column.
+      l_dt = jnp.where(triu_b, lt_s[:], 0.0)
+      halfbuf[pl.ds(loc_i, block), ib:ib + block] = l_dt
 
     if group > 1:
       # Cache the strictly-below-diagonal in-group seg block(s) for
@@ -685,5 +711,11 @@ def mll_fused_g(x_scaled: jnp.ndarray, y: jnp.ndarray,
   )(xa, xb, y_pm, sv, da)
   if return_l:
     l = jnp.moveaxis(l_pm, 0, 1).reshape(n, n)
+    # The kernel stores diagonal (B, B) blocks transposed; fix here.
+    idx = jnp.arange(nb)
+    blocks = l.reshape(nb, block, nb, block).transpose(0, 2, 1, 3)
+    diagb = blocks[idx, idx]                          # (nb, B, B)
+    blocks = blocks.at[idx, idx].set(jnp.swapaxes(diagb, -1, -2))
+    l = blocks.transpose(0, 2, 1, 3).reshape(n, n)
     return l, quad[0, 0], ld[0, 0]
   return quad[0, 0], ld[0, 0]
