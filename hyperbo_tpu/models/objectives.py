@@ -98,6 +98,17 @@ def neg_log_marginal_likelihood(mean_func,
   """
 
   def compute_nll_sub_dataset_cholesky(vx, vy):
+    fused = params.config.get('fused_mll') if params.config else None
+    if fused:
+      # Opt-in large-n fast path: the single-kernel Pallas fused MLL
+      # (ops/pallas_mll.py) — value parity with this dense pipeline,
+      # ~1.6x faster and far more accurate at n=8192 on v5e (PERF.md).
+      # 'interpret' runs the kernel interpreted (CPU tests).
+      from hyperbo_tpu.ops import pallas_mll
+      if pallas_mll.se_nll_fused_applicable(cov_func, vx):
+        return pallas_mll.se_nll_fused(
+            mean_func, params, vx, vy, warp_func=warp_func,
+            interpret=(fused == 'interpret'))
     chol, kinvy, vy = linalg.solve_gp_linear_system(
         mean_func=mean_func,
         cov_func=cov_func,

@@ -287,3 +287,35 @@ def test_fast_subsample_training_improves():
   import numpy as np
   np.testing.assert_array_equal(np.asarray(sub.count),
                                 np.minimum(np.asarray(packed.count), 8))
+
+
+def test_fused_mll_objective_parity():
+  """config['fused_mll'] routes plain-SE NLL through the fused Pallas
+  kernel (interpret on CPU) with value parity vs the dense pipeline."""
+  from hyperbo_tpu.models import objectives
+  n, d = 512, 3
+  key = jax.random.PRNGKey(4)
+  vx = jax.random.uniform(key, (n, d))
+  vy = jax.random.normal(jax.random.fold_in(key, 1), (n, 1))
+  dataset = {'a': defs.SubDataset(vx, vy)}
+  params_dense = defs.GPParams(
+      model={'constant': 0.3, 'lengthscale': jnp.ones(d) * 0.4,
+             'signal_variance': 0.5, 'noise_variance': -2.0},
+      config={})
+  params_fused = defs.GPParams(model=dict(params_dense.model),
+                               config={'fused_mll': 'interpret'})
+  want = float(objectives.neg_log_marginal_likelihood(
+      mean.constant, kernel.squared_exponential, params_dense, dataset,
+      warp_func=DEFAULT_WARP_FUNC))
+  got = float(objectives.neg_log_marginal_likelihood(
+      mean.constant, kernel.squared_exponential, params_fused, dataset,
+      warp_func=DEFAULT_WARP_FUNC))
+  np.testing.assert_allclose(got, want, rtol=1e-4)
+  # Non-SE kernels fall back to the dense path untouched.
+  got_m = float(objectives.neg_log_marginal_likelihood(
+      mean.constant, kernel.matern52, params_fused, dataset,
+      warp_func=DEFAULT_WARP_FUNC))
+  want_m = float(objectives.neg_log_marginal_likelihood(
+      mean.constant, kernel.matern52, params_dense, dataset,
+      warp_func=DEFAULT_WARP_FUNC))
+  np.testing.assert_allclose(got_m, want_m, rtol=1e-6)
