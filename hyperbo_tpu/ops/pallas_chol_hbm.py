@@ -862,6 +862,10 @@ def _sweep_fori(read_top, block, mb, lane_idx, lt_ref, wt_ref, wt_off,
     top = read_top(c0)
     bot = eye[c0:c0 + mb, :]
     if c0 > 0:
+      # Measured note: batching these two seed corrections into one
+      # (c0, 2B) dot is slightly SLOWER on v5e (8.92 vs 8.64 ms/iter
+      # end-to-end) — the concat relayout costs more than the saved
+      # dot issue.
       seed = lt_ref[0:c0, c0:c0 + mb]      # (c0, mb) static slice
       top = top - _pdot(seed, lt_ref[0:c0, :], (((0,), (0,)), ((), ())),
                         precise)

@@ -396,6 +396,11 @@ def mll_fused_pm(x_scaled: jnp.ndarray, y: jnp.ndarray,
   return quad[0, 0], ld[0, 0]
 
 
+def _seg_ofs(i, t, group):
+  """Index of the (i, t) strictly-below-diagonal seg block (i > t)."""
+  return sum(range(1, i)) + t
+
+
 def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
                   xa_hbm, xb_hbm, y_ref, sv_ref, diag_ref, l_hbm,
                   quad_ref, ld_ref, halfbuf, lbuf, strip, lt_s, wt_s,
@@ -594,9 +599,15 @@ def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
       halfbuf[pl.ds(loc_i, block), ib:ib + block] = l_dt
 
     if group > 1:
-      # Cache the strictly-below-diagonal in-group seg block(s) for
-      # the below halves (read from the spliced rows).
-      seg_ref[:] = halfbuf[pl.ds(loc0, gb), :]
+      # Cache the strictly-below-diagonal in-group seg blocks for the
+      # below halves (read from the spliced rows). Compressed layout:
+      # one (B, B) block per (i, t) pair with i > t.
+      for i in range(1, group):
+        for t in range(i):
+          ofs = _seg_ofs(i, t, group) * block
+          seg_ref[ofs:ofs + block, :] = halfbuf[
+              pl.ds(pl.multiple_of(loc0 + i * block, block), block),
+              t * block:(t + 1) * block]
 
     def store_half(row0):
       for i in range(group):
@@ -617,7 +628,8 @@ def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
         ib = i * block
         for t in range(i):
           tb = t * block
-          seg = seg_ref[ib:ib + block, tb:tb + block]
+          ofs = _seg_ofs(i, t, group) * block
+          seg = seg_ref[ofs:ofs + block, :]
           upd = _pdot(halfbuf[:, tb:tb + block], seg, wdims, precise)
           halfbuf[:, ib:ib + block] = halfbuf[:, ib:ib + block] - upd
         halfbuf[:, ib:ib + block] = _pdot(
@@ -694,7 +706,8 @@ def mll_fused_g(x_scaled: jnp.ndarray, y: jnp.ndarray,
           pltpu.VMEM((block, block), jnp.float32),      # lt_s
           pltpu.VMEM((block, block), jnp.float32),      # wt_s
           pltpu.VMEM((gb, block), jnp.float32),         # w_all
-          pltpu.VMEM((gb, gb), jnp.float32),            # seg cache
+          pltpu.VMEM((max(1, group * (group - 1) // 2) * block, block),
+                     jnp.float32),                    # seg cache
           pltpu.VMEM((nb, block), jnp.float32),         # z
           pltpu.VMEM((gb, 1), jnp.float32),             # s partial
           pltpu.VMEM((half, 128), jnp.float32),         # xa tile
