@@ -543,8 +543,10 @@ def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
         return halfbuf[pl.ds(pl.multiple_of(loc_i + c0, mb), mb),
                        ib:ib + block]
       lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
-      _sweep_fori(read_top, block, mb, lane_idx, lt_s, w_all, ib,
-                  top_ref, bot_ref, precise=precise)
+      reps = 2 if mode == 'sweepx2' else 1
+      for _ in range(reps):
+        _sweep_fori(read_top, block, mb, lane_idx, lt_s, w_all, ib,
+                    top_ref, bot_ref, precise=precise)
 
   def panel_group(jg, _):
     gcol0 = jg * gb
@@ -662,7 +664,7 @@ def mll_fused_g(x_scaled: jnp.ndarray, y: jnp.ndarray,
   gb = group * block
   assert (n % block == 0 and n % half == 0 and half % gb == 0 and
           n % gb == 0), (n, block, half, group)
-  assert mode in ('full', 'nosweep', 'dmaonly'), mode
+  assert mode in ('full', 'nosweep', 'dmaonly', 'sweepx2'), mode
   assert block % mb == 0 and mb % 2 == 0, (block, mb)
   nb = n // block
   xs32 = x_scaled.astype(jnp.float32)
