@@ -856,11 +856,13 @@ def _sweep_fori(read_top, block, mb, lane_idx, lt_ref, wt_ref, wt_off,
   dominated the sweep cost on hardware (~50 us per block for the
   transpose alone vs ~15 us for all 256 elimination steps; round 2).
   """
-  eye = jnp.eye(block, dtype=jnp.float32)
   lt_ref[:] = jnp.zeros((block, block), jnp.float32)
   for c0 in range(0, block, mb):
     top = read_top(c0)
-    bot = eye[c0:c0 + mb, :]
+    # Identity rows built in place (no (B, B) eye live across the call).
+    bot = (jax.lax.broadcasted_iota(jnp.int32, (mb, block), 1) ==
+           jax.lax.broadcasted_iota(jnp.int32, (mb, block), 0) + c0
+           ).astype(jnp.float32)
     if c0 > 0:
       # Measured note: batching these two seed corrections into one
       # (c0, 2B) dot is slightly SLOWER on v5e (8.92 vs 8.64 ms/iter

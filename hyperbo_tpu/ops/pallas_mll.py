@@ -430,12 +430,10 @@ def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
   gb = group * block
   ng = nb // group
   n_halves = n // half
-  row_idx_h = jax.lax.broadcasted_iota(jnp.int32, (half, 1), 0)
-  eye_b = jnp.eye(block, dtype=jnp.float32)
-  tril_b = (jax.lax.broadcasted_iota(jnp.int32, (block, block), 0) >=
-            jax.lax.broadcasted_iota(jnp.int32, (block, block), 1))
-  triu_b = (jax.lax.broadcasted_iota(jnp.int32, (block, block), 0) <=
-            jax.lax.broadcasted_iota(jnp.int32, (block, block), 1))
+  # NOTE: no hoisted iota/eye constants — (half, gb) iotas and (B, B)
+  # masks kept live across the whole kernel are hundreds of vregs and
+  # plausibly the cause of the 12x in-situ sweep slowdown (PERF.md
+  # "sweep anomaly"); everything is rematerialized at its use site.
 
   halfbuf[:] = jnp.zeros((half, gb), jnp.float32)
 
@@ -559,6 +557,7 @@ def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
     tile_r = jax.lax.broadcasted_iota(jnp.int32, (half, gb), 0)
     tile_c = jax.lax.broadcasted_iota(jnp.int32, (half, gb), 1)
     on_diag = ((tile_r + row0_d) == (tile_c + gcol0)).astype(jnp.float32)
+    del tile_r, tile_c
     halfbuf[:] = tile + diag_ref[0, 0] * on_diag
     s_ref[:] = jnp.zeros((gb, 1), jnp.float32)
     corrections(jg, row0_d, gcol0, with_solve=True)
@@ -582,12 +581,14 @@ def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
       sweep_inner(loc_i, i)
       wt_i = w_all[ib:ib + block, :]
       ld = lt_s[:]
+      eye_b = jnp.eye(block, dtype=jnp.float32)
       ld_ref[0, 0] += jnp.sum(jnp.where(eye_b > 0.0, jnp.log(
           jnp.maximum(ld, 1e-30)), 0.0))
       v = y_ref[pl.ds(jg * group + i, 1), :] - s_i.T
       zj = _pdot(v, wt_i, wdims, precise)
       z_ref[pl.ds(jg * group + i, 1), :] = zj
       below = _pdot(halfbuf[:, ib:ib + block], wt_i, wdims, precise)
+      row_idx_h = jax.lax.broadcasted_iota(jnp.int32, (half, 1), 0)
       keep = (row_idx_h + row0_d) >= col_abs + block
       below = jnp.where(keep, below, 0.0)
       halfbuf[:, ib:ib + block] = below
@@ -597,6 +598,8 @@ def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
       # every later row range), so only the exported L sees it — the
       # wrapper re-transposes diag blocks when return_l=True. This
       # avoids a ~50 us (B, B) in-kernel transpose per inner column.
+      triu_b = (jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
+                <= jax.lax.broadcasted_iota(jnp.int32, (block, block), 1))
       l_dt = jnp.where(triu_b, lt_s[:], 0.0)
       halfbuf[pl.ds(loc_i, block), ib:ib + block] = l_dt
 
