@@ -402,6 +402,7 @@ def _seg_ofs(i, t, group):
 
 
 def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
+                  scoped_sweep,
                   xa_hbm, xb_hbm, y_ref, sv_ref, diag_ref, l_hbm,
                   quad_ref, ld_ref, halfbuf, lbuf, strip, lt_s, wt_s,
                   w_all, seg_ref, z_ref, s_ref, xbuf, xcbuf, top_ref,
@@ -542,9 +543,18 @@ def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
                        ib:ib + block]
       lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
       reps = 2 if mode == 'sweepx2' else 1
-      for _ in range(reps):
-        _sweep_fori(read_top, block, mb, lane_idx, lt_s, w_all, ib,
-                    top_ref, bot_ref, precise=precise)
+      if scoped_sweep:
+        def run_sweep(top2, bot2):
+          for _ in range(reps):
+            _sweep_fori(read_top, block, mb, lane_idx, lt_s, w_all, ib,
+                        top2, bot2, precise=precise)
+        pl.run_scoped(run_sweep,
+                      pltpu.VMEM((mb, block), jnp.float32),
+                      pltpu.VMEM((mb, block), jnp.float32))
+      else:
+        for _ in range(reps):
+          _sweep_fori(read_top, block, mb, lane_idx, lt_s, w_all, ib,
+                      top_ref, bot_ref, precise=precise)
 
   def panel_group(jg, _):
     gcol0 = jg * gb
@@ -653,13 +663,14 @@ def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
 
 @functools.partial(jax.jit, static_argnames=('block', 'half', 'precise',
                                              'mode', 'mb', 'slots',
-                                             'group', 'return_l',
-                                             'interpret'))
+                                             'group', 'scoped_sweep',
+                                             'return_l', 'interpret'))
 def mll_fused_g(x_scaled: jnp.ndarray, y: jnp.ndarray,
                 signal_variance, diag_add, block: int = 256,
                 half: int = 1024, precise: bool = True,
                 mode: str = 'full', mb: int = 32, slots: int = 2,
-                group: int = 2, return_l: bool = False,
+                group: int = 2, scoped_sweep: bool = False,
+                return_l: bool = False,
                 interpret: bool = False):
   """Grouped panel-major fused SE-kernel GP NLL (v11; _kernel_mll_g)."""
   n, d = x_scaled.shape
@@ -684,7 +695,7 @@ def mll_fused_g(x_scaled: jnp.ndarray, y: jnp.ndarray,
   sv = jnp.asarray(signal_variance, jnp.float32).reshape(1, 1)
   da = jnp.asarray(diag_add, jnp.float32).reshape(1, 1)
   kernel = functools.partial(_kernel_mll_g, n, d, block, half, precise,
-                             mode, mb, slots, group)
+                             mode, mb, slots, group, scoped_sweep)
   l_pm, quad, ld = pl.pallas_call(
       kernel,
       in_specs=[
