@@ -188,6 +188,7 @@ def bench_chol():
     fb = int(os.environ.get('BENCH_FUSED_BLOCK', 256 if on_tpu else 128))
     fh = int(os.environ.get('BENCH_FUSED_HALF', 512 if on_tpu else 256))
     fg = int(os.environ.get('BENCH_FUSED_GROUP', 2))
+    fu = int(os.environ.get('BENCH_FUSED_UNROLL', 2))
 
     @jax.jit
     def mll_k(x, y):
@@ -196,7 +197,7 @@ def bench_chol():
       def one(carry, bump):
         quad, ld = pallas_mll.mll_fused_g(
             x_scaled, y, jnp.squeeze(sv), 0.1 + bump, block=fb,
-            half=fh, group=fg, interpret=not on_tpu)
+            half=fh, group=fg, sweep_unroll=fu, interpret=not on_tpu)
         nll = 0.5 * quad + ld + 0.5 * n * jnp.log(2 * jnp.pi)
         return carry + nll, ()
       total, _ = lax.scan(one, 0.0, jnp.linspace(0., 1e-3, k_iters))
@@ -259,6 +260,76 @@ def bench_chol():
   return dict(result)
 
 
+def bench_train():
+  """Large-n training-step time: value_and_grad of the SE NLL at n=8192
+  through the fused custom-VJP path vs the dense XLA pipeline.
+
+  The round-2 verdict's top item: the fastest NLL must also TRAIN. The
+  fused forward (Pallas kernel) + analytic backward (reusing the
+  kernel's L factor) against the full dense value_and_grad.
+  """
+  import jax
+  import jax.numpy as jnp
+  from jax import lax
+  from hyperbo_tpu.core import defs
+  from hyperbo_tpu.core.warp import DEFAULT_WARP_FUNC
+  from hyperbo_tpu.models import kernel, mean
+  from hyperbo_tpu.models import objectives as obj
+
+  on_tpu = jax.devices()[0].platform not in ('cpu',)
+  n = int(os.environ.get('BENCH_TRAIN_N', 8192 if on_tpu else 512))
+  k_iters = int(os.environ.get('BENCH_TRAIN_K', 8 if on_tpu else 1))
+  d = 8
+  x = jax.random.uniform(jax.random.PRNGKey(5), (n, d), jnp.float32)
+  y = jax.random.normal(jax.random.PRNGKey(6), (n, 1), jnp.float32)
+  dataset = {'t': defs.SubDataset(x, y)}
+  model0 = {'lengthscale': jnp.ones(d) * 0.5, 'signal_variance': 0.0,
+            'noise_variance': -2.0}
+
+  def make_vg(config):
+    def loss(model):
+      shim = defs.GPParams(model=model, config=config)
+      return obj.neg_log_marginal_likelihood(
+          mean.zero, kernel.squared_exponential, shim, dataset,
+          warp_func=DEFAULT_WARP_FUNC)
+
+    @jax.jit
+    def vg_k(model):
+      def one(carry, bump):
+        m = dict(model)
+        m['noise_variance'] = m['noise_variance'] + bump
+        l, g = jax.value_and_grad(loss)(m)
+        return carry + l + g['signal_variance'], ()
+
+      total, _ = lax.scan(one, 0.0, jnp.linspace(0., 1e-4, k_iters))
+      return total
+
+    return vg_k
+
+  def timed_scalar(fn, *args, iters=2):
+    times = []
+    for _ in range(iters):
+      t0 = time.perf_counter()
+      float(fn(*args))
+      times.append(time.perf_counter() - t0)
+    return min(times)
+
+  vg_fused = make_vg({'fused_mll': True if on_tpu else 'interpret'})
+  vg_dense = make_vg({})
+  float(vg_fused(model0))
+  t_fused = timed_scalar(vg_fused, model0) / k_iters
+  log(f'n={n} value_and_grad fused: {t_fused*1e3:.1f} ms/step')
+  float(vg_dense(model0))
+  t_dense = timed_scalar(vg_dense, model0) / k_iters
+  log(f'n={n} value_and_grad dense: {t_dense*1e3:.1f} ms/step; '
+      f'fused speedup {t_dense/t_fused:.2f}x')
+  return {
+      'metric': f'n{n}_nll_value_and_grad_ms',
+      'value': round(t_fused * 1e3, 2),
+      'unit': 'ms_per_step_fused',
+      'vs_baseline': round(t_dense / t_fused, 3)}
+
+
 if __name__ == '__main__':
   threading.Thread(target=watchdog, daemon=True).start()
   try:
@@ -266,6 +337,8 @@ if __name__ == '__main__':
       emit(bench_chol())
     elif MODE == 'pd1':
       emit(bench_pd1())
+    elif MODE == 'train':
+      emit(bench_train())
     else:  # both: pd1 is the headline; chol rides along as "secondary"
       result = bench_pd1()
       try:
@@ -274,6 +347,12 @@ if __name__ == '__main__':
       except Exception as e:  # noqa: BLE001
         log(f'secondary (chol) bench failed: {type(e).__name__}: {e}')
         result['secondary'] = {'metric': 'chol_bench_failed'}
+      if os.environ.get('BENCH_TRAIN', '1') == '1':
+        try:
+          result['train'] = bench_train()
+          _RESULT.update(result)
+        except Exception as e:  # noqa: BLE001
+          log(f'train bench failed: {type(e).__name__}: {e}')
       emit(result)
   except Exception as e:  # noqa: BLE001
     log(f'bench failed: {type(e).__name__}: {e}')

@@ -32,6 +32,10 @@ def main():
   parser.add_argument('--block', type=int, default=None)
   parser.add_argument('--half', type=int, default=None)
   parser.add_argument('--group', type=int, default=2)
+  parser.add_argument('--unroll', type=int, default=2,
+                      help='sweep columns per fori iteration '
+                           '(>= mb drops the fori: fully static sweep)')
+  parser.add_argument('--skip_xla', action='store_true')
   args = parser.parse_args()
 
   import jax
@@ -47,7 +51,7 @@ def main():
   half = args.half or (512 if on_tpu else 256)
   d = 8
   log(f'device: {jax.devices()[0]}; n={n} k={k_iters} '
-      f'B={block} half={half} group={args.group}')
+      f'B={block} half={half} group={args.group} unroll={args.unroll}')
 
   x = jax.random.uniform(jax.random.PRNGKey(1), (n, d), jnp.float32)
   y = jax.random.normal(jax.random.PRNGKey(2), (n, 1), jnp.float32)
@@ -84,7 +88,8 @@ def main():
     def one(carry, bump):
       quad, ld = pallas_mll.mll_fused_g(
           xs, y, 1.3, 0.1 + bump, block=block, half=half,
-          group=args.group, interpret=not on_tpu)
+          group=args.group, sweep_unroll=args.unroll,
+          interpret=not on_tpu)
       return carry + 0.5 * quad + ld, ()
     tot, _ = lax.scan(one, 0.0, jnp.linspace(0., 1e-3, k_iters))
     return tot
@@ -98,14 +103,17 @@ def main():
       times.append(time.perf_counter() - t0)
     return min(times) / k_iters
 
-  t_xla = timed(mll_xla, xs, y)
+  t_xla = None if args.skip_xla else timed(mll_xla, xs, y)
   t_fused = timed(mll_fused, xs, y)
   quad, ld = pallas_mll.mll_fused_g(
       xs, y, 1.3, 0.1, block=block, half=half, group=args.group,
-      interpret=not on_tpu)
+      sweep_unroll=args.unroll, interpret=not on_tpu)
   flops = 2.0 * n * n * d + n**3 / 3.0 + 2.0 * n * n
-  print(f'XLA dense pipeline : {t_xla*1e3:8.2f} ms/iter '
-        f'({flops/t_xla/1e12:5.1f} TF/s)')
+  if t_xla is None:
+    t_xla = float('inf')
+  else:
+    print(f'XLA dense pipeline : {t_xla*1e3:8.2f} ms/iter '
+          f'({flops/t_xla/1e12:5.1f} TF/s)')
   print(f'fused v11 kernel   : {t_fused*1e3:8.2f} ms/iter '
         f'({flops/t_fused/1e12:5.1f} TF/s, {t_xla/t_fused:.2f}x)')
   print(f'fused accuracy vs f64 truth: quad rel '

@@ -28,6 +28,18 @@ from hyperbo_tpu.models import divergences
 from hyperbo_tpu.ops import linalg
 
 
+def _objective_items(dataset, aligned_only=False, exclude_aligned=False):
+  """Non-empty sub-datasets an objective runs over, in dataset order."""
+  for key, sub in dataset.items():
+    if aligned_only and sub.aligned is None:
+      continue
+    if exclude_aligned and sub.aligned is not None:
+      continue
+    if sub.x.shape[0] == 0:
+      continue
+    yield key, sub
+
+
 def multivariate_normal_divergence(
     mean_func,
     cov_func,
@@ -43,39 +55,26 @@ def multivariate_normal_divergence(
   draws. The sample mean/covariance over the m draws is compared to the
   model's mean/kernel (+ noise on the diagonal) under `distance`.
   """
+  noise_variance, = retrieve_params(
+      params, ['noise_variance'], warp_func=warp_func)
 
-  def compute_metric_per_sub_dataset(sub_dataset):
-    if sub_dataset.y.shape[0] == 0:
-      return 0.
-    mu_data = jnp.mean(sub_dataset.y, axis=1)
-    cov_data = jnp.cov(sub_dataset.y, bias=True)
-    mu_model = mean_func(params, sub_dataset.x, warp_func=warp_func).flatten()
-    noise_variance, = retrieve_params(
-        params, ['noise_variance'], warp_func=warp_func)
-    cov_model = cov_func(
-        params, sub_dataset.x, warp_func=warp_func) + jnp.eye(
-            sub_dataset.x.shape[0]) * noise_variance
-    return distance(mu0=mu_data, cov0=cov_data, mu1=mu_model, cov1=cov_model)
-
-  total_val = 0.
-  num_sub_datasets = 0
-  for sub_dataset_key, sub_dataset in dataset.items():
-    if sub_dataset.aligned is None:
-      continue
-    if sub_dataset.x.shape[0] == 0:
-      continue
-    if (sub_dataset.y.shape[1] == 0 or
-        sub_dataset.y.shape[0] != sub_dataset.x.shape[0]):
+  def one(key, sub):
+    if sub.y.shape[1] == 0 or sub.y.shape[0] != sub.x.shape[0]:
       raise ValueError(
-          (f'dataset[{sub_dataset_key}].x has shape {sub_dataset.x.shape} '
-           f'but dataset[{sub_dataset_key}].y has shape {sub_dataset.y.shape}')
-      )
-    total_val += compute_metric_per_sub_dataset(sub_dataset)
-    num_sub_datasets += 1
+          f'dataset[{key}].x has shape {sub.x.shape} '
+          f'but dataset[{key}].y has shape {sub.y.shape}')
+    mu_model = mean_func(params, sub.x, warp_func=warp_func).flatten()
+    cov_model = (cov_func(params, sub.x, warp_func=warp_func)
+                 + jnp.eye(sub.x.shape[0]) * noise_variance)
+    return distance(mu0=jnp.mean(sub.y, axis=1),
+                    cov0=jnp.cov(sub.y, bias=True),
+                    mu1=mu_model, cov1=cov_model)
 
-  if num_sub_datasets == 0:
+  vals = [one(k, s) for k, s in _objective_items(dataset,
+                                                 aligned_only=True)]
+  if not vals:
     return 0.
-  return total_val / num_sub_datasets
+  return sum(vals) / len(vals)
 
 
 multivariate_normal_euc_distance = functools.partial(
@@ -103,12 +102,15 @@ def neg_log_marginal_likelihood(mean_func,
       # Opt-in large-n fast path: the single-kernel Pallas fused MLL
       # (ops/pallas_mll.py) — value parity with this dense pipeline,
       # ~1.6x faster and far more accurate at n=8192 on v5e (PERF.md).
+      # Differentiable (custom VJP reusing the kernel's L factor), so
+      # gradient-based pre-training trains through it too. Serves the
+      # plain SE kernel and its MLP/Kumar-embedded variants.
       # 'interpret' runs the kernel interpreted (CPU tests).
       from hyperbo_tpu.ops import pallas_mll
-      if pallas_mll.se_nll_fused_applicable(cov_func, vx):
+      if pallas_mll.se_nll_fused_applicable(cov_func, vx, params):
         return pallas_mll.se_nll_fused(
             mean_func, params, vx, vy, warp_func=warp_func,
-            interpret=(fused == 'interpret'))
+            cov_func=cov_func, interpret=(fused == 'interpret'))
     chol, kinvy, vy = linalg.solve_gp_linear_system(
         mean_func=mean_func,
         cov_func=cov_func,
@@ -137,36 +139,32 @@ def neg_log_marginal_likelihood(mean_func,
         jnp.dot(vy.T, kinvy) + jnp.sum(jnp.log(s)) +
         vx.shape[0] * jnp.log(2 * jnp.pi))
 
-  total_nll = 0.
-  key2nll = {}
-  num_sub_datasets = 0
-  for k, s in dataset.items():
-    if exclude_aligned and s.aligned is not None:
-      continue
-    if s.x.shape[0] == 0:
-      continue
-    if use_cholesky:
-      key2nll[k] = compute_nll_sub_dataset_cholesky(s.x, s.y)
-    else:
-      key2nll[k] = compute_nll_sub_dataset_svd(s.x, s.y)
-    total_nll += key2nll[k]
-    num_sub_datasets += 1
-  if num_sub_datasets == 0:
-    total_nll = 0.
-  else:
-    total_nll /= num_sub_datasets
-
-  if 'priors' in params.config:
-    for k in params.model:
-      if k in params.config['priors']:
-        log_prior_fn = params.config['priors'][k]
-        val, = retrieve_params(params, [k], warp_func)
-        total_nll -= log_prior_fn(val)
-      else:
-        logging.warning('No prior provided for param %s', k)
+  nll_one = (compute_nll_sub_dataset_cholesky if use_cholesky
+             else compute_nll_sub_dataset_svd)
+  key2nll = {
+      k: nll_one(s.x, s.y)
+      for k, s in _objective_items(dataset,
+                                   exclude_aligned=exclude_aligned)}
+  total_nll = (sum(key2nll.values()) / len(key2nll)) if key2nll else 0.
+  total_nll -= _hyperprior_log_prob(params, warp_func)
   if return_key2nll:
     return total_nll, key2nll
   return total_nll
+
+
+def _hyperprior_log_prob(params, warp_func):
+  """Sum of config['priors'] log-densities over the (warped) model."""
+  if 'priors' not in params.config:
+    return 0.
+  total = 0.
+  priors = params.config['priors']
+  for name in params.model:
+    if name not in priors:
+      logging.warning('No prior provided for param %s', name)
+      continue
+    val, = retrieve_params(params, [name], warp_func)
+    total += priors[name](val)
+  return total
 
 
 nll = neg_log_marginal_likelihood

@@ -113,6 +113,36 @@ def nll_one_task(mean_func, cov_func, params, x, y, mask, count,
   return quad + logdet_half + 0.5 * count * jnp.log(2 * jnp.pi)
 
 
+def _nll_packed_fused(mean_func, cov_func, params, packed, warp_func,
+                      eps):
+  """Per-task NLL through the fused Pallas kernel (lax.map over tasks).
+
+  One kernel invocation per task inside a single compiled program; worth
+  it for LARGE per-task n (>= 4096, where each factorization dominates
+  the per-launch overhead) — the vmapped dense pipeline stays the
+  default at PD1 subsample scale. Padding via the sentinel-row trick
+  (ops/pallas_mll.se_nll_fused_masked); gradients flow through the
+  custom VJP.
+  """
+  from hyperbo_tpu.ops import pallas_mll
+  lengthscale, signal_variance, noise_variance = retrieve_params(
+      params, ['lengthscale', 'signal_variance', 'noise_variance'],
+      warp_func=warp_func)
+  interpret = params.config.get('fused_mll') == 'interpret'
+
+  def one(args):
+    x, y, mask, count = args
+    mu = mean_func(params, x, warp_func=warp_func)
+    delta = (y - jnp.atleast_2d(mu)) * mask[:, None]
+    emb = pallas_mll._se_embed(params, x, cov_func, warp_func)
+    return pallas_mll.se_nll_fused_masked(
+        emb / lengthscale, delta, jnp.squeeze(signal_variance),
+        jnp.squeeze(noise_variance) + eps, count, interpret=interpret)
+
+  return jax.lax.map(one, (packed.x, packed.y, packed.mask,
+                           packed.count))
+
+
 def neg_log_marginal_likelihood_packed(mean_func,
                                        cov_func,
                                        params,
@@ -122,12 +152,25 @@ def neg_log_marginal_likelihood_packed(mean_func,
   """Mean NLL over packed tasks (+ hyperprior terms, as the reference).
 
   vmapped over the task axis: one batched Gram + batched Cholesky.
-  Shardable over a mesh by sharding `packed`'s leading axis.
+  Shardable over a mesh by sharding `packed`'s leading axis. With
+  config['fused_mll'] set and the kernel applicable (SE-family kernel,
+  large aligned n_max), per-task NLLs run through the fused Pallas
+  kernel instead (custom VJP: trains through it too).
   """
-  per_task = jax.vmap(
-      lambda x, y, m, c: nll_one_task(
-          mean_func, cov_func, params, x, y, m, c, warp_func, eps))(
-              packed.x, packed.y, packed.mask, packed.count)
+  fused = params.config.get('fused_mll') if params.config else None
+  if fused:
+    from hyperbo_tpu.ops import pallas_mll
+    if pallas_mll.se_nll_fused_applicable(cov_func, packed.x[0], params,
+                                          masked=True):
+      per_task = _nll_packed_fused(mean_func, cov_func, params, packed,
+                                   warp_func, eps)
+    else:
+      fused = None
+  if not fused:
+    per_task = jax.vmap(
+        lambda x, y, m, c: nll_one_task(
+            mean_func, cov_func, params, x, y, m, c, warp_func, eps))(
+                packed.x, packed.y, packed.mask, packed.count)
   per_task = jnp.where(packed.task_mask, per_task, 0.0)
   num = jnp.maximum(jnp.sum(packed.task_mask), 1)
   total = jnp.sum(per_task) / num

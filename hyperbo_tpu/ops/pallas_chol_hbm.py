@@ -841,7 +841,7 @@ def cholesky_hbm(a: jnp.ndarray, block: int = 256,
 
 
 def _sweep_fori(read_top, block, mb, lane_idx, lt_ref, wt_ref, wt_off,
-                top_ref, bot_ref, precise=False):
+                top_ref, bot_ref, precise=False, unroll=2):
   """Transposed fori-loop sweep: lt_ref rows = L columns; W rows are
   written into wt_ref at row offset wt_off.
 
@@ -895,10 +895,22 @@ def _sweep_fori(read_top, block, mb, lane_idx, lt_ref, wt_ref, wt_off,
       top_ref[:] = top_ref[:] - seg * lrow
       bot_ref[:] = bot_ref[:] - seg * wrow
 
-    def step(i, _):
-      k = c0 + 2 * i
-      substep(k)
-      substep(k + 1)
-      return 0
+    # `unroll` columns per fori iteration. The in-situ sweep is paced by
+    # per-iteration fori overhead (~450 ns/iter with dynamic-ref I/O in
+    # large programs, vs ~38 ns isolated — PERF.md "sweep anomaly"), so
+    # amortizing it over more substeps cuts the sweep cost almost
+    # proportionally. unroll >= mb drops the fori entirely: every k is
+    # static, so the substep compiles to static-slice I/O.
+    if unroll >= mb:
+      for kl in range(mb):
+        substep(c0 + kl)
+    else:
+      assert mb % unroll == 0, (mb, unroll)
 
-    jax.lax.fori_loop(0, mb // 2, step, 0)
+      def step(i, _):
+        k = c0 + unroll * i
+        for u in range(unroll):
+          substep(k + u)
+        return 0
+
+      jax.lax.fori_loop(0, mb // unroll, step, 0)

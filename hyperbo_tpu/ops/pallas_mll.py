@@ -402,9 +402,9 @@ def _seg_ofs(i, t, group):
 
 
 def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
-                  scoped_sweep,
+                  scoped_sweep, sweep_unroll,
                   xa_hbm, xb_hbm, y_ref, sv_ref, diag_ref, l_hbm,
-                  quad_ref, ld_ref, halfbuf, lbuf, strip, lt_s, wt_s,
+                  quad_ref, ld_ref, halfbuf, lbuf, strip, lt_s,
                   w_all, seg_ref, z_ref, s_ref, xbuf, xcbuf, top_ref,
                   bot_ref, sem_l, sem_s, sem_x, sem_out):
   """Grouped panel-major fused MLL (v11).
@@ -547,14 +547,16 @@ def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
         def run_sweep(top2, bot2):
           for _ in range(reps):
             _sweep_fori(read_top, block, mb, lane_idx, lt_s, w_all, ib,
-                        top2, bot2, precise=precise)
+                        top2, bot2, precise=precise,
+                        unroll=sweep_unroll)
         pl.run_scoped(run_sweep,
                       pltpu.VMEM((mb, block), jnp.float32),
                       pltpu.VMEM((mb, block), jnp.float32))
       else:
         for _ in range(reps):
           _sweep_fori(read_top, block, mb, lane_idx, lt_s, w_all, ib,
-                      top_ref, bot_ref, precise=precise)
+                      top_ref, bot_ref, precise=precise,
+                      unroll=sweep_unroll)
 
   def panel_group(jg, _):
     gcol0 = jg * gb
@@ -664,15 +666,27 @@ def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
 @functools.partial(jax.jit, static_argnames=('block', 'half', 'precise',
                                              'mode', 'mb', 'slots',
                                              'group', 'scoped_sweep',
+                                             'sweep_unroll',
                                              'return_l', 'interpret'))
 def mll_fused_g(x_scaled: jnp.ndarray, y: jnp.ndarray,
                 signal_variance, diag_add, block: int = 256,
                 half: int = 1024, precise: bool = True,
                 mode: str = 'full', mb: int = 32, slots: int = 2,
                 group: int = 2, scoped_sweep: bool = False,
+                sweep_unroll: int = 2,
                 return_l: bool = False,
+                valid=None,
                 interpret: bool = False):
-  """Grouped panel-major fused SE-kernel GP NLL (v11; _kernel_mll_g)."""
+  """Grouped panel-major fused SE-kernel GP NLL (v11; _kernel_mll_g).
+
+  `valid` ((n,) 0/1 floats, optional) masks padded rows EXACTLY through
+  the distance embedding: two extra feature lanes add a penalty
+  P_i + P_j (P = 50 on padded rows) to every squared distance touching
+  a padded row, driving those Gram entries to sv * exp(-50) ~ 0 —
+  including the padded diagonal, which becomes exactly diag_add (the
+  caller corrects the logdet analytically). Small exact adds — no
+  large-sentinel f32 cancellation — and the kernel body is unchanged.
+  """
   n, d = x_scaled.shape
   half = min(half, n)
   gb = group * block
@@ -685,17 +699,25 @@ def mll_fused_g(x_scaled: jnp.ndarray, y: jnp.ndarray,
   sqn = jnp.sum(xs32 * xs32, axis=1, keepdims=True)
   onev = jnp.ones((n, 1), jnp.float32)
   feat = 128
-  assert d + 2 <= feat, d
-  pad = jnp.zeros((n, feat - d - 2), jnp.float32)
-  xa = jnp.concatenate([-2.0 * xs32, sqn, onev, pad],
-                       axis=1).reshape(n // half, half, feat)
-  xb = jnp.concatenate([xs32, onev, sqn, pad],
-                       axis=1).reshape(n // gb, gb, feat)
+  if valid is None:
+    assert d + 2 <= feat, d
+    pad = jnp.zeros((n, feat - d - 2), jnp.float32)
+    acols = [-2.0 * xs32, sqn, onev, pad]
+    bcols = [xs32, onev, sqn, pad]
+  else:
+    assert d + 4 <= feat, d
+    pen = 50.0 * (1.0 - valid.astype(jnp.float32).reshape(n, 1))
+    pad = jnp.zeros((n, feat - d - 4), jnp.float32)
+    acols = [-2.0 * xs32, sqn, onev, pen, onev, pad]
+    bcols = [xs32, onev, sqn, onev, pen, pad]
+  xa = jnp.concatenate(acols, axis=1).reshape(n // half, half, feat)
+  xb = jnp.concatenate(bcols, axis=1).reshape(n // gb, gb, feat)
   y_pm = y.astype(jnp.float32).reshape(nb, block)
   sv = jnp.asarray(signal_variance, jnp.float32).reshape(1, 1)
   da = jnp.asarray(diag_add, jnp.float32).reshape(1, 1)
   kernel = functools.partial(_kernel_mll_g, n, d, block, half, precise,
-                             mode, mb, slots, group, scoped_sweep)
+                             mode, mb, slots, group, scoped_sweep,
+                             sweep_unroll)
   l_pm, quad, ld = pl.pallas_call(
       kernel,
       in_specs=[
@@ -720,7 +742,6 @@ def mll_fused_g(x_scaled: jnp.ndarray, y: jnp.ndarray,
           pltpu.VMEM((slots, half, block), jnp.float32),   # lbuf
           pltpu.VMEM((slots, gb, block), jnp.float32),     # strip
           pltpu.VMEM((block, block), jnp.float32),      # lt_s
-          pltpu.VMEM((block, block), jnp.float32),      # wt_s
           pltpu.VMEM((gb, block), jnp.float32),         # w_all
           pltpu.VMEM((max(1, group * (group - 1) // 2) * block, block),
                      jnp.float32),                    # seg cache
@@ -750,17 +771,111 @@ def mll_fused_g(x_scaled: jnp.ndarray, y: jnp.ndarray,
   return quad[0, 0], ld[0, 0]
 
 
+@functools.lru_cache(maxsize=None)
+def _se_nll_core_fn(block: int, half: int, group: int, interpret: bool,
+                    sweep_unroll: int = 2):
+  """Differentiable fused SE-NLL core: nll_core(x_scaled, delta, sv, da).
+
+  Returns 0.5 y^T K^{-1} y + sum(log diag L) for
+  K = sv * exp(-0.5 ||xi - xj||^2) + da * I (the 0.5 n log 2pi constant
+  stays with the caller). The primal runs the fused Pallas kernel; the
+  custom VJP (round-3 verdict item 1 — the reference's pre-training
+  loop differentiates this objective per step,
+  /root/reference/hyperbo/gp_utils/gp.py:124-146) reuses the kernel's L
+  factor, which the kernel materializes in HBM anyway:
+
+    G := dnll/dK = 0.5 (K^{-1} - alpha alpha^T),  alpha = K^{-1} delta
+    d/d delta = alpha
+    d/d sv    = sum(G o E) / sv        (E = the exp factor = (K - da I)/sv)
+    d/d da    = tr(G)
+    d/d x_i   = 2 [(W x)_i - (W 1)_i x_i],  W = G o (sv E)
+
+  K^{-1} comes from ONE n-RHS triangular solve (L^{-1}) plus ONE MXU
+  GEMM (L^{-T} L^{-1}) — cheaper on TPU than two chained solves. All
+  n x n products run at HIGH (X3 / 3-pass bf16) precision to match the
+  forward kernel's accuracy class.
+  """
+
+  @jax.custom_vjp
+  def core(x_scaled, delta, sv, da):
+    quad, ld = mll_fused_g(x_scaled, delta, sv, da, block=block,
+                           half=half, group=group,
+                           sweep_unroll=sweep_unroll,
+                           interpret=interpret)
+    return 0.5 * quad + ld
+
+  def fwd(x_scaled, delta, sv, da):
+    l, quad, ld = mll_fused_g(x_scaled, delta, sv, da, block=block,
+                              half=half, group=group,
+                              sweep_unroll=sweep_unroll, return_l=True,
+                              interpret=interpret)
+    return 0.5 * quad + ld, (l, x_scaled, delta, sv, da)
+
+  def bwd(res, g):
+    l, x_scaled, delta, sv, da = res
+    n = x_scaled.shape[0]
+    hi = jax.lax.Precision.HIGH
+    z = jax.lax.linalg.triangular_solve(
+        l, delta, left_side=True, lower=True)
+    alpha = jax.lax.linalg.triangular_solve(
+        l, z, left_side=True, lower=True, transpose_a=True)
+    linv = jax.lax.linalg.triangular_solve(
+        l, jnp.eye(n, dtype=l.dtype), left_side=True, lower=True)
+    kinv = jnp.matmul(linv.T, linv, precision=hi)
+    gmat = 0.5 * (kinv - jnp.matmul(alpha, alpha.T, precision=hi))
+    sqn = jnp.sum(x_scaled * x_scaled, axis=1, keepdims=True)
+    r2 = sqn + sqn.T - 2.0 * jnp.matmul(x_scaled, x_scaled.T,
+                                        precision=hi)
+    w = gmat * (sv * jnp.exp(-0.5 * jnp.maximum(r2, 0.0)))
+    d_sv = jnp.sum(w) / sv
+    d_da = jnp.trace(gmat)
+    wsum = jnp.sum(w, axis=1, keepdims=True)
+    d_x = 2.0 * (jnp.matmul(w, x_scaled, precision=hi) - wsum * x_scaled)
+    return (g * d_x, g * alpha, g * d_sv, g * d_da)
+
+  core.defvjp(fwd, bwd)
+  return core
+
+
+def _se_embed(params, x, cov_func, warp_func):
+  """Inputs the SE kernel actually sees: raw, MLP- or Kumar-embedded.
+
+  SE-over-MLP is SE on embedded inputs (reference
+  hyperbo/gp_utils/kernel.py:148-222) — pre-applying the basis function
+  here lets the same fused kernel serve every squared_exponential*
+  variant, gradients included (the embedding stays outside the custom
+  VJP, so jax.grad flows into mlp/kumar parameters automatically).
+  """
+  from hyperbo_tpu.core.warp import retrieve_params
+  from hyperbo_tpu.models import basis as bf
+  name = getattr(cov_func, '__name__', '') if cov_func is not None else ''
+  if name.endswith('_mlp'):
+    mlp_params, = retrieve_params(params, ['mlp_params'],
+                                  warp_func=warp_func)
+    return bf.MLP(params.config['mlp_features']).apply(
+        {'params': mlp_params}, x)
+  if name.endswith('_kumar'):
+    kumar_params, = retrieve_params(params, ['kumar_params'],
+                                    warp_func=warp_func)
+    return bf.KumarWarp().apply({'params': kumar_params}, x)
+  return x
+
+
 def se_nll_fused(mean_func, params, x, y, warp_func=None, eps=1e-6,
                  block: int = 256, half: int = 512, group: int = 2,
+                 sweep_unroll: int = 2, cov_func=None,
                  interpret: bool = False):
-  """GP NLL for a plain squared-exponential kernel via the fused kernel.
+  """GP NLL for squared-exponential-family kernels via the fused kernel.
 
-  Drop-in value-parity with the dense pipeline
+  Drop-in value parity with the dense pipeline
   (objectives.neg_log_marginal_likelihood with cov_func =
-  kernel.squared_exponential; diag add = warped noise_variance + eps,
-  matching ops/linalg.solve_gp_linear_system). Single (n, d) task with
-  n divisible by group*block. ~1.6x faster than the XLA dense pipeline
-  at n=8192 on v5e AND ~400x closer to the f64 truth (PERF.md round 2).
+  kernel.squared_exponential / squared_exponential_mlp /
+  squared_exponential_kumar; diag add = warped noise_variance + eps,
+  matching ops/linalg.solve_gp_linear_system). Single (n, m=1) task
+  with n divisible by group*block. ~1.6x faster than the XLA dense
+  pipeline at n=8192 on v5e AND ~400x closer to the f64 truth (PERF.md
+  round 2). Fully differentiable (custom VJP, see _se_nll_core_fn) —
+  gradient-based pre-training trains straight through this path.
   """
   from hyperbo_tpu.core.warp import retrieve_params
   lengthscale, signal_variance, noise_variance = retrieve_params(
@@ -769,18 +884,122 @@ def se_nll_fused(mean_func, params, x, y, warp_func=None, eps=1e-6,
   n = x.shape[0]
   mu = mean_func(params, x, warp_func=warp_func)
   delta = y - jnp.atleast_2d(mu)
-  x_scaled = x / lengthscale
-  quad, ld = mll_fused_g(
-      x_scaled, delta, jnp.squeeze(signal_variance),
-      jnp.squeeze(noise_variance) + eps, block=block, half=half,
-      group=group, interpret=interpret)
-  return 0.5 * quad + ld + 0.5 * n * jnp.log(2 * jnp.pi)
+  emb = _se_embed(params, x, cov_func, warp_func)
+  x_scaled = emb / lengthscale
+  core = _se_nll_core_fn(block, half, group, interpret, sweep_unroll)
+  nll_core = core(x_scaled, delta, jnp.squeeze(signal_variance),
+                  jnp.squeeze(noise_variance) + eps)
+  return nll_core + 0.5 * n * jnp.log(2 * jnp.pi)
 
 
-def se_nll_fused_applicable(cov_func, x, block: int = 256,
-                            group: int = 2) -> bool:
-  """True when the fused path can replace the dense SE NLL pipeline."""
+@functools.lru_cache(maxsize=None)
+def _se_nll_core_masked_fn(block: int, half: int, group: int,
+                           interpret: bool, sweep_unroll: int = 2):
+  """Masked differentiable fused SE-NLL core (packed-batch support).
+
+  core(x_scaled, delta, sv, da, valid) with valid an (n,) 0/1 mask:
+  padded rows are removed from the Gram matrix EXACTLY through the
+  embedding penalty lanes (see mll_fused_g `valid`), leaving their
+  diagonal at `da` (caller corrects the logdet). The backward pass is
+  the same closed form as _se_nll_core_fn with the exp factor masked by
+  valid_i * valid_j — the padded diagonal's dK/d(sv) is exp(-100) ~ 0
+  and its dK/d(da) is 1, matching the forward kernel.
+  """
+
+  @jax.custom_vjp
+  def core(x_scaled, delta, sv, da, valid):
+    quad, ld = mll_fused_g(x_scaled, delta, sv, da, block=block,
+                           half=half, group=group,
+                           sweep_unroll=sweep_unroll, valid=valid,
+                           interpret=interpret)
+    return 0.5 * quad + ld
+
+  def fwd(x_scaled, delta, sv, da, valid):
+    l, quad, ld = mll_fused_g(x_scaled, delta, sv, da, block=block,
+                              half=half, group=group,
+                              sweep_unroll=sweep_unroll, valid=valid,
+                              return_l=True, interpret=interpret)
+    return 0.5 * quad + ld, (l, x_scaled, delta, sv, da, valid)
+
+  def bwd(res, g):
+    l, x_scaled, delta, sv, da, valid = res
+    n = x_scaled.shape[0]
+    hi = jax.lax.Precision.HIGH
+    z = jax.lax.linalg.triangular_solve(
+        l, delta, left_side=True, lower=True)
+    alpha = jax.lax.linalg.triangular_solve(
+        l, z, left_side=True, lower=True, transpose_a=True)
+    linv = jax.lax.linalg.triangular_solve(
+        l, jnp.eye(n, dtype=l.dtype), left_side=True, lower=True)
+    kinv = jnp.matmul(linv.T, linv, precision=hi)
+    gmat = 0.5 * (kinv - jnp.matmul(alpha, alpha.T, precision=hi))
+    sqn = jnp.sum(x_scaled * x_scaled, axis=1, keepdims=True)
+    r2 = sqn + sqn.T - 2.0 * jnp.matmul(x_scaled, x_scaled.T,
+                                        precision=hi)
+    vv = valid.astype(jnp.float32).reshape(n, 1)
+    pair = vv * vv.T
+    w = gmat * (sv * jnp.exp(-0.5 * jnp.maximum(r2, 0.0))) * pair
+    d_sv = jnp.sum(w) / sv
+    d_da = jnp.trace(gmat)
+    wsum = jnp.sum(w, axis=1, keepdims=True)
+    d_x = 2.0 * (jnp.matmul(w, x_scaled, precision=hi) - wsum * x_scaled)
+    return (g * d_x, g * alpha, g * d_sv, g * d_da,
+            jnp.zeros_like(valid))
+
+  core.defvjp(fwd, bwd)
+  return core
+
+
+def se_nll_fused_masked(x_scaled, delta_masked, sv, da, count,
+                        block: int = 256, half: int = 512,
+                        group: int = 2, sweep_unroll: int = 2,
+                        interpret: bool = False):
+  """Fused SE NLL for one PADDED task (packed-batch support).
+
+  Padded rows (index >= count) are masked out of the Gram matrix via
+  the embedding penalty (exact in f32), their delta is zeroed, and the
+  logdet surplus — each padded diagonal is exactly `da`, where
+  models/packed.nll_one_task uses diag_fill = 1 (contribution 0) — is
+  subtracted analytically: both value AND gradients match the dense
+  masked pipeline. The surplus is ordinary jnp arithmetic outside the
+  custom-VJP core, so d/d(da) of the correction is handled by autodiff.
+  """
+  n = x_scaled.shape[0]
+  idx = jnp.arange(n)
+  valid = (idx < count).astype(jnp.float32)
+  xs = jnp.where(valid[:, None] > 0, x_scaled, 0.0)
+  delta = jnp.where(valid[:, None] > 0, delta_masked, 0.0)
+  core = _se_nll_core_masked_fn(block, half, group, interpret,
+                                sweep_unroll)
+  nll_core = core(xs, delta, sv, da, valid)
+  surplus = 0.5 * jnp.log(da) * (n - count)
+  return nll_core - surplus + 0.5 * count * jnp.log(2 * jnp.pi)
+
+
+def se_nll_fused_applicable(cov_func, x, params=None, block: int = 256,
+                            group: int = 2, masked: bool = False) -> bool:
+  """True when the fused path can replace the dense SE NLL pipeline.
+
+  masked=True reserves the two extra embedding lanes the padded-row
+  penalty needs (packed batches).
+  """
   from hyperbo_tpu.models import kernel as kernel_lib
-  return (cov_func is kernel_lib.squared_exponential and
-          x.ndim == 2 and x.shape[0] >= group * block and
-          x.shape[0] % (group * block) == 0 and x.shape[1] + 2 <= 128)
+  if not (x.ndim == 2 and x.shape[0] >= group * block and
+          x.shape[0] % (group * block) == 0):
+    return False
+  if cov_func is kernel_lib.squared_exponential:
+    emb_dim = x.shape[1]
+  elif cov_func is kernel_lib.squared_exponential_kumar:
+    emb_dim = x.shape[1]
+    if params is None or 'kumar_params' not in params.model:
+      return False
+  elif cov_func is kernel_lib.squared_exponential_mlp:
+    if params is None or 'mlp_params' not in params.model:
+      return False
+    features = (params.config or {}).get('mlp_features')
+    if not features:
+      return False
+    emb_dim = features[-1]
+  else:
+    return False
+  return emb_dim + (4 if masked else 2) <= 128
