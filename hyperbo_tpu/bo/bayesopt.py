@@ -1,18 +1,15 @@
 """Bayesian-optimization loops for sequential queries.
 
-API parity with reference hyperbo/bo_utils/bayesopt.py:36-345: the same
-three loops —
+Covers the reference surface (hyperbo/bo_utils/bayesopt.py:36-345):
+`bayesopt` (continuous-oracle), `simulated_bayesopt` (offline over a
+finite candidate set), `run_bayesopt` (experiment entry), plus the
+contextual/MTBO helpers — but structured around ONE sequential driver
+(`_bo_iterations`) parameterized by a proposal function, instead of two
+parallel loop bodies. The L-BFGS-B refinement uses scipy with a jitted
+JAX value-and-grad oracle (the reference used jaxopt's scipy wrapper).
 
-  * `bayesopt`: continuous-oracle BO (candidate pool -> acquisition argmax
-    -> bounded L-BFGS-B refinement -> oracle query -> append),
-  * `simulated_bayesopt`: offline BO over a finite pre-evaluated set,
-  * `run_bayesopt`: experiment entry point (GP vs HGP dispatch,
-    pre-training, simulated vs oracle path)
-
-— plus the contextual/MTBO helpers. The L-BFGS-B refinement uses scipy
-with a jitted JAX value-and-grad (the reference used jaxopt's scipy
-wrapper). For the fully on-device scan-based loop with rank-1 posterior
-updates, see hyperbo_tpu.bo.ondevice.
+For the fully on-device scan-based loop with rank-1 posterior updates
+(the TPU production path), see hyperbo_tpu.bo.ondevice.
 """
 
 from __future__ import annotations
@@ -34,6 +31,15 @@ from hyperbo_tpu.models import priors
 
 SubDataset = defs.SubDataset
 
+# Config forced onto HGP methods (posterior sampling via the slice
+# sampler; reference behavior at hyperbo/bo_utils/bayesopt.py:247-255).
+_HGP_SAMPLING_CONFIG = {
+    'objective': 'nll',
+    'method': 'slice_sample',
+    'burnin': 50,
+    'nsamples': 50,
+}
+
 
 def get_best_datapoint(sub_dataset):
   """Return the (x, y) pair with maximal y, or None if empty."""
@@ -48,18 +54,78 @@ def retrain_model(model: gp.GP,
                   random_key: Optional[jax.Array] = None,
                   get_params_path: Optional[Callable[..., Any]] = None,
                   callback: Optional[Callable[..., Any]] = None):
-  """Retrain on the growing test sub-dataset if config['retrain'] > 0."""
-  retrain_condition = ('retrain' in model.params.config and
-                       model.params.config['retrain'] > 0 and
-                       model.dataset[sub_dataset_key].x.shape[0] > 0)
-  if not retrain_condition:
+  """Retrain on the growing test sub-dataset if config['retrain'] > 0.
+
+  Unlike the reference (hyperbo/bo_utils/bayesopt.py:70), the temporary
+  `max_training_step` override is restored afterwards — the reference
+  permanently clobbers the model's training config after one retraining
+  BO run.
+  """
+  config = model.params.config
+  if not (config.get('retrain', 0) > 0 and
+          model.dataset[sub_dataset_key].x.shape[0] > 0):
     return
-  if model.params.config['objective'] in [obj.regkl, obj.regeuc]:
+  if config['objective'] in [obj.regkl, obj.regeuc]:
     raise ValueError('Objective must include NLL to retrain.')
-  max_training_step = model.params.config['retrain']
-  logging.info('Retraining with max_training_step = %d.', max_training_step)
-  model.params.config['max_training_step'] = max_training_step
-  model.train(random_key, get_params_path=get_params_path, callback=callback)
+  logging.info('Retraining with max_training_step = %d.',
+               config['retrain'])
+  saved = config.get('max_training_step')
+  config['max_training_step'] = config['retrain']
+  try:
+    model.train(random_key, get_params_path=get_params_path,
+                callback=callback)
+  finally:
+    if saved is None:
+      config.pop('max_training_step', None)
+    else:
+      config['max_training_step'] = saved
+
+
+def _is_random_search(ac_func) -> bool:
+  return getattr(ac_func, '__name__', '') in ('rand', 'random_search')
+
+
+def _bo_iterations(model: gp.GP,
+                   sub_dataset_key: Union[int, str],
+                   iters: int,
+                   propose: Callable[[Optional[jax.Array], int],
+                                     Tuple[jnp.ndarray, jnp.ndarray]],
+                   key: Optional[jax.Array],
+                   get_params_path: Optional[Callable[..., Any]] = None,
+                   callback: Optional[Callable[..., Any]] = None
+                   ) -> SubDataset:
+  """Shared sequential BO driver: retrain -> propose -> append.
+
+  `propose(subkey, i)` returns the next (x, y) observation; it sees a
+  fresh PRNG subkey per iteration (None when no key was given).
+  """
+  for i in range(iters):
+    retrain_key = None
+    if key is not None:
+      key, retrain_key = jax.random.split(key)
+    retrain_model(model, sub_dataset_key=sub_dataset_key,
+                  random_key=retrain_key,
+                  get_params_path=get_params_path, callback=callback)
+    propose_key = None
+    if key is not None:
+      key, propose_key = jax.random.split(key)
+    datapoint = propose(propose_key, i)
+    model.update_sub_dataset(
+        datapoint, sub_dataset_key=sub_dataset_key, is_append=True)
+  return model.dataset.get(sub_dataset_key,
+                           SubDataset(jnp.empty(0), jnp.empty(0)))
+
+
+def _argmax_or_random(model, sub_dataset_key, ac_func, x_queries, subkey):
+  """Candidate index: acquisition argmax, or uniform for random search."""
+  if _is_random_search(ac_func):
+    logging.info('Using random search for bayesopt.')
+    if subkey is None:
+      raise ValueError('Must specify a random key for random search.')
+    return jax.random.choice(subkey, x_queries.shape[0])
+  evals = ac_func(model=model, sub_dataset_key=sub_dataset_key,
+                  x_queries=x_queries)
+  return evals.argmax()
 
 
 def _lbfgsb_refine(fun, x_init, input_dim):
@@ -92,22 +158,19 @@ def bayesopt(
 
   Per iteration: sample a candidate pool, take the acquisition argmax as
   the start point, refine with bounded L-BFGS-B in [0,1]^d, query the
-  oracle, append the observation.
+  oracle, append the observation. Random search skips the refinement
+  (the reference at hyperbo/bo_utils/bayesopt.py:122-125 "refines" the
+  randomly chosen point against the noise-valued rand acquisition —
+  a latent bug; a random baseline must stay random).
   """
   input_dim = model.input_dim
-  for i in range(iters):
+
+  def propose(subkey, i):
     start_time = time.time()
-    retrain_model(model, sub_dataset_key=sub_dataset_key)
-    key, subkey = jax.random.split(key)
-    x_samples = input_sampler(subkey, input_dim)
-    if ac_func.__name__ in ('rand', 'random_search'):
-      logging.info('Using random search for bayesopt.')
-      key, subkey = jax.random.split(key)
-      select_idx = jax.random.choice(subkey, x_samples.shape[0])
-    else:
-      evals = ac_func(
-          model=model, sub_dataset_key=sub_dataset_key, x_queries=x_samples)
-      select_idx = evals.argmax()
+    sample_key, select_key = jax.random.split(subkey)
+    x_samples = input_sampler(sample_key, input_dim)
+    select_idx = _argmax_or_random(model, sub_dataset_key, ac_func,
+                                   x_samples, select_key)
     x_init = x_samples[select_idx]
 
     def neg_ac(x):
@@ -115,15 +178,14 @@ def bayesopt(
           model=model, sub_dataset_key=sub_dataset_key,
           x_queries=x[None, :]).flatten()[0]
 
-    x_opt = _lbfgsb_refine(neg_ac, x_init, input_dim)
-    eval_datapoint = x_opt, query_oracle(x_opt[None, :])
+    x_opt = (x_init if _is_random_search(ac_func)
+             else _lbfgsb_refine(neg_ac, x_init, input_dim))
+    datapoint = (x_opt, query_oracle(x_opt[None, :]))
     logging.info('%d-th iter, x_init=%s, eval_datapoint=%s, elapsed=%f',
-                 i, x_init, eval_datapoint, time.time() - start_time)
-    model.update_sub_dataset(
-        eval_datapoint, sub_dataset_key=sub_dataset_key, is_append=True)
+                 i, x_init, datapoint, time.time() - start_time)
+    return datapoint
 
-  return model.dataset.get(sub_dataset_key,
-                           SubDataset(jnp.empty(0), jnp.empty(0)))
+  return _bo_iterations(model, sub_dataset_key, iters, propose, key)
 
 
 def simulated_bayesopt(
@@ -137,32 +199,32 @@ def simulated_bayesopt(
     callback: Optional[Callable[..., Any]] = None,
 ) -> SubDataset:
   """Offline BO over a finite pre-evaluated candidate set."""
-  for _ in range(iters):
-    if random_key is not None:
-      random_key, subkey = jax.random.split(random_key)
-    else:
-      subkey = None
-    retrain_model(
-        model, sub_dataset_key=sub_dataset_key, random_key=subkey,
-        get_params_path=get_params_path, callback=callback)
-    if ac_func.__name__ in ('rand', 'random_search'):
-      logging.info('Using random search for bayesopt.')
-      if random_key is None:
-        raise ValueError('Must specify a random key for random search.')
-      random_key, subkey = jax.random.split(random_key)
-      select_idx = jax.random.choice(subkey, queried_sub_dataset.x.shape[0])
-    else:
-      evals = ac_func(
-          model=model, sub_dataset_key=sub_dataset_key,
-          x_queries=queried_sub_dataset.x)
-      select_idx = evals.argmax()
-    eval_datapoint = (queried_sub_dataset.x[select_idx],
-                      queried_sub_dataset.y[select_idx])
-    model.update_sub_dataset(
-        eval_datapoint, sub_dataset_key=sub_dataset_key, is_append=True)
 
-  return model.dataset.get(sub_dataset_key,
-                           SubDataset(jnp.empty(0), jnp.empty(0)))
+  def propose(subkey, _):
+    select_idx = _argmax_or_random(model, sub_dataset_key, ac_func,
+                                   queried_sub_dataset.x, subkey)
+    return (queried_sub_dataset.x[select_idx],
+            queried_sub_dataset.y[select_idx])
+
+  return _bo_iterations(model, sub_dataset_key, iters, propose,
+                        random_key, get_params_path=get_params_path,
+                        callback=callback)
+
+
+def _build_model(method, dataset, mean_func, cov_func, init_params,
+                 warp_func):
+  """GP or HGP per method registry; HGP forces the sampling config."""
+  from hyperbo_tpu.bo import const  # deferred: const imports data loaders
+
+  if method in const.USE_HGP:
+    init_params.config.update(_HGP_SAMPLING_CONFIG,
+                              priors=priors.DEFAULT_PRIORS)
+    model_class = gp.HGP
+  else:
+    model_class = gp.GP
+  return model_class(dataset=dataset, mean_func=mean_func,
+                     cov_func=cov_func, params=init_params,
+                     warp_func=warp_func)
 
 
 def run_bayesopt(
@@ -188,28 +250,11 @@ def run_bayesopt(
   Returns ((x_observed, y_observed), best_query, model_params). The best
   query is None on the continuous-oracle path.
   """
-  from hyperbo_tpu.bo import const  # deferred: const imports data loaders
   from hyperbo_tpu.bo import input_samplers
 
   logging.info('run_bayesopt is using method %s.', method)
-  if method in const.USE_HGP:
-    model_class = gp.HGP
-    init_params.config.update({
-        'objective': 'nll',
-        'method': 'slice_sample',
-        'burnin': 50,
-        'nsamples': 50,
-        'priors': priors.DEFAULT_PRIORS,
-    })
-  else:
-    model_class = gp.GP
-
-  model = model_class(
-      dataset=dataset,
-      mean_func=mean_func,
-      cov_func=cov_func,
-      params=init_params,
-      warp_func=warp_func)
+  model = _build_model(method, dataset, mean_func, cov_func, init_params,
+                       warp_func)
   key = init_random_key
   if init_model:
     assert init_random_key is not None, (
@@ -223,7 +268,6 @@ def run_bayesopt(
     model.rng = subkey
 
   if isinstance(queried_sub_dataset, SubDataset):
-    best_query = get_best_datapoint(queried_sub_dataset)
     sub_dataset = simulated_bayesopt(
         model=model,
         sub_dataset_key=sub_dataset_key,
@@ -233,7 +277,8 @@ def run_bayesopt(
         random_key=key,
         get_params_path=get_params_path if save_retrain_model else None,
         callback=callback if save_retrain_model else None)
-    return (sub_dataset.x, sub_dataset.y), best_query, model.params
+    return ((sub_dataset.x, sub_dataset.y),
+            get_best_datapoint(queried_sub_dataset), model.params)
 
   if data_loader_name not in input_samplers.INPUT_SAMPLERS:
     raise NotImplementedError(

@@ -33,26 +33,31 @@ SubDataset = defs.SubDataset
 _ACQ_SUBS = {
     'ei': (acfun.expected_improvement_sub, 'best_y'),
     'pi': (acfun.probability_of_improvement_sub, 'best_y_zeta'),
+    'pi2': (acfun.probability_of_improvement_sub, 'best_y_zeta_std'),
     'pi3': (acfun.probability_of_improvement_sub, 'best_y_zeta05'),
     'ucb': (acfun.ucb_sub, 'beta3'),
     'ucb2': (acfun.ucb_sub, 'beta2'),
     'ucb3': (acfun.ucb_sub, 'beta3'),
     'ucb4': (acfun.ucb_sub, 'beta4'),
+    'rand': (None, 'rand'),
 }
 
 
 def _acq_param(kind: str, y_buf, mask, count):
+  best = jnp.max(jnp.where(mask[:, None], y_buf, -jnp.inf))
   if kind == 'best_y':
-    return jnp.where(count > 0,
-                     jnp.max(jnp.where(mask[:, None], y_buf, -jnp.inf)), 0.0)
+    return jnp.where(count > 0, best, 0.0)
   if kind == 'best_y_zeta':
-    return jnp.where(count > 0,
-                     jnp.max(jnp.where(mask[:, None], y_buf, -jnp.inf)) + 0.1,
-                     0.0)
+    return jnp.where(count > 0, best + 0.1, 0.0)
   if kind == 'best_y_zeta05':
-    return jnp.where(count > 0,
-                     jnp.max(jnp.where(mask[:, None], y_buf, -jnp.inf)) + 0.05,
-                     0.0)
+    return jnp.where(count > 0, best + 0.05, 0.0)
+  if kind == 'best_y_zeta_std':
+    # pi2: target = best + 0.1 * std(y) (population std, as jnp.std).
+    cnt = jnp.maximum(count, 1)
+    mean = jnp.sum(jnp.where(mask[:, None], y_buf, 0.0)) / cnt
+    var = jnp.sum(
+        jnp.where(mask[:, None], (y_buf - mean) ** 2, 0.0)) / cnt
+    return jnp.where(count > 0, best + 0.1 * jnp.sqrt(var), 0.0)
   if kind == 'beta2':
     return 2.0
   if kind == 'beta4':
@@ -108,14 +113,16 @@ def build_bo_step(mean_func, cov_func, model_params, config, warp_func,
     y_buf = jax.lax.dynamic_update_slice(y_buf, y_new[None, :], (count, 0))
     return x_buf, y_buf, chol_buf, count + 1
 
-  def step(state, cand):
+  def step(state, key, cand_x, cand_y):
     x_buf, y_buf, chol_buf, count = state
-    cand_x, cand_y = cand
-    mu, var = posterior(x_buf, y_buf, chol_buf, count, cand_x)
-    mask = jnp.arange(n_max) < count
-    target = _acq_param(acq_param_kind, y_buf, mask, count)
-    scores = acq_sub(mu, jnp.sqrt(var), target)
-    select_idx = jnp.argmax(scores.flatten())
+    if acq_param_kind == 'rand':
+      select_idx = jax.random.randint(key, (), 0, cand_x.shape[0])
+    else:
+      mu, var = posterior(x_buf, y_buf, chol_buf, count, cand_x)
+      mask = jnp.arange(n_max) < count
+      target = _acq_param(acq_param_kind, y_buf, mask, count)
+      scores = acq_sub(mu, jnp.sqrt(var), target)
+      select_idx = jnp.argmax(scores.flatten())
     x_new = cand_x[select_idx]
     y_new = cand_y[select_idx]
     state = append(x_buf, y_buf, chol_buf, count, x_new, y_new)
@@ -138,6 +145,7 @@ def simulated_bayesopt_ondevice(
     n_max: Optional[int] = None,
     mesh=None,
     mesh_axis: str = 'task',
+    key: Optional[jax.Array] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
   """Run `iters` BO iterations entirely on device.
 
@@ -145,7 +153,9 @@ def simulated_bayesopt_ondevice(
     mean_func / cov_func / model_params / config / warp_func: the GP.
     queried_sub_dataset: finite candidate set (x: n_c x d, y: n_c x 1).
     iters: number of sequential selections.
-    acquisition: one of 'ei', 'pi', 'ucb', 'ucb2', 'ucb4'.
+    acquisition: any _ACQ_SUBS key — 'ei', 'pi', 'pi2', 'pi3', 'ucb',
+      'ucb2', 'ucb3', 'ucb4', or the 'rand' baseline.
+    key: PRNG key (drives 'rand'; defaults to PRNGKey(0)).
     num_train_tasks: number of unaligned pre-training tasks (drives the
       unbiased predictive rescale, matching GP.predict).
     init_obs: optional (x0, y0) initial observations on the test task.
@@ -174,25 +184,28 @@ def simulated_bayesopt_ondevice(
                        acquisition, n_max, num_train_tasks)
 
   @jax.jit
-  def run(x_buf, y_buf, chol_buf, count, x0, y0, cand_x, cand_y):
+  def run(x_buf, y_buf, chol_buf, count, x0, y0, cand_x, cand_y, key):
     # Seed initial observations through the same append path.
     def seed_one(i, state):
       x_buf, y_buf, chol_buf, cnt = state
-      state, _ = step((x_buf, y_buf, chol_buf, cnt),
-                      (x0[i][None, :], y0[i][None, :]))
+      # Appending initial points exactly (not via acquisition): argmax
+      # (or random choice) over one candidate is that point.
+      state, _ = step((x_buf, y_buf, chol_buf, cnt), key,
+                      x0[i][None, :], y0[i][None, :])
       return state
 
+    state = (x_buf, y_buf, chol_buf, count)
     if n_init > 0:
-      # Appending initial points exactly (not via acquisition): emulate by
-      # single-candidate steps — argmax over one candidate is that point.
-      state = (x_buf, y_buf, chol_buf, count)
       state = jax.lax.fori_loop(0, n_init, seed_one, state)
-    else:
-      state = (x_buf, y_buf, chol_buf, count)
 
-    cands = (jnp.broadcast_to(cand_x, (iters,) + cand_x.shape),
-             jnp.broadcast_to(cand_y, (iters,) + cand_y.shape))
-    state, select_idx = jax.lax.scan(step, state, cands)
+    # Candidates are a closed-over constant of the scan body — the
+    # iters x n_c x d broadcast the round-2 loop materialized is gone;
+    # the scan carries only per-iteration PRNG keys.
+    def body(state, k):
+      return step(state, k, cand_x, cand_y)
+
+    state, select_idx = jax.lax.scan(body, state,
+                                     jax.random.split(key, iters))
     x_buf, y_buf, chol_buf, count = state
     return x_buf, y_buf, select_idx
 
@@ -210,7 +223,9 @@ def simulated_bayesopt_ondevice(
     cand_y = jax.device_put(cand_y, cand_sharding)
     x_buf, y_buf, chol_buf, count, x0, y0 = jax.device_put(
         (x_buf, y_buf, chol_buf, count, x0, y0), replicated)
+  if key is None:
+    key = jax.random.PRNGKey(0)
   x_out, y_out, select_idx = run(
-      x_buf, y_buf, chol_buf, count, x0, y0, cand_x, cand_y)
+      x_buf, y_buf, chol_buf, count, x0, y0, cand_x, cand_y, key)
   total = n_init + iters
   return x_out[:total], y_out[:total], select_idx
