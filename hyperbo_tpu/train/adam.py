@@ -233,7 +233,8 @@ def fit_adam_packed_multistart(mean_func,
                                key: Optional[jax.Array] = None,
                                num_restarts: int = 4,
                                perturb_scale: float = 1.0,
-                               loss_fn: Optional[Callable] = None):
+                               loss_fn: Optional[Callable] = None,
+                               callback: Optional[Callable[..., Any]] = None):
   """Multi-start Adam: R random restarts trained in ONE vmapped scan.
 
   The restart axis rides on top of the task-batched factorizations —
@@ -241,10 +242,19 @@ def fit_adam_packed_multistart(mean_func,
   compiled program, not R sequential runs. The restart with the best
   final objective wins (evaluated on the full packed set).
 
+  With `callback` set (or config['checkpoint_every'] > 0) the vmapped
+  scan runs as K-step compiled chunks and
+  `callback(step, best_model_so_far, best_loss_so_far)` fires between
+  chunks with the RUNNING-BEST restart (full-packed-set objective), so
+  checkpointing composes with multistart instead of excluding it. The
+  stacked carry threads through the chunks — a chunked run computes
+  exactly the same per-restart iterates as one long scan.
+
   Args:
     num_restarts: total starts, including the unperturbed init.
     perturb_scale: stddev of the additive Gaussian perturbation applied
       to each (unconstrained) parameter leaf for restarts 1..R-1.
+    callback: optional (step, model_params, loss) chunk hook.
 
   Returns:
     (best_model, best_loss, all_final_losses).
@@ -293,19 +303,37 @@ def fit_adam_packed_multistart(mean_func,
                              new_opt_state, opt_state)
     return (model, opt_state, k, frozen | ~jnp.isfinite(loss)), loss
 
-  def run_one(model, k):
-    opt_state = optimizer.init(model)
-    (model, _, _, _), _ = jax.lax.scan(
-        step, (model, opt_state, k, jnp.array(False)), None, length=steps)
-    return model, loss_fn(model, packed)
+  @functools.partial(jax.jit, static_argnums=(1,))
+  def run_chunk(carry, length):
+    def one(model, opt_state, k, frozen):
+      return jax.lax.scan(step, (model, opt_state, k, frozen), None,
+                          length=length)[0]
+    return jax.vmap(one)(*carry)
 
   @jax.jit
-  def run_all(stacked, k):
-    keys = jax.random.split(k, num_restarts)
-    models, finals = jax.vmap(run_one)(stacked, keys)
+  def eval_best(models):
+    finals = jax.vmap(lambda m: loss_fn(m, packed))(models)
     finals = jnp.where(jnp.isfinite(finals), finals, jnp.inf)
     best = jnp.argmin(finals)
-    best_model = jax.tree.map(lambda x: x[best], models)
-    return best_model, finals[best], finals
+    return jax.tree.map(lambda x: x[best], models), finals[best], finals
 
-  return run_all(stacked, key)
+  chunk = int(config.get('checkpoint_every', 0) or 0)
+  if chunk <= 0:
+    chunk = 100 if callback is not None else steps
+  chunk = max(1, min(chunk, steps))
+
+  opt_states = jax.vmap(optimizer.init)(stacked)
+  keys = jax.random.split(key, num_restarts)
+  frozen = jnp.zeros((num_restarts,), bool)
+  carry = (stacked, opt_states, keys, frozen)
+  done = 0
+  while done < steps:
+    carry = run_chunk(carry, min(chunk, steps - done))
+    done += min(chunk, steps - done)
+    if callback is not None and done < steps:
+      best_model, best_loss, _ = eval_best(carry[0])
+      callback(done, best_model, best_loss)
+  best_model, best_loss, finals = eval_best(carry[0])
+  if callback is not None:
+    callback(steps, best_model, best_loss)
+  return best_model, best_loss, finals
