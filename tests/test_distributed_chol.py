@@ -23,6 +23,20 @@ def test_distributed_cholesky_matches_dense(n, block):
   np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-4)
 
 
+@pytest.mark.parametrize('block', [128, 256])
+def test_distributed_cholesky_large_n2048(block):
+  """Algorithmic-scaling check at BO-relevant size (round-2 verdict
+  item 7): n=2048 across the 8-device virtual mesh, block sweep."""
+  key = jax.random.PRNGKey(7)
+  n = 2048
+  a = jax.random.normal(key, (n, n))
+  a = a @ a.T / n + 2.0 * jnp.eye(n)
+  mesh = mesh_lib.create_mesh(8)
+  got = distributed_chol.distributed_cholesky(a, mesh, block=block)
+  want = jnp.linalg.cholesky(a)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3)
+
+
 def test_distributed_cholesky_4dev():
   key = jax.random.PRNGKey(1)
   n = 384

@@ -49,24 +49,35 @@ def main():
   env.update({'JAX_PLATFORMS': 'cpu', 'PALLAS_AXON_POOL_IPS': '',
               'PYTHONPATH': f'{repo}:{tmp}'})
   failures = []
+  skipped = []
   for rel in TEST_FILES:
     src = os.path.join(ref, rel)
     if not os.path.isfile(src):
       print(f'SKIP (missing): {rel}')
+      skipped.append(rel)
       continue
     dst = os.path.join(tmp, os.path.basename(rel))
     shutil.copy(src, dst)
     code = SHIM.format(repo=repo, path=dst)
-    r = subprocess.run([sys.executable, '-c', code], env=env, cwd=tmp,
-                       capture_output=True, text=True, timeout=900)
-    status = 'PASS' if r.returncode == 0 else 'FAIL'
+    try:
+      r = subprocess.run([sys.executable, '-c', code], env=env, cwd=tmp,
+                         capture_output=True, text=True, timeout=900)
+      returncode, out, err = r.returncode, r.stdout, r.stderr
+    except subprocess.TimeoutExpired as e:
+      returncode = -1
+      out = (e.stdout or b'').decode('utf-8', 'replace') if isinstance(
+          e.stdout, bytes) else (e.stdout or '')
+      err = 'TIMEOUT after 900s'
+    status = 'PASS' if returncode == 0 else 'FAIL'
     print(f'{status}: {rel}')
-    if r.returncode != 0:
+    if returncode != 0:
       failures.append(rel)
-      print(r.stdout[-2000:])
-      print(r.stderr[-2000:])
-  print(f'\n{len(TEST_FILES) - len(failures)}/{len(TEST_FILES)} upstream '
-        'test files pass')
+      print(out[-2000:])
+      print(err[-2000:])
+  n_run = len(TEST_FILES) - len(skipped)
+  print(f'\n{n_run - len(failures)}/{n_run} upstream test files pass'
+        + (f' ({len(skipped)} skipped: missing from reference)'
+           if skipped else ''))
   return 1 if failures else 0
 
 
