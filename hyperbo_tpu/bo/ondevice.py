@@ -229,3 +229,270 @@ def simulated_bayesopt_ondevice(
       x_buf, y_buf, chol_buf, count, x0, y0, cand_x, cand_y, key)
   total = n_init + iters
   return x_out[:total], y_out[:total], select_idx
+
+
+def simulated_bayesopt_ondevice_hgp(
+    mean_func,
+    cov_func,
+    model_params_samples,
+    config,
+    warp_func,
+    queried_sub_dataset: SubDataset,
+    iters: int,
+    acquisition: str = 'ei',
+    num_train_tasks: int = 0,
+    init_obs: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    n_max: Optional[int] = None,
+    key: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+  """On-device BO under an HGP: S posterior samples, one scan.
+
+  The host HGP path (reference acfun.py:72-82) refactorizes S
+  posteriors sequentially per iteration; here the S per-sample
+  posteriors are one VMAPPED state — batched Gram/solves on the MXU,
+  vmapped rank-1 Cholesky appends — and the acquisition is the mean of
+  the per-sample sub-acquisitions (same averaging as the reference).
+
+  Args:
+    model_params_samples: list of model dicts (params.samples) or an
+      already-stacked pytree with leading sample axis S.
+
+  Returns:
+    (x_observed, y_observed, selected_indices) as the GP variant.
+  """
+  if isinstance(model_params_samples, (list, tuple)):
+    stacked = jax.tree.map(
+        lambda *ls: jnp.stack([jnp.asarray(l, jnp.float32) for l in ls]),
+        *model_params_samples)
+  else:
+    stacked = model_params_samples
+  num_samples = jax.tree.leaves(stacked)[0].shape[0]
+  n_init = 0 if init_obs is None else init_obs[0].shape[0]
+  if n_max is None:
+    n_max = n_init + iters
+  d = queried_sub_dataset.x.shape[1]
+  acq_sub, acq_param_kind = _ACQ_SUBS[acquisition]
+
+  def shim(model):
+    return defs.GPParams(model=model, config=config)
+
+  n_tasks = num_train_tasks + 1
+  scale = n_tasks / (n_tasks - 1.0) if n_tasks > 1 else 1.0
+
+  def posterior_one(model, chol_buf, x_buf, y_buf, count, cand_x):
+    p = shim(model)
+    noise_variance, = retrieve_params(p, ['noise_variance'],
+                                      warp_func=warp_func)
+    mask = jnp.arange(n_max) < count
+    mu_prior_obs = mean_func(p, x_buf, warp_func=warp_func)
+    delta = jnp.where(mask[:, None], y_buf - mu_prior_obs, 0.0)
+    kinvy = chol_ops.cho_solve(chol_buf, delta)
+    cross = cov_func(p, x_buf, cand_x, warp_func=warp_func)
+    cross = jnp.where(mask[:, None], cross, 0.0)
+    mu = cross.T @ kinvy + mean_func(p, cand_x, warp_func=warp_func)
+    v = chol_ops.solve_triangular(chol_buf, cross, lower=True)
+    kdiag = cov_func(p, cand_x, warp_func=warp_func, diag=True)
+    var = jnp.maximum(kdiag - jnp.sum(v * v, axis=0), 1e-12)[:, None]
+    has_obs = count > 0
+    mu = jnp.where(has_obs, mu, mean_func(p, cand_x, warp_func=warp_func))
+    var = jnp.where(has_obs, var, kdiag[:, None])
+    return mu, (var + noise_variance) * scale
+
+  def append_one(model, chol_buf, x_buf, count, x_new):
+    p = shim(model)
+    noise_variance, = retrieve_params(p, ['noise_variance'],
+                                      warp_func=warp_func)
+    k_vec = cov_func(p, x_buf, x_new[None, :], warp_func=warp_func)[:, 0]
+    kappa = cov_func(p, x_new[None, :], warp_func=warp_func,
+                     diag=True)[0] + noise_variance + 1e-6
+    return chol_ops.chol_append_padded(chol_buf, count, k_vec, kappa)
+
+  def step(state, args):
+    k, cand_x, cand_y = args
+    x_buf, y_buf, chols, count = state
+    if acq_param_kind == 'rand':
+      select_idx = jax.random.randint(k, (), 0, cand_x.shape[0])
+    else:
+      mu_s, var_s = jax.vmap(
+          lambda m, c: posterior_one(m, c, x_buf, y_buf, count, cand_x)
+      )(stacked, chols)
+      mask = jnp.arange(n_max) < count
+      target = _acq_param(acq_param_kind, y_buf, mask, count)
+      scores = jnp.mean(
+          acq_sub(mu_s, jnp.sqrt(var_s), target), axis=0)
+      select_idx = jnp.argmax(scores.flatten())
+    x_new = cand_x[select_idx]
+    y_new = cand_y[select_idx]
+    chols = jax.vmap(
+        lambda m, c: append_one(m, c, x_buf, count, x_new))(stacked,
+                                                            chols)
+    x_buf = jax.lax.dynamic_update_slice(x_buf, x_new[None, :],
+                                         (count, 0))
+    y_buf = jax.lax.dynamic_update_slice(y_buf, y_new[None, :],
+                                         (count, 0))
+    return (x_buf, y_buf, chols, count + 1), select_idx
+
+  @jax.jit
+  def run(x0, y0, cand_x, cand_y, key):
+    x_buf = jnp.zeros((n_max, d), jnp.float32)
+    y_buf = jnp.zeros((n_max, 1), jnp.float32)
+    chols = jnp.broadcast_to(chol_ops.init_chol_buffer(n_max),
+                             (num_samples, n_max, n_max))
+    state = (x_buf, y_buf, chols, jnp.array(0, jnp.int32))
+
+    def seed_one(i, st):
+      st, _ = step(st, (key, x0[i][None, :], y0[i][None, :]))
+      return st
+
+    if n_init > 0:
+      state = jax.lax.fori_loop(0, n_init, seed_one, state)
+
+    def body(st, k):
+      return step(st, (k, cand_x, cand_y))
+
+    state, select_idx = jax.lax.scan(body, state,
+                                     jax.random.split(key, iters))
+    return state[0], state[1], select_idx
+
+  if key is None:
+    key = jax.random.PRNGKey(0)
+  x0 = (init_obs[0].astype(jnp.float32) if init_obs is not None
+        else jnp.zeros((0, d), jnp.float32))
+  y0 = (init_obs[1].astype(jnp.float32) if init_obs is not None
+        else jnp.zeros((0, 1), jnp.float32))
+  x_out, y_out, select_idx = run(
+      x0, y0, queried_sub_dataset.x.astype(jnp.float32),
+      queried_sub_dataset.y.astype(jnp.float32), key)
+  total = n_init + iters
+  return x_out[:total], y_out[:total], select_idx
+
+
+def continuous_bayesopt_ondevice(
+    mean_func,
+    cov_func,
+    model_params,
+    config,
+    warp_func,
+    oracle_fn,
+    input_dim: int,
+    iters: int,
+    acquisition: str = 'ei',
+    pool_size: int = 1024,
+    refine_steps: int = 20,
+    refine_lr: float = 0.02,
+    num_train_tasks: int = 0,
+    init_obs: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    key: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+  """Continuous-domain BO entirely on device (jax-expressible oracles).
+
+  The reference's continuous loop (hyperbo/bo_utils/bayesopt.py:75-134)
+  crosses to host scipy L-BFGS-B for the acquisition refinement every
+  iteration. When the oracle itself is jax-expressible (synthetic
+  benchmarks, surrogate objectives), the WHOLE loop runs as one
+  lax.scan: per iteration a fresh uniform candidate pool is scored
+  (batched posterior on the MXU), the argmax seeds `refine_steps` of
+  projected gradient ascent on the acquisition inside [0,1]^d (the
+  acquisition is differentiable through the posterior — no host
+  round-trip), the oracle is queried, and the observation appends via
+  an O(n^2) rank-1 Cholesky update.
+
+  Args:
+    oracle_fn: (1, d) -> (1, 1) jax-traceable objective.
+    pool_size: candidates sampled per iteration for the argmax seed.
+    refine_steps / refine_lr: projected-gradient-ascent schedule; 0
+      steps reproduces pure pool-argmax selection.
+
+  Returns:
+    (x_observed, y_observed) including init observations, in order.
+  """
+  if key is None:
+    key = jax.random.PRNGKey(0)
+  n_init = 0 if init_obs is None else init_obs[0].shape[0]
+  n_max = n_init + iters
+  params_shim = defs.GPParams(model=model_params, config=config)
+  acq_sub, acq_param_kind = _ACQ_SUBS[acquisition]
+  step = build_bo_step(mean_func, cov_func, model_params, config,
+                       warp_func, acquisition, n_max, num_train_tasks)
+  # Reuse build_bo_step's closures via a tiny shim: we need its
+  # posterior/append internals, so rebuild them here identically.
+  noise_variance, = retrieve_params(params_shim, ['noise_variance'],
+                                    warp_func=warp_func)
+
+  def posterior_mu_var(state, cand_x):
+    x_buf, y_buf, chol_buf, count = state
+    mask = jnp.arange(n_max) < count
+    mu_prior_obs = mean_func(params_shim, x_buf, warp_func=warp_func)
+    delta = jnp.where(mask[:, None], y_buf - mu_prior_obs, 0.0)
+    kinvy = chol_ops.cho_solve(chol_buf, delta)
+    cross = cov_func(params_shim, x_buf, cand_x, warp_func=warp_func)
+    cross = jnp.where(mask[:, None], cross, 0.0)
+    mu = cross.T @ kinvy + mean_func(params_shim, cand_x,
+                                     warp_func=warp_func)
+    v = chol_ops.solve_triangular(chol_buf, cross, lower=True)
+    kdiag = cov_func(params_shim, cand_x, warp_func=warp_func, diag=True)
+    var = jnp.maximum(kdiag - jnp.sum(v * v, axis=0), 1e-12)[:, None]
+    has_obs = count > 0
+    mu = jnp.where(has_obs, mu,
+                   mean_func(params_shim, cand_x, warp_func=warp_func))
+    var = jnp.where(has_obs, var, kdiag[:, None])
+    n_tasks = num_train_tasks + 1
+    scale = n_tasks / (n_tasks - 1.0) if n_tasks > 1 else 1.0
+    return mu, (var + noise_variance) * scale
+
+  def acq_values(state, cand_x):
+    _, y_buf, _, count = state
+    mu, var = posterior_mu_var(state, cand_x)
+    mask = jnp.arange(n_max) < count
+    target = _acq_param(acq_param_kind, y_buf, mask, count)
+    return acq_sub(mu, jnp.sqrt(var), target)
+
+  def one_iter(state, k):
+    pool = jax.random.uniform(k, (pool_size, input_dim))
+    if acq_param_kind == 'rand':
+      x_new = pool[jax.random.randint(jax.random.fold_in(k, 1), (), 0,
+                                      pool_size)]
+      y_new = oracle_fn(x_new[None, :]).reshape(1, 1)
+      state, _ = step(state, k, x_new[None, :], y_new)
+      return state, 0
+    scores = acq_values(state, pool)
+    x0 = pool[jnp.argmax(scores.flatten())]
+
+    def ascend(_, x):
+      g = jax.grad(
+          lambda xx: acq_values(state, xx[None, :]).flatten()[0])(x)
+      norm = jnp.maximum(jnp.linalg.norm(g), 1e-12)
+      return jnp.clip(x + refine_lr * g / norm, 0.0, 1.0)
+
+    x_ref = jax.lax.fori_loop(0, refine_steps, ascend, x0)
+    # Keep the refined point only if it actually improved the score.
+    better = (acq_values(state, x_ref[None, :]).flatten()[0] >=
+              scores.flatten().max())
+    x_new = jnp.where(better, x_ref, x0)
+    y_new = oracle_fn(x_new[None, :]).reshape(1, 1)
+    state, _ = step(state, k, x_new[None, :], y_new)
+    return state, 0
+
+  @jax.jit
+  def run(x0, y0, key):
+    x_buf = jnp.zeros((n_max, input_dim), jnp.float32)
+    y_buf = jnp.zeros((n_max, 1), jnp.float32)
+    state = (x_buf, y_buf, chol_ops.init_chol_buffer(n_max),
+             jnp.array(0, jnp.int32))
+
+    def seed_one(i, st):
+      st, _ = step(st, key, x0[i][None, :], y0[i][None, :])
+      return st
+
+    if n_init > 0:
+      state = jax.lax.fori_loop(0, n_init, seed_one, state)
+    state, _ = jax.lax.scan(one_iter, state,
+                            jax.random.split(key, iters))
+    return state[0], state[1]
+
+  x0 = (init_obs[0].astype(jnp.float32) if init_obs is not None
+        else jnp.zeros((0, input_dim), jnp.float32))
+  y0 = (init_obs[1].astype(jnp.float32) if init_obs is not None
+        else jnp.zeros((0, 1), jnp.float32))
+  x_out, y_out = run(x0, y0, key)
+  return x_out, y_out

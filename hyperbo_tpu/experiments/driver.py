@@ -213,12 +213,20 @@ def main():
   parser.add_argument('--run_id', type=int, default=1)
   parser.add_argument('--mean_func', default='linear_mlp')
   parser.add_argument('--cov_func', default='squared_exponential_mlp')
+  parser.add_argument('--fused_mll', action='store_true',
+                      help='route large-n SE-family NLLs through the '
+                           'fused Pallas kernel (value + gradient)')
   args = parser.parse_args()
+  init_params = None
+  if args.fused_mll:
+    init_params = default_init_params(args.method)
+    init_params.config['fused_mll'] = True
   result = run_experiment(
       data_loader_name=args.data_loader, method=args.method,
       ac_func_name=args.ac_func, iters=args.iters, seed=args.seed,
       output_dir=args.output_dir, run_id=args.run_id,
-      mean_func_name=args.mean_func, cov_func_name=args.cov_func)
+      mean_func_name=args.mean_func, cov_func_name=args.cov_func,
+      init_params=init_params)
   ys = np.asarray(result['observations'][1]).flatten()
   print(f"method={args.method} best_y={ys.max():.4f} "
         f"final_regret="

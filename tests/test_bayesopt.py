@@ -128,18 +128,99 @@ def test_retrain_model_guard():
 
 @pytest.mark.parametrize('acname,hostfn', [
     ('ucb', 'ucb'), ('ucb2', 'ucb2'), ('pi', 'probability_of_improvement'),
+    ('pi2', 'pi2'), ('pi3', 'pi3'),
 ])
 def test_ondevice_matches_host_loop_other_acquisitions(acname, hostfn):
+  from hyperbo_tpu.bo import acfun
   params, dataset, sdk, queried = _setup(jax.random.PRNGKey(7))
   iters = 4
   model = gp.GP(dict(dataset), mean.constant, kernel.squared_exponential,
                 GPParams(model=dict(params.model),
                          config=dict(params.config)), None)
+  host_ac = const.ACFUN.get(hostfn, getattr(acfun, hostfn, None))
   host = bayesopt.simulated_bayesopt(
-      model, 'test', queried, const.ACFUN[hostfn], iters)
+      model, 'test', queried, host_ac, iters)
   xo, yo, sel = ondevice.simulated_bayesopt_ondevice(
       mean.constant, kernel.squared_exponential, dict(params.model),
       dict(params.config), None, queried, iters=iters,
       acquisition=acname, num_train_tasks=len(dataset))
   np.testing.assert_allclose(np.asarray(host.y).flatten(),
                              np.asarray(yo).flatten(), atol=1e-4)
+
+
+def test_ondevice_rand_baseline():
+  """'rand' runs in the on-device scan: uniform candidate selection,
+  observations match the candidate set at the selected indices."""
+  params, dataset, sdk, queried = _setup(jax.random.PRNGKey(8))
+  iters = 6
+  xo, yo, sel = ondevice.simulated_bayesopt_ondevice(
+      mean.constant, kernel.squared_exponential, dict(params.model),
+      dict(params.config), None, queried, iters=iters,
+      acquisition='rand', num_train_tasks=len(dataset),
+      key=jax.random.PRNGKey(11))
+  assert sel.shape == (iters,)
+  sel = np.asarray(sel)
+  assert ((0 <= sel) & (sel < queried.x.shape[0])).all()
+  np.testing.assert_allclose(np.asarray(yo).flatten(),
+                             np.asarray(queried.y)[sel].flatten(),
+                             atol=1e-6)
+  # Not all identical picks (uniform over 15 candidates, 6 draws).
+  assert len(set(sel.tolist())) > 1
+
+
+def test_continuous_bayesopt_ondevice():
+  """Fully on-device continuous-oracle BO: pool argmax + in-jit
+  projected gradient ascent finds the optimum of a smooth oracle."""
+  model = {'constant': 0., 'lengthscale': jnp.array([.3, .3]),
+           'signal_variance': 1.0, 'noise_variance': 1e-4}
+  config = {}
+
+  def oracle(x):
+    return -jnp.sum((x - 0.35) ** 2, axis=-1, keepdims=True)
+
+  init_x = jnp.array([[0.9, 0.9], [0.1, 0.8]], jnp.float32)
+  init_y = oracle(init_x)
+  xo, yo = ondevice.continuous_bayesopt_ondevice(
+      mean.zero, kernel.squared_exponential, model, config, None,
+      oracle, input_dim=2, iters=10, acquisition='ei', pool_size=256,
+      refine_steps=15, init_obs=(init_x, init_y),
+      key=jax.random.PRNGKey(3))
+  assert xo.shape == (12, 2) and yo.shape == (12, 1)
+  np.testing.assert_allclose(np.asarray(xo[:2]), np.asarray(init_x),
+                             atol=1e-6)
+  best = float(np.max(np.asarray(yo)))
+  assert best > float(np.max(np.asarray(init_y)))
+  assert best > -0.15, f'continuous BO best {best} too far from optimum'
+  # refine_steps=0 reproduces pure pool-argmax selection and still runs.
+  xo0, yo0 = ondevice.continuous_bayesopt_ondevice(
+      mean.zero, kernel.squared_exponential, model, config, None,
+      oracle, input_dim=2, iters=3, acquisition='ucb', pool_size=64,
+      refine_steps=0, key=jax.random.PRNGKey(4))
+  assert xo0.shape == (3, 2)
+
+
+def test_ondevice_hgp_matches_host_loop():
+  """HGP on-device scan (vmapped per-sample posteriors, mean
+  acquisition) selects the same points as the host HGP loop."""
+  params, dataset, sdk, queried = _setup(jax.random.PRNGKey(9))
+  samples = [
+      dict(params.model),
+      {**params.model, 'lengthscale': jnp.array([.15, .12]),
+       'signal_variance': 0.8},
+      {**params.model, 'constant': 4.5, 'noise_variance': 0.02},
+  ]
+  model = gp.HGP(dict(dataset), mean.constant,
+                 kernel.squared_exponential,
+                 GPParams(model=dict(params.model),
+                          config=dict(params.config)), None)
+  model.params.samples = samples
+  iters = 4
+  host = bayesopt.simulated_bayesopt(
+      model, 'test', queried, const.ACFUN['expected_improvement'], iters)
+  xo, yo, sel = ondevice.simulated_bayesopt_ondevice_hgp(
+      mean.constant, kernel.squared_exponential, samples,
+      dict(params.config), None, queried, iters=iters,
+      acquisition='ei', num_train_tasks=len(dataset))
+  np.testing.assert_allclose(np.asarray(host.y).flatten(),
+                             np.asarray(yo).flatten(), atol=1e-4)
+  assert sel.shape == (iters,)
