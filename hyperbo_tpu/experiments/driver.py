@@ -80,6 +80,49 @@ def _contextual_dataset(dataset, sub_dataset_key):
   return {0: merged}, len(keys)
 
 
+# ACFUN registry name -> bo.ondevice acquisition key.
+_ONDEVICE_ACQ = {
+    'expected_improvement': 'ei',
+    'probability_of_improvement': 'pi',
+    'random_search': 'rand',
+}
+
+
+def _run_ondevice(method, dataset, mean_func, cov_func, init_params,
+                  warp_func, queried, iters, ac_func_name, key,
+                  init_model):
+  """Pre-train as usual, then run the BO loop as one on-device scan.
+
+  Covers the offline (simulated) path for GP and HGP methods with no
+  per-iteration retraining — the production TPU loop (bo/ondevice.py):
+  rank-1 Cholesky appends, batched candidate scoring, no host sync
+  until the loop ends.
+  """
+  from hyperbo_tpu.bo import ondevice as ondevice_lib
+
+  acq = _ONDEVICE_ACQ.get(ac_func_name, ac_func_name)
+  model = bayesopt._build_model(method, dataset, mean_func, cov_func,
+                                init_params, warp_func)
+  if init_model:
+    key, sk = jax.random.split(key)
+    model.initialize_params(sk)
+    key, sk = jax.random.split(key)
+    model.train(sk)
+  n_unaligned = len(
+      [k for k, v in model.dataset.items() if v.aligned is None])
+  common = dict(queried_sub_dataset=queried, iters=iters,
+                acquisition=acq, num_train_tasks=n_unaligned, key=key)
+  if isinstance(model, gp.HGP):
+    xo, yo, _ = ondevice_lib.simulated_bayesopt_ondevice_hgp(
+        mean_func, cov_func, model.get_model_params_samples(),
+        model.params.config, warp_func, **common)
+  else:
+    xo, yo, _ = ondevice_lib.simulated_bayesopt_ondevice(
+        mean_func, cov_func, model.params.model, model.params.config,
+        warp_func, **common)
+  return ((xo, yo), bayesopt.get_best_datapoint(queried), model.params)
+
+
 def run_experiment(
     data_loader_name: str,
     method: str,
@@ -92,6 +135,7 @@ def run_experiment(
     init_params: Optional[GPParams] = None,
     mean_func_name: str = 'linear_mlp',
     cov_func_name: str = 'squared_exponential_mlp',
+    ondevice: bool = False,
     dataset_kwargs: Optional[Dict[str, Any]] = None,
     verbose: bool = True,
 ) -> Dict[str, Any]:
@@ -159,20 +203,25 @@ def run_experiment(
 
   t0 = time.time()
   key, bo_key = jax.random.split(key)
-  observations, best_query, params = bayesopt.run_bayesopt(
-      dataset=dataset,
-      sub_dataset_key=sub_dataset_key,
-      queried_sub_dataset=queried,
-      mean_func=mean_func,
-      cov_func=cov_func,
-      init_params=init_params,
-      ac_func=ac_func,
-      iters=iters,
-      warp_func=warp_func,
-      init_random_key=bo_key,
-      method=method,
-      init_model=init_model,
-      data_loader_name=data_loader_name)
+  if ondevice and isinstance(queried, SubDataset):
+    observations, best_query, params = _run_ondevice(
+        method, dataset, mean_func, cov_func, init_params, warp_func,
+        queried, iters, ac_func_name, bo_key, init_model)
+  else:
+    observations, best_query, params = bayesopt.run_bayesopt(
+        dataset=dataset,
+        sub_dataset_key=sub_dataset_key,
+        queried_sub_dataset=queried,
+        mean_func=mean_func,
+        cov_func=cov_func,
+        init_params=init_params,
+        ac_func=ac_func,
+        iters=iters,
+        warp_func=warp_func,
+        init_random_key=bo_key,
+        method=method,
+        init_model=init_model,
+        data_loader_name=data_loader_name)
   elapsed = time.time() - t0
 
   result = {
@@ -216,6 +265,9 @@ def main():
   parser.add_argument('--fused_mll', action='store_true',
                       help='route large-n SE-family NLLs through the '
                            'fused Pallas kernel (value + gradient)')
+  parser.add_argument('--ondevice', action='store_true',
+                      help='run the BO loop as one on-device scan '
+                           '(offline path, no per-iteration retrain)')
   args = parser.parse_args()
   init_params = None
   if args.fused_mll:
@@ -226,7 +278,7 @@ def main():
       ac_func_name=args.ac_func, iters=args.iters, seed=args.seed,
       output_dir=args.output_dir, run_id=args.run_id,
       mean_func_name=args.mean_func, cov_func_name=args.cov_func,
-      init_params=init_params)
+      ondevice=args.ondevice, init_params=init_params)
   ys = np.asarray(result['observations'][1]).flatten()
   print(f"method={args.method} best_y={ys.max():.4f} "
         f"final_regret="

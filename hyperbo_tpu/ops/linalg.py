@@ -154,3 +154,31 @@ def safe_l2norm(x):
   """L2 norm of x without a nan gradient at 0."""
   sqdist = jnp.sum(x**2)
   return _safe_sqrt(sqdist)
+
+
+def tri_inv_blocked(l: jnp.ndarray, block: int = 512) -> jnp.ndarray:
+  """L^{-1} for lower-triangular L via recursive blocking on MXU GEMMs.
+
+  [[A, 0], [B, C]]^{-1} = [[A^{-1}, 0], [-C^{-1} B A^{-1}, C^{-1}]]:
+  the off-diagonal work — 2/3 of the FLOPs — becomes two X3-precision
+  matmuls per level instead of the substitution chain inside
+  lax.triangular_solve with an n-wide RHS. Used by the fused-MLL
+  backward pass (ops/pallas_mll) where K^{-1} = L^{-T} L^{-1} needs the
+  full inverse; base case falls back to the XLA solve.
+  """
+  n = l.shape[-1]
+  if n <= block:
+    return jax.lax.linalg.triangular_solve(
+        l, jnp.eye(n, dtype=l.dtype), left_side=True, lower=True)
+  m = (n // 2 + block - 1) // block * block
+  if m >= n:
+    m = n // 2
+  hi = jax.lax.Precision.HIGH
+  a_inv = tri_inv_blocked(l[:m, :m], block)
+  c_inv = tri_inv_blocked(l[m:, m:], block)
+  off = -jnp.matmul(c_inv, jnp.matmul(l[m:, :m], a_inv, precision=hi),
+                    precision=hi)
+  top = jnp.concatenate(
+      [a_inv, jnp.zeros((m, n - m), l.dtype)], axis=1)
+  bot = jnp.concatenate([off, c_inv], axis=1)
+  return jnp.concatenate([top, bot], axis=0)

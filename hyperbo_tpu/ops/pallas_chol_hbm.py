@@ -855,13 +855,33 @@ def _sweep_fori(read_top, block, mb, lane_idx, lt_ref, wt_ref, wt_off,
   reads replace the (B, B) d0 materialization + transpose, which
   dominated the sweep cost on hardware (~50 us per block for the
   transpose alone vs ~15 us for all 256 elimination steps; round 2).
+
+  Narrowed vector work (round 3): the top (L) path only ever has
+  nonzeros at lanes >= c0 and the bot (W = L^{-1}) path at lanes
+  < c0 + mb, so every heavy (mb, *) op runs on the active lane window
+  rounded to the 128-lane tile — the dominant rank-1 updates average
+  ~3/4 of the full-width cost, and the skipped lanes hold EXACT zeros
+  (both refs are zeroed up front) instead of elimination residue.
+  The round-3 hardware ladder showed per-substep vector work (not fori
+  overhead) is the sweep's cost unit, so narrowing is the lever.
   """
   lt_ref[:] = jnp.zeros((block, block), jnp.float32)
+  wt_ref[wt_off:wt_off + block, :] = jnp.zeros((block, block),
+                                               jnp.float32)
+
+  def lane_al_down(v):
+    return (v // 128) * 128
+
+  def lane_al_up(v):
+    return min(block, -(-v // 128) * 128)
+
   for c0 in range(0, block, mb):
-    top = read_top(c0)
+    t0 = lane_al_down(c0)            # top active lanes [t0, block)
+    b1 = lane_al_up(c0 + mb)         # bot active lanes [0, b1)
+    top = read_top(c0)[:, t0:block]
     # Identity rows built in place (no (B, B) eye live across the call).
-    bot = (jax.lax.broadcasted_iota(jnp.int32, (mb, block), 1) ==
-           jax.lax.broadcasted_iota(jnp.int32, (mb, block), 0) + c0
+    bot = (jax.lax.broadcasted_iota(jnp.int32, (mb, b1), 1) ==
+           jax.lax.broadcasted_iota(jnp.int32, (mb, b1), 0) + c0
            ).astype(jnp.float32)
     if c0 > 0:
       # Measured note: batching these two seed corrections into one
@@ -869,38 +889,32 @@ def _sweep_fori(read_top, block, mb, lane_idx, lt_ref, wt_ref, wt_off,
       # end-to-end) — the concat relayout costs more than the saved
       # dot issue.
       seed = lt_ref[0:c0, c0:c0 + mb]      # (c0, mb) static slice
-      top = top - _pdot(seed, lt_ref[0:c0, :], (((0,), (0,)), ((), ())),
-                        precise)
-      bot = bot - _pdot(seed,
-                        wt_ref[wt_off:wt_off + c0, :],
+      top = top - _pdot(seed, lt_ref[0:c0, t0:block],
                         (((0,), (0,)), ((), ())), precise)
-    top_ref[:] = top
-    bot_ref[:] = bot
+      bot = bot - _pdot(seed,
+                        wt_ref[wt_off:wt_off + c0, 0:b1],
+                        (((0,), (0,)), ((), ())), precise)
+    top_ref[:, t0:block] = top
+    bot_ref[:, 0:b1] = bot
 
-    # Inner steps are issue-bound; two columns per fori iteration and
-    # NO >=k lane mask on lrow (the lanes < k carry only the ~1e-7
-    # elimination residue; callers mask once if they need strict
-    # triangularity).
+    # Inner steps: per-substep VECTOR work is the cost unit (round-3
+    # ladder: unroll 2 -> 32 moved 8.69 -> 8.54 ms only), so ops run on
+    # the narrowed windows; `unroll` columns per fori iteration, and
+    # unroll >= mb drops the fori entirely (all-static slices).
     def substep(k):
       kl = k - c0
-      trow = top_ref[pl.ds(kl, 1), :]                  # (1, B)
-      brow = bot_ref[pl.ds(kl, 1), :]
-      akk = jnp.sum(jnp.where(lane_idx == k, trow, 0.0))
+      trow = top_ref[pl.ds(kl, 1), t0:block]           # (1, wtop)
+      brow = bot_ref[pl.ds(kl, 1), 0:b1]               # (1, wbot)
+      akk = jnp.sum(jnp.where(lane_idx[:, t0:block] == k, trow, 0.0))
       inv_d = jax.lax.rsqrt(jnp.maximum(akk, 1e-30))
       lrow = trow * inv_d
       wrow = brow * inv_d
-      lt_ref[pl.ds(k, 1), :] = lrow
-      wt_ref[pl.ds(wt_off + k, 1), :] = wrow
-      seg = lrow[0:1, c0:c0 + mb].T                    # (mb, 1)
-      top_ref[:] = top_ref[:] - seg * lrow
-      bot_ref[:] = bot_ref[:] - seg * wrow
+      lt_ref[pl.ds(k, 1), t0:block] = lrow
+      wt_ref[pl.ds(wt_off + k, 1), 0:b1] = wrow
+      seg = lrow[0:1, c0 - t0:c0 - t0 + mb].T          # (mb, 1)
+      top_ref[:, t0:block] = top_ref[:, t0:block] - seg * lrow
+      bot_ref[:, 0:b1] = bot_ref[:, 0:b1] - seg * wrow
 
-    # `unroll` columns per fori iteration. The in-situ sweep is paced by
-    # per-iteration fori overhead (~450 ns/iter with dynamic-ref I/O in
-    # large programs, vs ~38 ns isolated — PERF.md "sweep anomaly"), so
-    # amortizing it over more substeps cuts the sweep cost almost
-    # proportionally. unroll >= mb drops the fori entirely: every k is
-    # static, so the substep compiles to static-slice I/O.
     if unroll >= mb:
       for kl in range(mb):
         substep(c0 + kl)

@@ -402,7 +402,7 @@ def _seg_ofs(i, t, group):
 
 
 def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
-                  scoped_sweep, sweep_unroll,
+                  scoped_sweep, sweep_unroll, zero_init,
                   xa_hbm, xb_hbm, y_ref, sv_ref, diag_ref, l_hbm,
                   quad_ref, ld_ref, halfbuf, lbuf, strip, lt_s,
                   w_all, seg_ref, z_ref, s_ref, xbuf, xcbuf, top_ref,
@@ -438,26 +438,35 @@ def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
 
   halfbuf[:] = jnp.zeros((half, gb), jnp.float32)
 
-  def zero_dma(i, slot):
-    jj = jax.lax.div(i, n_halves)
-    hh = jax.lax.rem(i, n_halves)
-    return pltpu.make_async_copy(
-        halfbuf.at[:, 0:block],
-        l_hbm.at[jj, pl.ds(hh * half, half), :], sem_l.at[slot])
+  # The zero pass exists only for the strictly-above-diagonal rows of
+  # each panel (rows < the panel's diagonal half), which NOTHING inside
+  # the factorization ever reads — correction tiles/strips start at or
+  # below earlier panels' diagonal blocks, and the in-half above-
+  # diagonal region is masked and stored by the diagonal-half store.
+  # Only an exported L (return_l / the custom-VJP forward) needs them
+  # zeroed, so zero_init follows return_l (~0.3 ms of pure HBM writes
+  # at n=8192 otherwise).
+  if zero_init:
+    def zero_dma(i, slot):
+      jj = jax.lax.div(i, n_halves)
+      hh = jax.lax.rem(i, n_halves)
+      return pltpu.make_async_copy(
+          halfbuf.at[:, 0:block],
+          l_hbm.at[jj, pl.ds(hh * half, half), :], sem_l.at[slot])
 
-  zero_dma(0, 0).start()
+    zero_dma(0, 0).start()
 
-  def zero_step(i, _):
-    slot = jax.lax.rem(i, 2)
+    def zero_step(i, _):
+      slot = jax.lax.rem(i, 2)
 
-    @pl.when(i + 1 < nb * n_halves)
-    def _():
-      zero_dma(i + 1, jax.lax.rem(i + 1, 2)).start()
+      @pl.when(i + 1 < nb * n_halves)
+      def _():
+        zero_dma(i + 1, jax.lax.rem(i + 1, 2)).start()
 
-    zero_dma(i, slot).wait()
-    return 0
+      zero_dma(i, slot).wait()
+      return 0
 
-  jax.lax.fori_loop(0, nb * n_halves, zero_step, 0)
+    jax.lax.fori_loop(0, nb * n_halves, zero_step, 0)
   z_ref[:] = jnp.zeros((nb, block), jnp.float32)
 
   def gram_tile(h, jg):
@@ -717,7 +726,7 @@ def mll_fused_g(x_scaled: jnp.ndarray, y: jnp.ndarray,
   da = jnp.asarray(diag_add, jnp.float32).reshape(1, 1)
   kernel = functools.partial(_kernel_mll_g, n, d, block, half, precise,
                              mode, mb, slots, group, scoped_sweep,
-                             sweep_unroll)
+                             sweep_unroll, return_l)
   l_pm, quad, ld = pl.pallas_call(
       kernel,
       in_specs=[
@@ -813,28 +822,58 @@ def _se_nll_core_fn(block: int, half: int, group: int, interpret: bool,
 
   def bwd(res, g):
     l, x_scaled, delta, sv, da = res
-    n = x_scaled.shape[0]
-    hi = jax.lax.Precision.HIGH
-    z = jax.lax.linalg.triangular_solve(
-        l, delta, left_side=True, lower=True)
-    alpha = jax.lax.linalg.triangular_solve(
-        l, z, left_side=True, lower=True, transpose_a=True)
-    linv = jax.lax.linalg.triangular_solve(
-        l, jnp.eye(n, dtype=l.dtype), left_side=True, lower=True)
-    kinv = jnp.matmul(linv.T, linv, precision=hi)
-    gmat = 0.5 * (kinv - jnp.matmul(alpha, alpha.T, precision=hi))
-    sqn = jnp.sum(x_scaled * x_scaled, axis=1, keepdims=True)
-    r2 = sqn + sqn.T - 2.0 * jnp.matmul(x_scaled, x_scaled.T,
-                                        precision=hi)
-    w = gmat * (sv * jnp.exp(-0.5 * jnp.maximum(r2, 0.0)))
-    d_sv = jnp.sum(w) / sv
-    d_da = jnp.trace(gmat)
-    wsum = jnp.sum(w, axis=1, keepdims=True)
-    d_x = 2.0 * (jnp.matmul(w, x_scaled, precision=hi) - wsum * x_scaled)
-    return (g * d_x, g * alpha, g * d_sv, g * d_da)
+    d_x, d_delta, d_sv, d_da = _se_core_bwd(l, x_scaled, delta, sv,
+                                            None)
+    return (g * d_x, g * d_delta, g * d_sv, g * d_da)
 
   core.defvjp(fwd, bwd)
   return core
+
+
+def _tri_inv(l):
+  """L^{-1}: blocked-GEMM formulation (default) or the XLA solve.
+
+  lax.triangular_solve with an n-wide RHS is substitution-chain-bound;
+  ops/linalg.tri_inv_blocked turns 2/3 of the FLOPs into X3 MXU GEMMs.
+  HYPERBO_BWD_TRIINV=0 opts back into the plain solve.
+  """
+  import os
+  if os.environ.get('HYPERBO_BWD_TRIINV', '1') == '1':
+    from hyperbo_tpu.ops import linalg as linalg_mod
+    return linalg_mod.tri_inv_blocked(l)
+  return jax.lax.linalg.triangular_solve(
+      l, jnp.eye(l.shape[-1], dtype=l.dtype), left_side=True,
+      lower=True)
+
+
+def _se_core_bwd(l, x_scaled, delta, sv, valid):
+  """Shared closed-form adjoints for the fused SE-NLL cores.
+
+  G = dnll/dK = 0.5 (K^{-1} - alpha alpha^T) from the saved factor;
+  chain rule onto (x_scaled, delta, sv, da). With `valid` set, the exp
+  factor is masked by valid_i * valid_j to match the penalty-masked
+  forward kernel.
+  """
+  hi = jax.lax.Precision.HIGH
+  z = jax.lax.linalg.triangular_solve(
+      l, delta, left_side=True, lower=True)
+  alpha = jax.lax.linalg.triangular_solve(
+      l, z, left_side=True, lower=True, transpose_a=True)
+  linv = _tri_inv(l)
+  kinv = jnp.matmul(linv.T, linv, precision=hi)
+  gmat = 0.5 * (kinv - jnp.matmul(alpha, alpha.T, precision=hi))
+  sqn = jnp.sum(x_scaled * x_scaled, axis=1, keepdims=True)
+  r2 = sqn + sqn.T - 2.0 * jnp.matmul(x_scaled, x_scaled.T,
+                                      precision=hi)
+  w = gmat * (sv * jnp.exp(-0.5 * jnp.maximum(r2, 0.0)))
+  if valid is not None:
+    vv = valid.astype(jnp.float32).reshape(-1, 1)
+    w = w * (vv * vv.T)
+  d_sv = jnp.sum(w) / sv
+  d_da = jnp.trace(gmat)
+  wsum = jnp.sum(w, axis=1, keepdims=True)
+  d_x = 2.0 * (jnp.matmul(w, x_scaled, precision=hi) - wsum * x_scaled)
+  return d_x, alpha, d_sv, d_da
 
 
 def _se_embed(params, x, cov_func, warp_func):
@@ -923,27 +962,9 @@ def _se_nll_core_masked_fn(block: int, half: int, group: int,
 
   def bwd(res, g):
     l, x_scaled, delta, sv, da, valid = res
-    n = x_scaled.shape[0]
-    hi = jax.lax.Precision.HIGH
-    z = jax.lax.linalg.triangular_solve(
-        l, delta, left_side=True, lower=True)
-    alpha = jax.lax.linalg.triangular_solve(
-        l, z, left_side=True, lower=True, transpose_a=True)
-    linv = jax.lax.linalg.triangular_solve(
-        l, jnp.eye(n, dtype=l.dtype), left_side=True, lower=True)
-    kinv = jnp.matmul(linv.T, linv, precision=hi)
-    gmat = 0.5 * (kinv - jnp.matmul(alpha, alpha.T, precision=hi))
-    sqn = jnp.sum(x_scaled * x_scaled, axis=1, keepdims=True)
-    r2 = sqn + sqn.T - 2.0 * jnp.matmul(x_scaled, x_scaled.T,
-                                        precision=hi)
-    vv = valid.astype(jnp.float32).reshape(n, 1)
-    pair = vv * vv.T
-    w = gmat * (sv * jnp.exp(-0.5 * jnp.maximum(r2, 0.0))) * pair
-    d_sv = jnp.sum(w) / sv
-    d_da = jnp.trace(gmat)
-    wsum = jnp.sum(w, axis=1, keepdims=True)
-    d_x = 2.0 * (jnp.matmul(w, x_scaled, precision=hi) - wsum * x_scaled)
-    return (g * d_x, g * alpha, g * d_sv, g * d_da,
+    d_x, d_delta, d_sv, d_da = _se_core_bwd(l, x_scaled, delta, sv,
+                                            valid)
+    return (g * d_x, g * d_delta, g * d_sv, g * d_da,
             jnp.zeros_like(valid))
 
   core.defvjp(fwd, bwd)

@@ -81,3 +81,23 @@ def test_config_system_and_filename_encoder(tmp_path):
   assert result['observations'][1].shape[0] >= 3
   assert os.path.exists(os.path.join(config.output_dir, '1',
                                      'result.pkl'))
+
+
+def test_driver_ondevice_path(tmp_path):
+  """--ondevice runs the BO loop as one on-device scan (GP method)."""
+  init = driver.default_init_params(const.HBO)
+  init.config['max_training_step'] = 10
+  result = driver.run_experiment(
+      data_loader_name='random', method=const.HBO,
+      ac_func_name='expected_improvement', iters=4, seed=0,
+      output_dir=str(tmp_path), run_id=3, init_params=init,
+      mean_func_name='linear_mlp',
+      cov_func_name='squared_exponential_mlp',
+      ondevice=True,
+      dataset_kwargs=dict(n_queries=25, n_func_historical=3,
+                          m_points_historical=10),
+      verbose=False)
+  x_obs, y_obs = result['observations']
+  assert y_obs.shape[0] == 4 and x_obs.shape[1] == 2
+  assert np.all(np.isfinite(np.asarray(y_obs)))
+  assert result['best_query'] is not None

@@ -147,3 +147,17 @@ def test_svd_matrix_sqrt_rank_truncation():
   np.testing.assert_allclose(factor @ factor.T, cov, atol=1e-4)
   factor_js = linalg.svd_matrix_sqrt(cov, jit_safe=True)
   np.testing.assert_allclose(factor_js @ factor_js.T, cov, atol=1e-4)
+
+
+def test_tri_inv_blocked_matches_solve():
+  import jax
+  from hyperbo_tpu.ops import linalg as linalg_mod
+  for n, block in ((96, 32), (256, 64), (300, 128)):
+    key = jax.random.PRNGKey(n)
+    a = jax.random.normal(key, (n, n)) / jnp.sqrt(jnp.float32(n))
+    l = jnp.linalg.cholesky(a @ a.T + 2.0 * jnp.eye(n))
+    got = linalg_mod.tri_inv_blocked(l, block=block)
+    want = jax.lax.linalg.triangular_solve(
+        l, jnp.eye(n), left_side=True, lower=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4)
