@@ -470,11 +470,13 @@ def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
   z_ref[:] = jnp.zeros((nb, block), jnp.float32)
 
   def gram_tile(h, jg):
+    # Both tile DMAs in flight together (distinct semaphores): the
+    # issue+wait latency of the second copy hides under the first.
     cx = pltpu.make_async_copy(xa_hbm.at[h], xbuf, sem_x)
+    cc = pltpu.make_async_copy(xb_hbm.at[jg], xcbuf, sem_out)
     cx.start()
-    cx.wait()
-    cc = pltpu.make_async_copy(xb_hbm.at[jg], xcbuf, sem_x)
     cc.start()
+    cx.wait()
     cc.wait()
     sqd = _pdot(xbuf[:], xcbuf[:], (((1,), (1,)), ((), ())), precise)
     return sv_ref[0, 0] * jnp.exp(-0.5 * jnp.maximum(sqd, 0.0))
@@ -636,11 +638,17 @@ def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
               t * block:(t + 1) * block]
 
     def store_half(row0):
+      # All group column stores in flight together (per-slot correction
+      # semaphores are idle here), then one wait pass.
+      copies = []
       for i in range(group):
         co = pltpu.make_async_copy(
             halfbuf.at[:, i * block:(i + 1) * block],
-            l_hbm.at[jg * group + i, pl.ds(row0, half), :], sem_out)
+            l_hbm.at[jg * group + i, pl.ds(row0, half), :],
+            sem_s.at[i % slots] if i < slots else sem_out)
         co.start()
+        copies.append(co)
+      for co in copies:
         co.wait()
 
     store_half(row0_d)
