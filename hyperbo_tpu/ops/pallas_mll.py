@@ -469,16 +469,23 @@ def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
     jax.lax.fori_loop(0, nb * n_halves, zero_step, 0)
   z_ref[:] = jnp.zeros((nb, block), jnp.float32)
 
-  def gram_tile(h, jg):
-    # Both tile DMAs in flight together (distinct semaphores): the
-    # issue+wait latency of the second copy hides under the first.
-    cx = pltpu.make_async_copy(xa_hbm.at[h], xbuf, sem_x)
-    cc = pltpu.make_async_copy(xb_hbm.at[jg], xcbuf, sem_out)
-    cx.start()
-    cc.start()
-    cx.wait()
-    cc.wait()
-    sqd = _pdot(xbuf[:], xcbuf[:], (((1,), (1,)), ((), ())), precise)
+  def xa_copy(h, slot):
+    """xa tile DMA descriptor for half h into prefetch slot h % 2."""
+    return pltpu.make_async_copy(xa_hbm.at[h], xbuf.at[slot],
+                                 sem_x.at[slot])
+
+  def gram_tile(h):
+    """Gram tile from the PREFETCHED xa slot for half h.
+
+    The group's xb tile (xcbuf) is loaded once per panel group — it is
+    identical for every half — and the xa tile for half h+1 is put in
+    flight by the caller before the long correction phase, so by the
+    time this runs the data is resident: ~500 serialized DMA waits per
+    n=8192 iteration become background transfers.
+    """
+    slot = jax.lax.rem(h, 2)
+    xa_copy(h, slot).wait()
+    sqd = _pdot(xbuf[slot], xcbuf[:], (((1,), (1,)), ((), ())), precise)
     return sv_ref[0, 0] * jnp.exp(-0.5 * jnp.maximum(sqd, 0.0))
 
   wdims = (((1,), (1,)), ((), ()))
@@ -575,8 +582,20 @@ def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
     row0_d = h0 * half
     loc0 = pl.multiple_of(gcol0 - row0_d, gb)
 
+    # The group's xb tile once (identical for every half), then the
+    # diagonal half's xa tile; later xa tiles prefetch ahead of the
+    # correction phases.
+    cc = pltpu.make_async_copy(xb_hbm.at[jg], xcbuf, sem_out)
+    cc.start()
+    xa_copy(h0, jax.lax.rem(h0, 2)).start()
+    cc.wait()
+
     # --- diagonal half ---
-    tile = gram_tile(h0, jg)
+    tile = gram_tile(h0)
+
+    @pl.when(h0 + 1 < n_halves)
+    def _():
+      xa_copy(h0 + 1, jax.lax.rem(h0 + 1, 2)).start()
     tile_r = jax.lax.broadcasted_iota(jnp.int32, (half, gb), 0)
     tile_c = jax.lax.broadcasted_iota(jnp.int32, (half, gb), 1)
     on_diag = ((tile_r + row0_d) == (tile_c + gcol0)).astype(jnp.float32)
@@ -656,7 +675,13 @@ def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
     # --- strictly-below halves ---
     def half_step(h, _):
       row0 = h * half
-      halfbuf[:] = gram_tile(h, jg)
+      tile_h = gram_tile(h)
+
+      @pl.when(h + 1 < n_halves)
+      def _():
+        xa_copy(h + 1, jax.lax.rem(h + 1, 2)).start()
+
+      halfbuf[:] = tile_h
       corrections(jg, row0, gcol0, with_solve=False)
       for i in range(group):
         ib = i * block
@@ -764,13 +789,13 @@ def mll_fused_g(x_scaled: jnp.ndarray, y: jnp.ndarray,
                      jnp.float32),                    # seg cache
           pltpu.VMEM((nb, block), jnp.float32),         # z
           pltpu.VMEM((gb, 1), jnp.float32),             # s partial
-          pltpu.VMEM((half, 128), jnp.float32),         # xa tile
+          pltpu.VMEM((2, half, 128), jnp.float32),      # xa tiles (x2)
           pltpu.VMEM((gb, 128), jnp.float32),           # xb tile
           pltpu.VMEM((mb, block), jnp.float32),         # sweep top
           pltpu.VMEM((mb, block), jnp.float32),         # sweep bot
           pltpu.SemaphoreType.DMA((slots,)),            # sem_l
           pltpu.SemaphoreType.DMA((slots,)),            # sem_s
-          pltpu.SemaphoreType.DMA,                      # sem_x
+          pltpu.SemaphoreType.DMA((2,)),                # sem_x
           pltpu.SemaphoreType.DMA,                      # sem_out
       ],
       compiler_params=pltpu.CompilerParams(has_side_effects=True),
