@@ -188,7 +188,7 @@ def bench_chol():
     fb = int(os.environ.get('BENCH_FUSED_BLOCK', 256 if on_tpu else 128))
     fh = int(os.environ.get('BENCH_FUSED_HALF', 512 if on_tpu else 256))
     fg = int(os.environ.get('BENCH_FUSED_GROUP', 2))
-    fu = int(os.environ.get('BENCH_FUSED_UNROLL', 2))
+    fu = int(os.environ.get('BENCH_FUSED_UNROLL', 32))
 
     @jax.jit
     def mll_k(x, y):

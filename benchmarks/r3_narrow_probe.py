@@ -36,7 +36,8 @@ def main():
   y = jax.random.normal(jax.random.PRNGKey(2), (n, 1), jnp.float32)
   xs = (x / 0.9).block_until_ready()
 
-  def make(unroll, mode='full', return_l=False, nn=None, kk=None):
+  def make(unroll, mode='full', return_l=False, hier=False, nn=None,
+           kk=None):
     nn = nn or n
     kk = kk or k_iters
 
@@ -46,7 +47,7 @@ def main():
         out = pallas_mll.mll_fused_g(
             xs, y, 1.3, 0.1 + bump, block=block, half=half,
             group=group, sweep_unroll=unroll, mode=mode,
-            return_l=return_l)
+            hier_sweep=hier, return_l=return_l)
         if return_l:
           _, quad, ld = out
         else:
@@ -77,12 +78,14 @@ def main():
     return ms
 
   flops = 2.0 * n * n * d + n**3 / 3.0 + 2.0 * n * n
-  ms_full = measure('narrow unroll=8 full', make(8))
-  measure('narrow unroll=8 nosweep', make(8, 'nosweep'))
-  measure('narrow unroll=8 dmaonly', make(8, 'dmaonly'))
-  measure('narrow unroll=32 full', make(32))
-  measure('narrow unroll=8 full return_l (zero-pass on)',
-          make(8, return_l=True))
+  ms_flat = measure('flat unroll=32 full', make(32))
+  ms_hier = measure('HIER unroll=32 full', make(32, hier=True))
+  measure('unroll=32 nosweep', make(32, 'nosweep'))
+  measure('unroll=32 dmaonly', make(32, 'dmaonly'))
+  measure('HIER unroll=32 return_l (zero-pass on)',
+          make(32, return_l=True, hier=True))
+  ms_full = min(x for x in (ms_flat, ms_hier) if x is not None) if (
+      ms_flat or ms_hier) else None
 
   if ms_full is not None:
     try:
@@ -104,12 +107,14 @@ def main():
     float(chain(a))
     mm_tf = 2.0 * 4096**3 * 256 / (time.perf_counter() - t0) / 1e12
     frac = flops / (ms_full / 1e3) / 1e12 / mm_tf
-    log(f'X3 peak {mm_tf:.1f} TF/s; narrowed full at {ms_full:.2f} '
+    log(f'X3 peak {mm_tf:.1f} TF/s; best full at {ms_full:.2f} '
         f'ms/iter = {100 * frac:.1f}% of peak')
 
-  # n=16384 at the narrowed sweep.
+  # n=16384 at the best sweep config.
   if time.time() - T0 < BUDGET_S - 300:
     n2, k2 = 16384, 16
+    best_hier = ms_hier is not None and (ms_flat is None or
+                                         ms_hier <= ms_flat)
     x2 = jax.random.uniform(jax.random.PRNGKey(4), (n2, d), jnp.float32)
     y2 = jax.random.normal(jax.random.PRNGKey(5), (n2, 1), jnp.float32)
     xs2 = (x2 / 0.9).block_until_ready()
@@ -119,7 +124,7 @@ def main():
       def one(carry, bump):
         quad, ld = pallas_mll.mll_fused_g(
             xs2, y2, 1.3, 0.1 + bump, block=block, half=half,
-            group=group, sweep_unroll=8)
+            group=group, sweep_unroll=32, hier_sweep=best_hier)
         return carry + 0.5 * quad + ld, ()
       tot, _ = lax.scan(one, 0.0, jnp.linspace(0., 1e-3, k2))
       return tot

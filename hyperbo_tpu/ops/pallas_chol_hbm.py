@@ -841,7 +841,8 @@ def cholesky_hbm(a: jnp.ndarray, block: int = 256,
 
 
 def _sweep_fori(read_top, block, mb, lane_idx, lt_ref, wt_ref, wt_off,
-                top_ref, bot_ref, precise=False, unroll=2):
+                top_ref, bot_ref, precise=False, unroll=2,
+                values=False):
   """Transposed fori-loop sweep: lt_ref rows = L columns; W rows are
   written into wt_ref at row offset wt_off.
 
@@ -856,24 +857,28 @@ def _sweep_fori(read_top, block, mb, lane_idx, lt_ref, wt_ref, wt_off,
   dominated the sweep cost on hardware (~50 us per block for the
   transpose alone vs ~15 us for all 256 elimination steps; round 2).
 
-  Narrowed vector work (round 3): the top (L) path only ever has
-  nonzeros at lanes >= c0 and the bot (W = L^{-1}) path at lanes
-  < c0 + mb, so every heavy (mb, *) op runs on the active lane window
-  rounded to the 128-lane tile — the dominant rank-1 updates average
-  ~3/4 of the full-width cost, and the skipped lanes hold EXACT zeros
-  (both refs are zeroed up front) instead of elimination residue.
-  The round-3 hardware ladder showed per-substep vector work (not fori
-  overhead) is the sweep's cost unit, so narrowing is the lever.
+  Narrowed vector work (round 3, STATIC path only): the top (L) path
+  only ever has nonzeros at lanes >= c0 and the bot (W = L^{-1}) path
+  at lanes < c0 + mb, so heavy (mb, *) ops run on the active lane
+  window rounded to the 128-lane tile, and the skipped lanes hold
+  EXACT zeros (both refs are zeroed up front) instead of elimination
+  residue. Hardware status (round 3): compiles and gives exact values
+  at unroll >= mb (all-static slices); the fori path with dynamic-row
+  + lane-offset slices CRASHES the remote Mosaic compile-helper
+  (HTTP 500), so narrowing is gated to the static path. Measured
+  effect ~neutral at B=256 (the sweep is vreg-issue/latency-bound and
+  Mosaic keeps the 256-lane layout), kept for the exact zeros.
   """
+  narrow = unroll >= mb
   lt_ref[:] = jnp.zeros((block, block), jnp.float32)
   wt_ref[wt_off:wt_off + block, :] = jnp.zeros((block, block),
                                                jnp.float32)
 
   def lane_al_down(v):
-    return (v // 128) * 128
+    return (v // 128) * 128 if narrow else 0
 
   def lane_al_up(v):
-    return min(block, -(-v // 128) * 128)
+    return min(block, -(-v // 128) * 128) if narrow else block
 
   for c0 in range(0, block, mb):
     t0 = lane_al_down(c0)            # top active lanes [t0, block)
@@ -894,8 +899,9 @@ def _sweep_fori(read_top, block, mb, lane_idx, lt_ref, wt_ref, wt_off,
       bot = bot - _pdot(seed,
                         wt_ref[wt_off:wt_off + c0, 0:b1],
                         (((0,), (0,)), ((), ())), precise)
-    top_ref[:, t0:block] = top
-    bot_ref[:, 0:b1] = bot
+    if not (values and unroll >= mb):
+      top_ref[:, t0:block] = top
+      bot_ref[:, 0:b1] = bot
 
     # Inner steps: per-substep VECTOR work is the cost unit (round-3
     # ladder: unroll 2 -> 32 moved 8.69 -> 8.54 ms only), so ops run on
@@ -915,7 +921,28 @@ def _sweep_fori(read_top, block, mb, lane_idx, lt_ref, wt_ref, wt_off,
       top_ref[:, t0:block] = top_ref[:, t0:block] - seg * lrow
       bot_ref[:, 0:b1] = bot_ref[:, 0:b1] - seg * wrow
 
-    if unroll >= mb:
+    if values and unroll >= mb:
+      # VALUE-carried micro-block (round-3 probe 3: the sweep is
+      # latency-bound on the serial VMEM read-modify-write chain, not
+      # on op width or loop overhead). top/bot live in vregs across
+      # all mb substeps — (mb, B) = 8 vregs each at B=256 — and VMEM
+      # is touched only for the lt/wt row writes, which do not feed
+      # the elimination chain.
+      tv = top
+      bv = bot
+      for kl in range(mb):
+        k = c0 + kl
+        trow = tv[kl:kl + 1, :]
+        akk = jnp.sum(jnp.where(lane_idx[:, t0:block] == k, trow, 0.0))
+        inv_d = jax.lax.rsqrt(jnp.maximum(akk, 1e-30))
+        lrow = trow * inv_d
+        wrow = bv[kl:kl + 1, :] * inv_d
+        lt_ref[pl.ds(k, 1), t0:block] = lrow
+        wt_ref[pl.ds(wt_off + k, 1), 0:b1] = wrow
+        seg = lrow[0:1, c0 - t0:c0 - t0 + mb].T
+        tv = tv - seg * lrow
+        bv = bv - seg * wrow
+    elif unroll >= mb:
       for kl in range(mb):
         substep(c0 + kl)
     else:

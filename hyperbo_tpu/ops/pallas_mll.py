@@ -402,11 +402,13 @@ def _seg_ofs(i, t, group):
 
 
 def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
-                  scoped_sweep, sweep_unroll, zero_init,
+                  scoped_sweep, sweep_unroll, zero_init, hier_sweep,
+                  value_sweep,
                   xa_hbm, xb_hbm, y_ref, sv_ref, diag_ref, l_hbm,
                   quad_ref, ld_ref, halfbuf, lbuf, strip, lt_s,
                   w_all, seg_ref, z_ref, s_ref, xbuf, xcbuf, top_ref,
-                  bot_ref, sem_l, sem_s, sem_x, sem_out):
+                  bot_ref, lt_a, w_a, lt_b, w_b, d22_s, top_s, bot_s,
+                  sem_l, sem_s, sem_x, sem_out):
   """Grouped panel-major fused MLL (v11).
 
   Corrections process `group` panel columns per pass: the (half, B)
@@ -505,23 +507,29 @@ def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
             halfbuf[rp * hp:(rp + 1) * hp,
                     cp * block:(cp + 1) * block] - update)
 
+  def corr_dma_pair(t, slot, row0, gcol0):
+    return (pltpu.make_async_copy(
+        l_hbm.at[t, pl.ds(gcol0, gb), :], strip.at[slot],
+        sem_s.at[slot]),
+            pltpu.make_async_copy(
+        l_hbm.at[t, pl.ds(row0, half), :], lbuf.at[slot],
+        sem_l.at[slot]))
+
+  def corr_prestart(t_count, row0, gcol0):
+    """Put the correction warm-up DMAs in flight — called by the phase
+    BEFORE its gram-tile work so the first t_step never waits cold."""
+    for w in range(slots - 1):
+      @pl.when(w < t_count)
+      def _(w=w):
+        cs0, cl0 = corr_dma_pair(w, w, row0, gcol0)
+        cs0.start()
+        cl0.start()
+
   def corrections(jg, row0, gcol0, with_solve):
     t_count = jg * group
 
     def dma_pair(t, slot):
-      return (pltpu.make_async_copy(
-          l_hbm.at[t, pl.ds(gcol0, gb), :], strip.at[slot],
-          sem_s.at[slot]),
-              pltpu.make_async_copy(
-          l_hbm.at[t, pl.ds(row0, half), :], lbuf.at[slot],
-          sem_l.at[slot]))
-
-    for w in range(slots - 1):
-      @pl.when(w < t_count)
-      def _(w=w):
-        cs0, cl0 = dma_pair(w, w)
-        cs0.start()
-        cl0.start()
+      return corr_dma_pair(t, slot, row0, gcol0)
 
     def t_step(t, _):
       slot = jax.lax.rem(t, slots)
@@ -546,6 +554,62 @@ def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
 
     jax.lax.fori_loop(0, t_count, t_step, 0)
 
+  def sweep_inner_hier(loc_i, i):
+    """Hierarchical diagonal factorization (v13): the (B, B) block as
+    2x2 of S=B/2 sub-blocks. The scalar-sequential sweeps run on
+    PHYSICALLY S-wide scratch refs — the sweep is vreg-issue-bound and
+    slicing a wide ref does not shrink Mosaic's layout (round-3 probe),
+    so half-width refs halve the issue cost — and the couplings are
+    five (S, S) X3 MXU dots with contraction specs chosen so no
+    transposes are needed:
+
+      L11, W11 = sweep(A11)            L21^T = W11 A12
+      D22' = A22 - L21 L21^T           L22, W22 = sweep(D22')
+      W21 = -(W22 L21) W11
+    """
+    ib = i * block
+    s = block // 2
+    lane_s = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+
+    # All halfbuf reads use lane windows at the PROVEN offsets (ib is a
+    # multiple of block); the S-wide sub-views are VALUE slices — the
+    # dynamic-row + 128-offset-lane REF slice pattern is what crashes
+    # the remote compile-helper (round-3 probe).
+    def read_top_a(c0):
+      rows = halfbuf[pl.ds(pl.multiple_of(loc_i + c0, mb), mb),
+                     ib:ib + block]
+      return rows[:, 0:s]
+
+    _sweep_fori(read_top_a, s, mb, lane_s, lt_a, w_a, 0, top_s, bot_s,
+                precise=precise, unroll=sweep_unroll,
+                values=value_sweep)
+    rows_top = halfbuf[pl.ds(pl.multiple_of(loc_i, s), s),
+                       ib:ib + block]
+    l21t = _pdot(w_a[:], rows_top[:, s:block], (((1,), (0,)), ((), ())),
+                 precise)
+    rows_bot = halfbuf[pl.ds(pl.multiple_of(loc_i + s, s), s),
+                       ib:ib + block]
+    d22_s[:] = rows_bot[:, s:block] - _pdot(
+        l21t, l21t, (((0,), (0,)), ((), ())), precise)
+
+    def read_top_b(c0):
+      return d22_s[c0:c0 + mb, :]
+
+    _sweep_fori(read_top_b, s, mb, lane_s, lt_b, w_b, 0, top_s, bot_s,
+                precise=precise, unroll=sweep_unroll,
+                values=value_sweep)
+    w21 = -_pdot(_pdot(w_b[:], l21t, (((1,), (1,)), ((), ())), precise),
+                 w_a[:], (((1,), (0,)), ((), ())), precise)
+    zs = jnp.zeros((s, s), jnp.float32)
+    lt_s[0:s, 0:s] = lt_a[:]
+    lt_s[0:s, s:block] = l21t
+    lt_s[s:block, 0:s] = zs
+    lt_s[s:block, s:block] = lt_b[:]
+    w_all[ib:ib + s, 0:s] = w_a[:]
+    w_all[ib:ib + s, s:block] = zs
+    w_all[ib + s:ib + block, 0:s] = w21
+    w_all[ib + s:ib + block, s:block] = w_b[:]
+
   def sweep_inner(loc_i, i):
     """Sweep the diagonal block of inner column i: L^T rows into lt_s,
     W = L^{-1} rows straight into w_all[iB:(i+1)B]."""
@@ -553,6 +617,8 @@ def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
     if mode == 'nosweep':
       lt_s[:] = jnp.eye(block, dtype=jnp.float32)
       w_all[ib:ib + block, :] = jnp.eye(block, dtype=jnp.float32)
+    elif hier_sweep:
+      sweep_inner_hier(loc_i, i)
     else:
       def read_top(c0):
         # Rows of the symmetric diagonal block, read in place — no
@@ -566,7 +632,7 @@ def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
           for _ in range(reps):
             _sweep_fori(read_top, block, mb, lane_idx, lt_s, w_all, ib,
                         top2, bot2, precise=precise,
-                        unroll=sweep_unroll)
+                        unroll=sweep_unroll, values=value_sweep)
         pl.run_scoped(run_sweep,
                       pltpu.VMEM((mb, block), jnp.float32),
                       pltpu.VMEM((mb, block), jnp.float32))
@@ -574,7 +640,7 @@ def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
         for _ in range(reps):
           _sweep_fori(read_top, block, mb, lane_idx, lt_s, w_all, ib,
                       top_ref, bot_ref, precise=precise,
-                      unroll=sweep_unroll)
+                      unroll=sweep_unroll, values=value_sweep)
 
   def panel_group(jg, _):
     gcol0 = jg * gb
@@ -588,6 +654,7 @@ def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
     cc = pltpu.make_async_copy(xb_hbm.at[jg], xcbuf, sem_out)
     cc.start()
     xa_copy(h0, jax.lax.rem(h0, 2)).start()
+    corr_prestart(jg * group, row0_d, gcol0)
     cc.wait()
 
     # --- diagonal half ---
@@ -675,6 +742,7 @@ def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
     # --- strictly-below halves ---
     def half_step(h, _):
       row0 = h * half
+      corr_prestart(jg * group, row0, gcol0)
       tile_h = gram_tile(h)
 
       @pl.when(h + 1 < n_halves)
@@ -709,13 +777,16 @@ def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
                                              'mode', 'mb', 'slots',
                                              'group', 'scoped_sweep',
                                              'sweep_unroll',
+                                             'hier_sweep', 'value_sweep',
                                              'return_l', 'interpret'))
 def mll_fused_g(x_scaled: jnp.ndarray, y: jnp.ndarray,
                 signal_variance, diag_add, block: int = 256,
                 half: int = 1024, precise: bool = True,
                 mode: str = 'full', mb: int = 32, slots: int = 2,
                 group: int = 2, scoped_sweep: bool = False,
-                sweep_unroll: int = 2,
+                sweep_unroll: int = 32,
+                hier_sweep: bool = False,
+                value_sweep: bool = False,
                 return_l: bool = False,
                 valid=None,
                 interpret: bool = False):
@@ -757,9 +828,11 @@ def mll_fused_g(x_scaled: jnp.ndarray, y: jnp.ndarray,
   y_pm = y.astype(jnp.float32).reshape(nb, block)
   sv = jnp.asarray(signal_variance, jnp.float32).reshape(1, 1)
   da = jnp.asarray(diag_add, jnp.float32).reshape(1, 1)
+  assert not (hier_sweep and block % 2), block
   kernel = functools.partial(_kernel_mll_g, n, d, block, half, precise,
                              mode, mb, slots, group, scoped_sweep,
-                             sweep_unroll, return_l)
+                             sweep_unroll, return_l, hier_sweep,
+                             value_sweep)
   l_pm, quad, ld = pl.pallas_call(
       kernel,
       in_specs=[
@@ -793,6 +866,13 @@ def mll_fused_g(x_scaled: jnp.ndarray, y: jnp.ndarray,
           pltpu.VMEM((gb, 128), jnp.float32),           # xb tile
           pltpu.VMEM((mb, block), jnp.float32),         # sweep top
           pltpu.VMEM((mb, block), jnp.float32),         # sweep bot
+          pltpu.VMEM((block // 2, block // 2), jnp.float32),  # lt_a
+          pltpu.VMEM((block // 2, block // 2), jnp.float32),  # w_a
+          pltpu.VMEM((block // 2, block // 2), jnp.float32),  # lt_b
+          pltpu.VMEM((block // 2, block // 2), jnp.float32),  # w_b
+          pltpu.VMEM((block // 2, block // 2), jnp.float32),  # d22
+          pltpu.VMEM((mb, block // 2), jnp.float32),    # sub-sweep top
+          pltpu.VMEM((mb, block // 2), jnp.float32),    # sub-sweep bot
           pltpu.SemaphoreType.DMA((slots,)),            # sem_l
           pltpu.SemaphoreType.DMA((slots,)),            # sem_s
           pltpu.SemaphoreType.DMA((2,)),                # sem_x
@@ -815,7 +895,7 @@ def mll_fused_g(x_scaled: jnp.ndarray, y: jnp.ndarray,
 
 @functools.lru_cache(maxsize=None)
 def _se_nll_core_fn(block: int, half: int, group: int, interpret: bool,
-                    sweep_unroll: int = 2):
+                    sweep_unroll: int = 32):
   """Differentiable fused SE-NLL core: nll_core(x_scaled, delta, sv, da).
 
   Returns 0.5 y^T K^{-1} y + sum(log diag L) for
@@ -935,7 +1015,7 @@ def _se_embed(params, x, cov_func, warp_func):
 
 def se_nll_fused(mean_func, params, x, y, warp_func=None, eps=1e-6,
                  block: int = 256, half: int = 512, group: int = 2,
-                 sweep_unroll: int = 2, cov_func=None,
+                 sweep_unroll: int = 32, cov_func=None,
                  interpret: bool = False):
   """GP NLL for squared-exponential-family kernels via the fused kernel.
 
@@ -966,7 +1046,7 @@ def se_nll_fused(mean_func, params, x, y, warp_func=None, eps=1e-6,
 
 @functools.lru_cache(maxsize=None)
 def _se_nll_core_masked_fn(block: int, half: int, group: int,
-                           interpret: bool, sweep_unroll: int = 2):
+                           interpret: bool, sweep_unroll: int = 32):
   """Masked differentiable fused SE-NLL core (packed-batch support).
 
   core(x_scaled, delta, sv, da, valid) with valid an (n,) 0/1 mask:
@@ -1006,7 +1086,7 @@ def _se_nll_core_masked_fn(block: int, half: int, group: int,
 
 def se_nll_fused_masked(x_scaled, delta_masked, sv, da, count,
                         block: int = 256, half: int = 512,
-                        group: int = 2, sweep_unroll: int = 2,
+                        group: int = 2, sweep_unroll: int = 32,
                         interpret: bool = False):
   """Fused SE NLL for one PADDED task (packed-batch support).
 

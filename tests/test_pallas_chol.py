@@ -161,3 +161,26 @@ def test_fused_mll_grouped_matches_dense():
       rtol=1e-3)
   np.testing.assert_allclose(
       float(ld), float(jnp.sum(jnp.log(jnp.diagonal(lref)))), rtol=1e-4)
+
+
+def test_fused_mll_hier_sweep_matches_dense():
+  """v13 hierarchical diagonal factorization (2x2 of half-width
+  sub-blocks coupled by MXU dots) matches the dense pipeline exactly
+  like the flat sweep (interpret mode)."""
+  from hyperbo_tpu.ops import pallas_mll
+  n, d = 512, 4
+  x = jax.random.uniform(jax.random.PRNGKey(25), (n, d)) * 2.0
+  y = jax.random.normal(jax.random.PRNGKey(26), (n, 1))
+  sv, da = 1.3, 0.11
+  sq = jnp.sum((x[:, None, :] - x[None, :, :]) ** 2, -1)
+  kmat = sv * jnp.exp(-0.5 * sq) + da * jnp.eye(n)
+  lref = jnp.linalg.cholesky(kmat)
+  l, quad, ld = pallas_mll.mll_fused_g(
+      x, y, sv, da, block=128, half=256, group=2, hier_sweep=True,
+      return_l=True, interpret=True)
+  np.testing.assert_allclose(l, lref, atol=5e-4)
+  np.testing.assert_allclose(
+      float(quad), float(jnp.sum(y * jnp.linalg.solve(kmat, y))),
+      rtol=1e-3)
+  np.testing.assert_allclose(
+      float(ld), float(jnp.sum(jnp.log(jnp.diagonal(lref)))), rtol=1e-4)
