@@ -842,7 +842,7 @@ def cholesky_hbm(a: jnp.ndarray, block: int = 256,
 
 def _sweep_fori(read_top, block, mb, lane_idx, lt_ref, wt_ref, wt_off,
                 top_ref, bot_ref, precise=False, unroll=2,
-                values=False):
+                values=False, skip_writes=False, const_pivot=False):
   """Transposed fori-loop sweep: lt_ref rows = L columns; W rows are
   written into wt_ref at row offset wt_off.
 
@@ -933,15 +933,26 @@ def _sweep_fori(read_top, block, mb, lane_idx, lt_ref, wt_ref, wt_off,
       for kl in range(mb):
         k = c0 + kl
         trow = tv[kl:kl + 1, :]
-        akk = jnp.sum(jnp.where(lane_idx[:, t0:block] == k, trow, 0.0))
-        inv_d = jax.lax.rsqrt(jnp.maximum(akk, 1e-30))
+        if const_pivot:       # probe mode: no pivot reduce / rsqrt
+          inv_d = 1.0
+        else:
+          akk = jnp.sum(jnp.where(lane_idx[:, t0:block] == k, trow,
+                                  0.0))
+          inv_d = jax.lax.rsqrt(jnp.maximum(akk, 1e-30))
         lrow = trow * inv_d
         wrow = bv[kl:kl + 1, :] * inv_d
-        lt_ref[pl.ds(k, 1), t0:block] = lrow
-        wt_ref[pl.ds(wt_off + k, 1), 0:b1] = wrow
+        if not skip_writes:   # probe mode: no lt/wt row stores
+          lt_ref[pl.ds(k, 1), t0:block] = lrow
+          wt_ref[pl.ds(wt_off + k, 1), 0:b1] = wrow
         seg = lrow[0:1, c0 - t0:c0 - t0 + mb].T
         tv = tv - seg * lrow
         bv = bv - seg * wrow
+      if skip_writes:
+        # Probe mode: one anchor store per micro-block so the value
+        # chain cannot be dead-code-eliminated (the round-2 isolated-
+        # probe trap) while per-substep stores stay off the timeline.
+        lt_ref[c0:c0 + mb, t0:block] = tv
+        wt_ref[wt_off + c0:wt_off + c0 + mb, 0:b1] = bv
     elif unroll >= mb:
       for kl in range(mb):
         substep(c0 + kl)

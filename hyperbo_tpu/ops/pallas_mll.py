@@ -626,7 +626,7 @@ def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
         return halfbuf[pl.ds(pl.multiple_of(loc_i + c0, mb), mb),
                        ib:ib + block]
       lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
-      reps = 2 if mode == 'sweepx2' else 1
+      reps = 2 if mode == 'sweepx2' else 1  # probe modes sweepnw/sweepnp thread below
       if scoped_sweep:
         def run_sweep(top2, bot2):
           for _ in range(reps):
@@ -640,7 +640,9 @@ def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
         for _ in range(reps):
           _sweep_fori(read_top, block, mb, lane_idx, lt_s, w_all, ib,
                       top_ref, bot_ref, precise=precise,
-                      unroll=sweep_unroll, values=value_sweep)
+                      unroll=sweep_unroll, values=value_sweep,
+                      skip_writes=(mode == 'sweepnw'),
+                      const_pivot=(mode == 'sweepnp'))
 
   def panel_group(jg, _):
     gcol0 = jg * gb
@@ -805,7 +807,8 @@ def mll_fused_g(x_scaled: jnp.ndarray, y: jnp.ndarray,
   gb = group * block
   assert (n % block == 0 and n % half == 0 and half % gb == 0 and
           n % gb == 0), (n, block, half, group)
-  assert mode in ('full', 'nosweep', 'dmaonly', 'sweepx2'), mode
+  assert mode in ('full', 'nosweep', 'dmaonly', 'sweepx2',
+                  'sweepnw', 'sweepnp'), mode
   assert block % mb == 0 and mb % 2 == 0, (block, mb)
   nb = n // block
   xs32 = x_scaled.astype(jnp.float32)
