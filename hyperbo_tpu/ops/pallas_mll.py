@@ -947,14 +947,17 @@ def _se_nll_core_fn(block: int, half: int, group: int, interpret: bool,
 
 
 def _tri_inv(l):
-  """L^{-1}: blocked-GEMM formulation (default) or the XLA solve.
+  """L^{-1} for the VJP backward: XLA solve (default) or blocked GEMMs.
 
-  lax.triangular_solve with an n-wide RHS is substitution-chain-bound;
-  ops/linalg.tri_inv_blocked turns 2/3 of the FLOPs into X3 MXU GEMMs.
-  HYPERBO_BWD_TRIINV=0 opts back into the plain solve.
+  Measured round 3 (n=8192): isolated, tri_inv_blocked beats the XLA
+  n-RHS solve (4.5 vs 5.4 ms) — but INSIDE the full value_and_grad
+  graph the recursive concatenate tree interacts badly with XLA's
+  scheduling/rematerialization and the whole step balloons 67 -> 111 ms.
+  The solve keeps the step at 67 ms = 1.93x the dense pipeline.
+  HYPERBO_BWD_TRIINV=1 opts back into the blocked inverse.
   """
   import os
-  if os.environ.get('HYPERBO_BWD_TRIINV', '1') == '1':
+  if os.environ.get('HYPERBO_BWD_TRIINV', '0') == '1':
     from hyperbo_tpu.ops import linalg as linalg_mod
     return linalg_mod.tri_inv_blocked(l)
   return jax.lax.linalg.triangular_solve(
