@@ -65,6 +65,51 @@ def _acq_param(kind: str, y_buf, mask, count):
   return 3.0
 
 
+def _unbiased_scale(num_train_tasks: int) -> float:
+  """GP.predict's N/(N-1) rescale with N = train tasks + the test task."""
+  n_tasks = num_train_tasks + 1
+  return n_tasks / (n_tasks - 1.0) if n_tasks > 1 else 1.0
+
+
+def _masked_posterior(mean_func, cov_func, shim, warp_func,
+                      noise_variance, scale, x_buf, y_buf, chol_buf,
+                      count, cand_x):
+  """GP posterior (mu, var) at cand_x from preallocated masked buffers.
+
+  The SINGLE source of the on-device posterior algebra — the GP step,
+  the vmapped HGP per-sample posteriors and the continuous loop all
+  call this (matching GP.predict semantics: noise added, prior
+  fallback with no observations, unbiased rescale).
+  """
+  n_max = x_buf.shape[0]
+  mask = jnp.arange(n_max) < count
+  mu_prior_obs = mean_func(shim, x_buf, warp_func=warp_func)
+  delta = jnp.where(mask[:, None], y_buf - mu_prior_obs, 0.0)
+  kinvy = chol_ops.cho_solve(chol_buf, delta)
+  cross = cov_func(shim, x_buf, cand_x, warp_func=warp_func)
+  cross = jnp.where(mask[:, None], cross, 0.0)
+  mu = cross.T @ kinvy + mean_func(shim, cand_x, warp_func=warp_func)
+  v = chol_ops.solve_triangular(chol_buf, cross, lower=True)
+  kdiag = cov_func(shim, cand_x, warp_func=warp_func, diag=True)
+  var = jnp.maximum(kdiag - jnp.sum(v * v, axis=0), 1e-12)[:, None]
+  # Prior fallback when no observations yet.
+  has_obs = count > 0
+  mu = jnp.where(has_obs, mu,
+                 mean_func(shim, cand_x, warp_func=warp_func))
+  var = jnp.where(has_obs, var, kdiag[:, None])
+  return mu, (var + noise_variance) * scale
+
+
+def _append_chol(cov_func, shim, warp_func, noise_variance, eps, x_buf,
+                 chol_buf, count, x_new):
+  """Rank-1 Cholesky append for one new observation (shared algebra)."""
+  k_vec = cov_func(shim, x_buf, x_new[None, :],
+                   warp_func=warp_func)[:, 0]
+  kappa = cov_func(shim, x_new[None, :], warp_func=warp_func,
+                   diag=True)[0] + noise_variance + eps
+  return chol_ops.chol_append_padded(chol_buf, count, k_vec, kappa)
+
+
 def build_bo_step(mean_func, cov_func, model_params, config, warp_func,
                   acquisition: str, n_max: int, num_train_tasks: int,
                   eps: float = 1e-6):
@@ -77,38 +122,17 @@ def build_bo_step(mean_func, cov_func, model_params, config, warp_func,
   acq_sub, acq_param_kind = _ACQ_SUBS[acquisition]
   noise_variance, = retrieve_params(params_shim, ['noise_variance'],
                                     warp_func=warp_func)
-  # Unbiased predictive rescale: training tasks + the growing test task.
-  n_tasks = num_train_tasks + 1
-  scale = n_tasks / (n_tasks - 1.0) if n_tasks > 1 else 1.0
+  scale = _unbiased_scale(num_train_tasks)
 
   def posterior(x_buf, y_buf, chol_buf, count, cand_x):
-    mask = jnp.arange(n_max) < count
-    mu_prior_obs = mean_func(params_shim, x_buf, warp_func=warp_func)
-    delta = jnp.where(mask[:, None], y_buf - mu_prior_obs, 0.0)
-    kinvy = chol_ops.cho_solve(chol_buf, delta)
-    cross = cov_func(params_shim, x_buf, cand_x, warp_func=warp_func)
-    cross = jnp.where(mask[:, None], cross, 0.0)
-    mu = cross.T @ kinvy + mean_func(params_shim, cand_x,
-                                     warp_func=warp_func)
-    v = chol_ops.solve_triangular(chol_buf, cross, lower=True)
-    kdiag = cov_func(params_shim, cand_x, warp_func=warp_func, diag=True)
-    var = kdiag - jnp.sum(v * v, axis=0)
-    var = jnp.maximum(var, 1e-12)[:, None]
-    # Prior fallback when no observations yet.
-    prior_mu = mean_func(params_shim, cand_x, warp_func=warp_func)
-    prior_var = kdiag[:, None]
-    has_obs = count > 0
-    mu = jnp.where(has_obs, mu, prior_mu)
-    var = jnp.where(has_obs, var, prior_var)
-    var = (var + noise_variance) * scale
-    return mu, var
+    return _masked_posterior(mean_func, cov_func, params_shim, warp_func,
+                             noise_variance, scale, x_buf, y_buf,
+                             chol_buf, count, cand_x)
 
   def append(x_buf, y_buf, chol_buf, count, x_new, y_new):
-    k_vec = cov_func(params_shim, x_buf, x_new[None, :],
-                     warp_func=warp_func)[:, 0]
-    kappa = cov_func(params_shim, x_new[None, :], warp_func=warp_func,
-                     diag=True)[0] + noise_variance + eps
-    chol_buf = chol_ops.chol_append_padded(chol_buf, count, k_vec, kappa)
+    chol_buf = _append_chol(cov_func, params_shim, warp_func,
+                            noise_variance, eps, x_buf, chol_buf, count,
+                            x_new)
     x_buf = jax.lax.dynamic_update_slice(x_buf, x_new[None, :], (count, 0))
     y_buf = jax.lax.dynamic_update_slice(y_buf, y_new[None, :], (count, 0))
     return x_buf, y_buf, chol_buf, count + 1
@@ -276,36 +300,22 @@ def simulated_bayesopt_ondevice_hgp(
   def shim(model):
     return defs.GPParams(model=model, config=config)
 
-  n_tasks = num_train_tasks + 1
-  scale = n_tasks / (n_tasks - 1.0) if n_tasks > 1 else 1.0
+  scale = _unbiased_scale(num_train_tasks)
 
   def posterior_one(model, chol_buf, x_buf, y_buf, count, cand_x):
     p = shim(model)
     noise_variance, = retrieve_params(p, ['noise_variance'],
                                       warp_func=warp_func)
-    mask = jnp.arange(n_max) < count
-    mu_prior_obs = mean_func(p, x_buf, warp_func=warp_func)
-    delta = jnp.where(mask[:, None], y_buf - mu_prior_obs, 0.0)
-    kinvy = chol_ops.cho_solve(chol_buf, delta)
-    cross = cov_func(p, x_buf, cand_x, warp_func=warp_func)
-    cross = jnp.where(mask[:, None], cross, 0.0)
-    mu = cross.T @ kinvy + mean_func(p, cand_x, warp_func=warp_func)
-    v = chol_ops.solve_triangular(chol_buf, cross, lower=True)
-    kdiag = cov_func(p, cand_x, warp_func=warp_func, diag=True)
-    var = jnp.maximum(kdiag - jnp.sum(v * v, axis=0), 1e-12)[:, None]
-    has_obs = count > 0
-    mu = jnp.where(has_obs, mu, mean_func(p, cand_x, warp_func=warp_func))
-    var = jnp.where(has_obs, var, kdiag[:, None])
-    return mu, (var + noise_variance) * scale
+    return _masked_posterior(mean_func, cov_func, p, warp_func,
+                             noise_variance, scale, x_buf, y_buf,
+                             chol_buf, count, cand_x)
 
   def append_one(model, chol_buf, x_buf, count, x_new):
     p = shim(model)
     noise_variance, = retrieve_params(p, ['noise_variance'],
                                       warp_func=warp_func)
-    k_vec = cov_func(p, x_buf, x_new[None, :], warp_func=warp_func)[:, 0]
-    kappa = cov_func(p, x_new[None, :], warp_func=warp_func,
-                     diag=True)[0] + noise_variance + 1e-6
-    return chol_ops.chol_append_padded(chol_buf, count, k_vec, kappa)
+    return _append_chol(cov_func, p, warp_func, noise_variance, 1e-6,
+                        x_buf, chol_buf, count, x_new)
 
   def step(state, args):
     k, cand_x, cand_y = args
@@ -414,31 +424,15 @@ def continuous_bayesopt_ondevice(
   acq_sub, acq_param_kind = _ACQ_SUBS[acquisition]
   step = build_bo_step(mean_func, cov_func, model_params, config,
                        warp_func, acquisition, n_max, num_train_tasks)
-  # Reuse build_bo_step's closures via a tiny shim: we need its
-  # posterior/append internals, so rebuild them here identically.
   noise_variance, = retrieve_params(params_shim, ['noise_variance'],
                                     warp_func=warp_func)
+  scale = _unbiased_scale(num_train_tasks)
 
   def posterior_mu_var(state, cand_x):
     x_buf, y_buf, chol_buf, count = state
-    mask = jnp.arange(n_max) < count
-    mu_prior_obs = mean_func(params_shim, x_buf, warp_func=warp_func)
-    delta = jnp.where(mask[:, None], y_buf - mu_prior_obs, 0.0)
-    kinvy = chol_ops.cho_solve(chol_buf, delta)
-    cross = cov_func(params_shim, x_buf, cand_x, warp_func=warp_func)
-    cross = jnp.where(mask[:, None], cross, 0.0)
-    mu = cross.T @ kinvy + mean_func(params_shim, cand_x,
-                                     warp_func=warp_func)
-    v = chol_ops.solve_triangular(chol_buf, cross, lower=True)
-    kdiag = cov_func(params_shim, cand_x, warp_func=warp_func, diag=True)
-    var = jnp.maximum(kdiag - jnp.sum(v * v, axis=0), 1e-12)[:, None]
-    has_obs = count > 0
-    mu = jnp.where(has_obs, mu,
-                   mean_func(params_shim, cand_x, warp_func=warp_func))
-    var = jnp.where(has_obs, var, kdiag[:, None])
-    n_tasks = num_train_tasks + 1
-    scale = n_tasks / (n_tasks - 1.0) if n_tasks > 1 else 1.0
-    return mu, (var + noise_variance) * scale
+    return _masked_posterior(mean_func, cov_func, params_shim,
+                             warp_func, noise_variance, scale, x_buf,
+                             y_buf, chol_buf, count, cand_x)
 
   def acq_values(state, cand_x):
     _, y_buf, _, count = state

@@ -90,17 +90,24 @@ _ONDEVICE_ACQ = {
 
 def _run_ondevice(method, dataset, mean_func, cov_func, init_params,
                   warp_func, queried, iters, ac_func_name, key,
-                  init_model):
+                  init_model, sub_dataset_key):
   """Pre-train as usual, then run the BO loop as one on-device scan.
 
   Covers the offline (simulated) path for GP and HGP methods with no
   per-iteration retraining — the production TPU loop (bo/ondevice.py):
   rank-1 Cholesky appends, batched candidate scoring, no host sync
-  until the loop ends.
+  until the loop ends. Existing observations on the test sub-dataset
+  seed the loop; the rand method maps to the on-device rand baseline.
   """
   from hyperbo_tpu.bo import ondevice as ondevice_lib
 
-  acq = _ONDEVICE_ACQ.get(ac_func_name, ac_func_name)
+  if init_params.config.get('retrain', 0) > 0:
+    raise ValueError(
+        'ondevice=True runs the scan loop without per-iteration '
+        "retraining; config['retrain'] > 0 (e.g. method=stbo) needs "
+        'the host loop.')
+  acq = ('rand' if method == const.RAND
+         else _ONDEVICE_ACQ.get(ac_func_name, ac_func_name))
   model = bayesopt._build_model(method, dataset, mean_func, cov_func,
                                 init_params, warp_func)
   if init_model:
@@ -108,10 +115,20 @@ def _run_ondevice(method, dataset, mean_func, cov_func, init_params,
     model.initialize_params(sk)
     key, sk = jax.random.split(key)
     model.train(sk)
+  # Match GP.predict's unbiased rescale DURING the BO run: N counts the
+  # unaligned sub-datasets including the (growing) test one, so
+  # num_train_tasks = N - 1 when the test key already exists, else N.
   n_unaligned = len(
       [k for k, v in model.dataset.items() if v.aligned is None])
+  in_dataset = sub_dataset_key in model.dataset
+  num_train_tasks = n_unaligned - 1 if in_dataset else n_unaligned
+  init_obs = None
+  if in_dataset and model.dataset[sub_dataset_key].x.shape[0] > 0:
+    sub = model.dataset[sub_dataset_key]
+    init_obs = (sub.x, sub.y)
   common = dict(queried_sub_dataset=queried, iters=iters,
-                acquisition=acq, num_train_tasks=n_unaligned, key=key)
+                acquisition=acq, num_train_tasks=num_train_tasks,
+                init_obs=init_obs, key=key)
   if isinstance(model, gp.HGP):
     xo, yo, _ = ondevice_lib.simulated_bayesopt_ondevice_hgp(
         mean_func, cov_func, model.get_model_params_samples(),
@@ -206,7 +223,8 @@ def run_experiment(
   if ondevice and isinstance(queried, SubDataset):
     observations, best_query, params = _run_ondevice(
         method, dataset, mean_func, cov_func, init_params, warp_func,
-        queried, iters, ac_func_name, bo_key, init_model)
+        queried, iters, ac_func_name, bo_key, init_model,
+        sub_dataset_key)
   else:
     observations, best_query, params = bayesopt.run_bayesopt(
         dataset=dataset,

@@ -107,7 +107,7 @@ def neg_log_marginal_likelihood(mean_func,
       # plain SE kernel and its MLP/Kumar-embedded variants.
       # 'interpret' runs the kernel interpreted (CPU tests).
       from hyperbo_tpu.ops import pallas_mll
-      if pallas_mll.se_nll_fused_applicable(cov_func, vx, params):
+      if pallas_mll.se_nll_fused_applicable(cov_func, vx, params, y=vy):
         return pallas_mll.se_nll_fused(
             mean_func, params, vx, vy, warp_func=warp_func,
             cov_func=cov_func, interpret=(fused == 'interpret'))

@@ -1117,12 +1117,17 @@ def se_nll_fused_masked(x_scaled, delta_masked, sv, da, count,
 
 
 def se_nll_fused_applicable(cov_func, x, params=None, block: int = 256,
-                            group: int = 2, masked: bool = False) -> bool:
+                            group: int = 2, masked: bool = False,
+                            y=None) -> bool:
   """True when the fused path can replace the dense SE NLL pipeline.
 
   masked=True reserves the two extra embedding lanes the padded-row
-  penalty needs (packed batches).
+  penalty needs (packed batches). Pass `y` so multi-output tasks
+  (y with m > 1 columns, which the kernel's panel-major y layout
+  cannot represent) fall back to the dense pipeline.
   """
+  if y is not None and y.ndim == 2 and y.shape[1] != 1:
+    return False
   from hyperbo_tpu.models import kernel as kernel_lib
   if not (x.ndim == 2 and x.shape[0] >= group * block and
           x.shape[0] % (group * block) == 0):
