@@ -262,6 +262,40 @@ def bench_chol():
       'unit': 'fraction_of_measured_fp32_matmul_peak',
       'vs_baseline': round(frac / 0.5, 4)}
   bank(result, secondary=(MODE not in ('chol',)))
+
+  # Large-n point (BASELINE configs[4]): the O(n) sweep amortizes
+  # against O(n^3), so the MXU fraction rises with n — report it
+  # alongside the contract n=8192 number.
+  if use_fused and n == 8192 and os.environ.get('BENCH_LARGE', '1') == '1':
+    try:
+      n2, k2 = 16384, 8
+      x2 = jax.random.uniform(jax.random.PRNGKey(7), (n2, d),
+                              jnp.float32)
+      y2 = jax.random.normal(jax.random.PRNGKey(8), (n2, 1), jnp.float32)
+      xs2 = x2 / ls
+
+      @jax.jit
+      def mll_big(xs2, y2):
+        def one(carry, bump):
+          quad, ld2 = pallas_mll.mll_fused_g(
+              xs2, y2, jnp.squeeze(sv), 0.1 + bump, block=fb, half=fh,
+              group=fg, sweep_unroll=fu, interpret=not on_tpu)
+          return carry + 0.5 * quad + ld2, ()
+        tot, _ = lax.scan(one, 0.0, jnp.linspace(0., 1e-3, k2))
+        return tot
+
+      t_big = timed_scalar(mll_big, xs2, y2)
+      big_flops = (2.0 * n2 * n2 * d + n2**3 / 3.0 + 2.0 * n2 * n2) * k2
+      big_frac = big_flops / t_big / 1e12 / mm_tflops
+      log(f'n=16384 fused MLL: {t_big/k2*1e3:.1f} ms/iter = '
+          f'{100*big_frac:.1f}% of peak')
+      result['large_n'] = {
+          'metric': 'n16384_cholesky_mll_mxu_fraction',
+          'value': round(big_frac, 4),
+          'vs_baseline': round(big_frac / 0.5, 4)}
+      bank(result, secondary=(MODE not in ('chol',)))
+    except Exception as e:  # noqa: BLE001
+      log(f'large-n leg failed: {type(e).__name__}: {e}')
   return dict(result)
 
 
