@@ -842,7 +842,8 @@ def cholesky_hbm(a: jnp.ndarray, block: int = 256,
 
 def _sweep_fori(read_top, block, mb, lane_idx, lt_ref, wt_ref, wt_off,
                 top_ref, bot_ref, precise=False, unroll=2,
-                values=False, skip_writes=False, const_pivot=False):
+                values=False, skip_writes=False, const_pivot=False,
+                pivot_mode='scalar'):
   """Transposed fori-loop sweep: lt_ref rows = L columns; W rows are
   written into wt_ref at row offset wt_off.
 
@@ -930,23 +931,125 @@ def _sweep_fori(read_top, block, mb, lane_idx, lt_ref, wt_ref, wt_off,
       # the elimination chain.
       tv = top
       bv = bot
-      for kl in range(mb):
-        k = c0 + kl
-        trow = tv[kl:kl + 1, :]
-        if const_pivot:       # probe mode: no pivot reduce / rsqrt
-          inv_d = 1.0
-        else:
-          akk = jnp.sum(jnp.where(lane_idx[:, t0:block] == k, trow,
-                                  0.0))
-          inv_d = jax.lax.rsqrt(jnp.maximum(akk, 1e-30))
-        lrow = trow * inv_d
-        wrow = bv[kl:kl + 1, :] * inv_d
-        if not skip_writes:   # probe mode: no lt/wt row stores
-          lt_ref[pl.ds(k, 1), t0:block] = lrow
-          wt_ref[pl.ds(wt_off + k, 1), 0:b1] = wrow
-        seg = lrow[0:1, c0 - t0:c0 - t0 + mb].T
-        tv = tv - seg * lrow
-        bv = bv - seg * wrow
+      lane_w = lane_idx[:, t0:block]
+
+      def extract(row, k):
+        """Lane k of a (1, w) row; 'vector' keeps it a (1, 1) vreg (no
+        sreg round-trip — the reduce -> scalar rsqrt -> broadcast chain
+        measured 183 ns/column, probe sweepnp)."""
+        m = jnp.where(lane_w == k, row, 0.0)
+        if pivot_mode == 'vector':
+          return jnp.sum(m, axis=1, keepdims=True)     # (1, 1)
+        return jnp.sum(m)
+
+      if pivot_mode in ('quadv', 'octv', 'hexv'):
+        # p-wide pivot-block elimination in the (1, 1)-vector domain:
+        # p(p+1)/2 INDEPENDENT extractions from pre-update rows (they
+        # pipeline instead of serializing), an unrolled Cholesky-p
+        # (p rsqrt chain levels for p columns — the serial pivot chain
+        # shrinks by p vs column-at-a-time), one rank-p update pass.
+        # Measured (round 3, n=8192): scalar 8.03 -> pairv 6.36 ->
+        # quadv 5.58 ms/iter.
+        p = {'quadv': 4, 'octv': 8, 'hexv': 16}[pivot_mode]
+
+        def extp(row, k):
+          return jnp.sum(jnp.where(lane_w == k, row, 0.0), axis=1,
+                         keepdims=True)
+
+        for kl in range(0, mb, p):
+          k = c0 + kl
+          tr = [tv[kl + i:kl + i + 1, :] for i in range(p)]
+          br = [bv[kl + i:kl + i + 1, :] for i in range(p)]
+          a = {(i, j): extp(tr[i], k + j)
+               for i in range(p) for j in range(i + 1)}
+          lsc = {}
+          inv = []
+          for i in range(p):
+            dii = a[i, i]
+            for m in range(i):
+              dii = dii - lsc[i, m] * lsc[i, m]
+            inv.append(jax.lax.rsqrt(jnp.maximum(dii, 1e-30)))
+            for j in range(i + 1, p):
+              off = a[j, i]
+              for m in range(i):
+                off = off - lsc[j, m] * lsc[i, m]
+              lsc[j, i] = off * inv[i]
+          lrows = []
+          wrows = []
+          for i in range(p):
+            lr = tr[i]
+            wr = br[i]
+            for m in range(i):
+              lr = lr - lsc[i, m] * lrows[m]
+              wr = wr - lsc[i, m] * wrows[m]
+            lrows.append(lr * inv[i])
+            wrows.append(wr * inv[i])
+          if not skip_writes:
+            for i in range(p):
+              lt_ref[pl.ds(k + i, 1), t0:block] = lrows[i]
+              wt_ref[pl.ds(wt_off + k + i, 1), 0:b1] = wrows[i]
+          segs = [lr[0:1, c0 - t0:c0 - t0 + mb].T for lr in lrows]
+          dt = segs[0] * lrows[0]
+          db = segs[0] * wrows[0]
+          for i in range(1, p):
+            dt = dt + segs[i] * lrows[i]
+            db = db + segs[i] * wrows[i]
+          tv = tv - dt
+          bv = bv - db
+      elif pivot_mode in ('pair', 'pairv'):
+        # 2x2 pivot-block elimination: both pivots of the pair extract
+        # from PRE-UPDATE rows (three independent reduces instead of
+        # two serially-dependent ones), the 2x2 Cholesky is scalar (or,
+        # for 'pairv', (1, 1)-vector — no sreg round-trips at all)
+        # arithmetic, and the pair applies as one rank-2 update.
+        keep = pivot_mode == 'pairv'
+
+        def ext(row, k):
+          m = jnp.where(lane_w == k, row, 0.0)
+          return (jnp.sum(m, axis=1, keepdims=True) if keep
+                  else jnp.sum(m))
+
+        for kl in range(0, mb, 2):
+          k = c0 + kl
+          trow0 = tv[kl:kl + 1, :]
+          trow1 = tv[kl + 1:kl + 2, :]
+          brow0 = bv[kl:kl + 1, :]
+          brow1 = bv[kl + 1:kl + 2, :]
+          a00 = ext(trow0, k)
+          a10 = ext(trow0, k + 1)
+          a11 = ext(trow1, k + 1)
+          i00 = jax.lax.rsqrt(jnp.maximum(a00, 1e-30))
+          l10 = a10 * i00
+          i11 = jax.lax.rsqrt(jnp.maximum(a11 - l10 * l10, 1e-30))
+          lrow0 = trow0 * i00
+          wrow0 = brow0 * i00
+          lrow1 = (trow1 - l10 * lrow0) * i11
+          wrow1 = (brow1 - l10 * wrow0) * i11
+          if not skip_writes:
+            lt_ref[pl.ds(k, 1), t0:block] = lrow0
+            lt_ref[pl.ds(k + 1, 1), t0:block] = lrow1
+            wt_ref[pl.ds(wt_off + k, 1), 0:b1] = wrow0
+            wt_ref[pl.ds(wt_off + k + 1, 1), 0:b1] = wrow1
+          seg0 = lrow0[0:1, c0 - t0:c0 - t0 + mb].T
+          seg1 = lrow1[0:1, c0 - t0:c0 - t0 + mb].T
+          tv = tv - (seg0 * lrow0 + seg1 * lrow1)
+          bv = bv - (seg0 * wrow0 + seg1 * wrow1)
+      else:
+        for kl in range(mb):
+          k = c0 + kl
+          trow = tv[kl:kl + 1, :]
+          if const_pivot:     # probe mode: no pivot reduce / rsqrt
+            inv_d = 1.0
+          else:
+            inv_d = jax.lax.rsqrt(jnp.maximum(extract(trow, k), 1e-30))
+          lrow = trow * inv_d
+          wrow = bv[kl:kl + 1, :] * inv_d
+          if not skip_writes:  # probe mode: no lt/wt row stores
+            lt_ref[pl.ds(k, 1), t0:block] = lrow
+            wt_ref[pl.ds(wt_off + k, 1), 0:b1] = wrow
+          seg = lrow[0:1, c0 - t0:c0 - t0 + mb].T
+          tv = tv - seg * lrow
+          bv = bv - seg * wrow
       if skip_writes:
         # Probe mode: one anchor store per micro-block so the value
         # chain cannot be dead-code-eliminated (the round-2 isolated-

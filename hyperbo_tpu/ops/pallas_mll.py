@@ -403,7 +403,7 @@ def _seg_ofs(i, t, group):
 
 def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
                   scoped_sweep, sweep_unroll, zero_init, hier_sweep,
-                  value_sweep,
+                  value_sweep, pivot_mode,
                   xa_hbm, xb_hbm, y_ref, sv_ref, diag_ref, l_hbm,
                   quad_ref, ld_ref, halfbuf, lbuf, strip, lt_s,
                   w_all, seg_ref, z_ref, s_ref, xbuf, xcbuf, top_ref,
@@ -582,7 +582,7 @@ def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
 
     _sweep_fori(read_top_a, s, mb, lane_s, lt_a, w_a, 0, top_s, bot_s,
                 precise=precise, unroll=sweep_unroll,
-                values=value_sweep)
+                values=value_sweep, pivot_mode=pivot_mode)
     rows_top = halfbuf[pl.ds(pl.multiple_of(loc_i, s), s),
                        ib:ib + block]
     l21t = _pdot(w_a[:], rows_top[:, s:block], (((1,), (0,)), ((), ())),
@@ -597,7 +597,7 @@ def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
 
     _sweep_fori(read_top_b, s, mb, lane_s, lt_b, w_b, 0, top_s, bot_s,
                 precise=precise, unroll=sweep_unroll,
-                values=value_sweep)
+                values=value_sweep, pivot_mode=pivot_mode)
     w21 = -_pdot(_pdot(w_b[:], l21t, (((1,), (1,)), ((), ())), precise),
                  w_a[:], (((1,), (0,)), ((), ())), precise)
     zs = jnp.zeros((s, s), jnp.float32)
@@ -632,7 +632,8 @@ def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
           for _ in range(reps):
             _sweep_fori(read_top, block, mb, lane_idx, lt_s, w_all, ib,
                         top2, bot2, precise=precise,
-                        unroll=sweep_unroll, values=value_sweep)
+                        unroll=sweep_unroll, values=value_sweep,
+                        pivot_mode=pivot_mode)
         pl.run_scoped(run_sweep,
                       pltpu.VMEM((mb, block), jnp.float32),
                       pltpu.VMEM((mb, block), jnp.float32))
@@ -642,7 +643,8 @@ def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
                       top_ref, bot_ref, precise=precise,
                       unroll=sweep_unroll, values=value_sweep,
                       skip_writes=(mode == 'sweepnw'),
-                      const_pivot=(mode == 'sweepnp'))
+                      const_pivot=(mode == 'sweepnp'),
+                      pivot_mode=pivot_mode)
 
   def panel_group(jg, _):
     gcol0 = jg * gb
@@ -780,6 +782,7 @@ def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
                                              'group', 'scoped_sweep',
                                              'sweep_unroll',
                                              'hier_sweep', 'value_sweep',
+                                             'pivot_mode',
                                              'return_l', 'interpret'))
 def mll_fused_g(x_scaled: jnp.ndarray, y: jnp.ndarray,
                 signal_variance, diag_add, block: int = 256,
@@ -788,7 +791,8 @@ def mll_fused_g(x_scaled: jnp.ndarray, y: jnp.ndarray,
                 group: int = 2, scoped_sweep: bool = False,
                 sweep_unroll: int = 32,
                 hier_sweep: bool = False,
-                value_sweep: bool = False,
+                value_sweep: bool = True,
+                pivot_mode: str = 'octv',
                 return_l: bool = False,
                 valid=None,
                 interpret: bool = False):
@@ -832,10 +836,12 @@ def mll_fused_g(x_scaled: jnp.ndarray, y: jnp.ndarray,
   sv = jnp.asarray(signal_variance, jnp.float32).reshape(1, 1)
   da = jnp.asarray(diag_add, jnp.float32).reshape(1, 1)
   assert not (hier_sweep and block % 2), block
+  assert pivot_mode in ('scalar', 'vector', 'pair', 'pairv', 'quadv',
+                        'octv', 'hexv'), pivot_mode
   kernel = functools.partial(_kernel_mll_g, n, d, block, half, precise,
                              mode, mb, slots, group, scoped_sweep,
                              sweep_unroll, return_l, hier_sweep,
-                             value_sweep)
+                             value_sweep, pivot_mode)
   l_pm, quad, ld = pl.pallas_call(
       kernel,
       in_specs=[
@@ -1044,6 +1050,12 @@ def se_nll_fused(mean_func, params, x, y, warp_func=None, eps=1e-6,
   delta = y - jnp.atleast_2d(mu)
   emb = _se_embed(params, x, cov_func, warp_func)
   x_scaled = emb / lengthscale
+  if interpret:
+    # Interpret mode executes the kernel op-by-op on host: the 8-wide
+    # static block-pivot trace is needlessly huge there. The small fori
+    # sweep is numerically equivalent (pivot-mode parity is covered by
+    # tests/test_pallas_chol.py) and keeps CPU test runs fast.
+    sweep_unroll = min(sweep_unroll, 2)
   core = _se_nll_core_fn(block, half, group, interpret, sweep_unroll)
   nll_core = core(x_scaled, delta, jnp.squeeze(signal_variance),
                   jnp.squeeze(noise_variance) + eps)
@@ -1109,6 +1121,8 @@ def se_nll_fused_masked(x_scaled, delta_masked, sv, da, count,
   valid = (idx < count).astype(jnp.float32)
   xs = jnp.where(valid[:, None] > 0, x_scaled, 0.0)
   delta = jnp.where(valid[:, None] > 0, delta_masked, 0.0)
+  if interpret:
+    sweep_unroll = min(sweep_unroll, 2)  # see se_nll_fused
   core = _se_nll_core_masked_fn(block, half, group, interpret,
                                 sweep_unroll)
   nll_core = core(xs, delta, sv, da, valid)

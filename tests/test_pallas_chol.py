@@ -184,3 +184,22 @@ def test_fused_mll_hier_sweep_matches_dense():
       rtol=1e-3)
   np.testing.assert_allclose(
       float(ld), float(jnp.sum(jnp.log(jnp.diagonal(lref)))), rtol=1e-4)
+
+
+def test_fused_mll_pivot_modes_match_dense():
+  """Block-pivot sweep variants (vector / pairv / quadv / octv) are
+  numerically identical to the column-at-a-time sweep (interpret)."""
+  from hyperbo_tpu.ops import pallas_mll
+  n, d = 256, 4
+  x = jax.random.uniform(jax.random.PRNGKey(35), (n, d)) * 2.0
+  y = jax.random.normal(jax.random.PRNGKey(36), (n, 1))
+  sv, da = 1.3, 0.11
+  sq = jnp.sum((x[:, None, :] - x[None, :, :]) ** 2, -1)
+  kmat = sv * jnp.exp(-0.5 * sq) + da * jnp.eye(n)
+  lref = jnp.linalg.cholesky(kmat)
+  for pm in ('scalar', 'vector', 'pairv', 'quadv', 'octv'):
+    l, quad, ld = pallas_mll.mll_fused_g(
+        x, y, sv, da, block=128, half=256, group=1, value_sweep=True,
+        pivot_mode=pm, return_l=True, interpret=True)
+    np.testing.assert_allclose(l, lref, atol=5e-4,
+                               err_msg=f'pivot_mode={pm}')
