@@ -13,8 +13,9 @@ vs_baseline = 60 / seconds (>= 1 beats the target).
 
 Metric 2 (`BENCH_MODE=chol` for just it): n=8192 fused Gram+Cholesky+
 solves+logdet rate as a fraction of the fp32-faithful (BF16_X3) matmul
-peak; vs_baseline = fraction / 0.50. See PERF.md for the measured
-landscape (22.8% as of round 1).
+peak; vs_baseline = fraction / 0.50. Measured 60.3% (round 3; 22.8%
+round 1, 36.2% round 2) — see PERF.md; an n=16384 large_n sub-result
+(79.1%) rides along.
 
 Robustness: the remote TPU tunnel compiles slowly (60-600 s/program)
 and can stall; every timed region ends in a scalar host readback and a
