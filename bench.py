@@ -285,6 +285,7 @@ def bench_chol():
         tot, _ = lax.scan(one, 0.0, jnp.linspace(0., 1e-3, k2))
         return tot
 
+      float(mll_big(xs2, y2))  # compile outside the timed iters
       t_big = timed_scalar(mll_big, xs2, y2)
       big_flops = (2.0 * n2 * n2 * d + n2**3 / 3.0 + 2.0 * n2 * n2) * k2
       big_frac = big_flops / t_big / 1e12 / mm_tflops

@@ -932,35 +932,34 @@ def _sweep_fori(read_top, block, mb, lane_idx, lt_ref, wt_ref, wt_off,
       tv = top
       bv = bot
       lane_w = lane_idx[:, t0:block]
+      # 'scalar'/'pair' extract to sregs; every other mode keeps pivots
+      # in the (1, 1)-vector domain (no scalar-unit round-trips — the
+      # reduce -> sreg rsqrt -> broadcast chain measured 183 ns/column,
+      # probe sweepnp).
+      keep = pivot_mode not in ('scalar', 'pair')
 
       def extract(row, k):
-        """Lane k of a (1, w) row; 'vector' keeps it a (1, 1) vreg (no
-        sreg round-trip — the reduce -> scalar rsqrt -> broadcast chain
-        measured 183 ns/column, probe sweepnp)."""
         m = jnp.where(lane_w == k, row, 0.0)
-        if pivot_mode == 'vector':
-          return jnp.sum(m, axis=1, keepdims=True)     # (1, 1)
-        return jnp.sum(m)
+        return (jnp.sum(m, axis=1, keepdims=True) if keep
+                else jnp.sum(m))
 
-      if pivot_mode in ('quadv', 'octv', 'hexv'):
-        # p-wide pivot-block elimination in the (1, 1)-vector domain:
-        # p(p+1)/2 INDEPENDENT extractions from pre-update rows (they
-        # pipeline instead of serializing), an unrolled Cholesky-p
-        # (p rsqrt chain levels for p columns — the serial pivot chain
-        # shrinks by p vs column-at-a-time), one rank-p update pass.
-        # Measured (round 3, n=8192): scalar 8.03 -> pairv 6.36 ->
-        # quadv 5.58 ms/iter.
-        p = {'quadv': 4, 'octv': 8, 'hexv': 16}[pivot_mode]
-
-        def extp(row, k):
-          return jnp.sum(jnp.where(lane_w == k, row, 0.0), axis=1,
-                         keepdims=True)
-
+      p = {'pair': 2, 'pairv': 2, 'quadv': 4, 'octv': 8,
+           'hexv': 16}.get(pivot_mode)
+      if p is not None and not const_pivot:
+        # p-wide pivot-block elimination: p(p+1)/2 INDEPENDENT
+        # extractions from pre-update rows (they pipeline instead of
+        # serializing), an unrolled Cholesky-p (p rsqrt chain levels
+        # for p columns — the serial pivot chain shrinks by p vs
+        # column-at-a-time), one rank-p update pass. Measured (round 3,
+        # n=8192): scalar 8.03 -> vector 7.26 -> pairv 6.36 ->
+        # quadv 5.58 -> octv 5.25 ms/iter (hexv plateaus at 5.22).
+        while p > 1 and mb % p:   # clamp for small/odd micro-blocks
+          p //= 2
         for kl in range(0, mb, p):
           k = c0 + kl
           tr = [tv[kl + i:kl + i + 1, :] for i in range(p)]
           br = [bv[kl + i:kl + i + 1, :] for i in range(p)]
-          a = {(i, j): extp(tr[i], k + j)
+          a = {(i, j): extract(tr[i], k + j)
                for i in range(p) for j in range(i + 1)}
           lsc = {}
           inv = []
@@ -996,44 +995,6 @@ def _sweep_fori(read_top, block, mb, lane_idx, lt_ref, wt_ref, wt_off,
             db = db + segs[i] * wrows[i]
           tv = tv - dt
           bv = bv - db
-      elif pivot_mode in ('pair', 'pairv'):
-        # 2x2 pivot-block elimination: both pivots of the pair extract
-        # from PRE-UPDATE rows (three independent reduces instead of
-        # two serially-dependent ones), the 2x2 Cholesky is scalar (or,
-        # for 'pairv', (1, 1)-vector — no sreg round-trips at all)
-        # arithmetic, and the pair applies as one rank-2 update.
-        keep = pivot_mode == 'pairv'
-
-        def ext(row, k):
-          m = jnp.where(lane_w == k, row, 0.0)
-          return (jnp.sum(m, axis=1, keepdims=True) if keep
-                  else jnp.sum(m))
-
-        for kl in range(0, mb, 2):
-          k = c0 + kl
-          trow0 = tv[kl:kl + 1, :]
-          trow1 = tv[kl + 1:kl + 2, :]
-          brow0 = bv[kl:kl + 1, :]
-          brow1 = bv[kl + 1:kl + 2, :]
-          a00 = ext(trow0, k)
-          a10 = ext(trow0, k + 1)
-          a11 = ext(trow1, k + 1)
-          i00 = jax.lax.rsqrt(jnp.maximum(a00, 1e-30))
-          l10 = a10 * i00
-          i11 = jax.lax.rsqrt(jnp.maximum(a11 - l10 * l10, 1e-30))
-          lrow0 = trow0 * i00
-          wrow0 = brow0 * i00
-          lrow1 = (trow1 - l10 * lrow0) * i11
-          wrow1 = (brow1 - l10 * wrow0) * i11
-          if not skip_writes:
-            lt_ref[pl.ds(k, 1), t0:block] = lrow0
-            lt_ref[pl.ds(k + 1, 1), t0:block] = lrow1
-            wt_ref[pl.ds(wt_off + k, 1), 0:b1] = wrow0
-            wt_ref[pl.ds(wt_off + k + 1, 1), 0:b1] = wrow1
-          seg0 = lrow0[0:1, c0 - t0:c0 - t0 + mb].T
-          seg1 = lrow1[0:1, c0 - t0:c0 - t0 + mb].T
-          tv = tv - (seg0 * lrow0 + seg1 * lrow1)
-          bv = bv - (seg0 * wrow0 + seg1 * wrow1)
       else:
         for kl in range(mb):
           k = c0 + kl

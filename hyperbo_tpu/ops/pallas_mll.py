@@ -838,6 +838,12 @@ def mll_fused_g(x_scaled: jnp.ndarray, y: jnp.ndarray,
   assert not (hier_sweep and block % 2), block
   assert pivot_mode in ('scalar', 'vector', 'pair', 'pairv', 'quadv',
                         'octv', 'hexv'), pivot_mode
+  if not (value_sweep and sweep_unroll >= mb):
+    # Block pivots exist only in the value-carried all-static sweep;
+    # normalize explicitly (numerics identical, and the jit cache then
+    # keys on what actually runs) instead of silently ignoring the
+    # requested mode inside the kernel.
+    pivot_mode = 'scalar'
   kernel = functools.partial(_kernel_mll_g, n, d, block, half, precise,
                              mode, mb, slots, group, scoped_sweep,
                              sweep_unroll, return_l, hier_sweep,

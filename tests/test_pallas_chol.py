@@ -197,9 +197,14 @@ def test_fused_mll_pivot_modes_match_dense():
   sq = jnp.sum((x[:, None, :] - x[None, :, :]) ** 2, -1)
   kmat = sv * jnp.exp(-0.5 * sq) + da * jnp.eye(n)
   lref = jnp.linalg.cholesky(kmat)
-  for pm in ('scalar', 'vector', 'pairv', 'quadv', 'octv'):
+  # mb=8 / sweep_unroll=8 keeps the interpreted static trace ~4x
+  # smaller than the hardware default (mb=32) while exercising every
+  # pivot branch; hexv's p=16 exercises the p > mb clamp.
+  for pm in ('scalar', 'vector', 'pair', 'pairv', 'quadv', 'octv',
+             'hexv'):
     l, quad, ld = pallas_mll.mll_fused_g(
-        x, y, sv, da, block=128, half=256, group=1, value_sweep=True,
-        pivot_mode=pm, return_l=True, interpret=True)
+        x, y, sv, da, block=128, half=256, group=1, mb=8,
+        sweep_unroll=8, value_sweep=True, pivot_mode=pm, return_l=True,
+        interpret=True)
     np.testing.assert_allclose(l, lref, atol=5e-4,
                                err_msg=f'pivot_mode={pm}')
