@@ -104,7 +104,7 @@ def neg_log_marginal_likelihood(mean_func,
       # ~1.6x faster and far more accurate at n=8192 on v5e (PERF.md).
       # Differentiable (custom VJP reusing the kernel's L factor), so
       # gradient-based pre-training trains through it too. Serves the
-      # plain SE kernel and its MLP/Kumar-embedded variants.
+      # SE and Matern kernel families, raw or MLP/Kumar-embedded.
       # 'interpret' runs the kernel interpreted (CPU tests).
       from hyperbo_tpu.ops import pallas_mll
       if pallas_mll.se_nll_fused_applicable(cov_func, vx, params, y=vy):

@@ -130,6 +130,8 @@ def _nll_packed_fused(mean_func, cov_func, params, packed, warp_func,
       warp_func=warp_func)
   interpret = params.config.get('fused_mll') == 'interpret'
 
+  kfam = pallas_mll.kernel_family(cov_func)
+
   def one(args):
     x, y, mask, count = args
     mu = mean_func(params, x, warp_func=warp_func)
@@ -137,7 +139,8 @@ def _nll_packed_fused(mean_func, cov_func, params, packed, warp_func,
     emb = pallas_mll._se_embed(params, x, cov_func, warp_func)
     return pallas_mll.se_nll_fused_masked(
         emb / lengthscale, delta, jnp.squeeze(signal_variance),
-        jnp.squeeze(noise_variance) + eps, count, interpret=interpret)
+        jnp.squeeze(noise_variance) + eps, count, kfam=kfam,
+        interpret=interpret)
 
   return jax.lax.map(one, (packed.x, packed.y, packed.mask,
                            packed.count))
@@ -153,7 +156,7 @@ def neg_log_marginal_likelihood_packed(mean_func,
 
   vmapped over the task axis: one batched Gram + batched Cholesky.
   Shardable over a mesh by sharding `packed`'s leading axis. With
-  config['fused_mll'] set and the kernel applicable (SE-family kernel,
+  config['fused_mll'] set and the kernel applicable (SE/Matern-family kernel,
   large aligned n_max), per-task NLLs run through the fused Pallas
   kernel instead (custom VJP: trains through it too).
   """

@@ -34,6 +34,44 @@ from hyperbo_tpu.ops.pallas_chol_hbm import (_INV_BASE, _dekker_split,
                                              _pdot, _stacked_sweep,
                                              _sweep_fori)
 
+# Stationary kernel families the fused kernel serves. All three share
+# k(0) = sv, so the diagonal/sweep/logdet logic is family-independent;
+# only the Gram-tile epilogue (_gram_transform) and the closed-form
+# adjoint (_se_core_bwd) differ. Reference forms: GPML Eq. 4.9 / 4.17
+# (hyperbo/gp_utils/kernel.py:63-123).
+_KFAMS = ('se', 'matern32', 'matern52')
+
+# Padded-row penalty added to every squared distance touching a padded
+# row (per row, so doubly-padded pairs get 2x). Chosen so the masked
+# Gram entry k(sqrt(P)) is negligible at f32: SE decays as exp(-P/2)
+# (P=50 -> 1.4e-11) but Matern only as poly(sqrt(P)) * exp(-c sqrt(P)),
+# which needs P=400 (matern32: 35 * exp(-34.6) ~ 3e-14).
+_PENALTY = {'se': 50.0, 'matern32': 400.0, 'matern52': 400.0}
+
+_SQRT3 = 3.0 ** 0.5
+_SQRT5 = 5.0 ** 0.5
+
+
+def _gram_transform(sqd, sv, kfam):
+  """Kernel transform k(r2) for a raw squared-distance tile.
+
+  Applied in-kernel on the VPU (sv is the SMEM signal-variance scalar).
+  Matern costs ~5 extra VPU ops per Gram element (sqrt + polynomial)
+  over SE — sub-ms at n=8192 against the O(n^3) MXU work. The r2 floor
+  at 0 matches models/kernel._safe_r semantics (exact-0 distances stay
+  exactly k(0) = sv).
+  """
+  r2 = jnp.maximum(sqd, 0.0)
+  if kfam == 'se':
+    return sv * jnp.exp(-0.5 * r2)
+  if kfam == 'matern32':
+    r = _SQRT3 * jnp.sqrt(r2)
+    return sv * ((1.0 + r) * jnp.exp(-r))
+  if kfam == 'matern52':
+    r = _SQRT5 * jnp.sqrt(r2)
+    return sv * ((1.0 + r + (r * r) * (1.0 / 3.0)) * jnp.exp(-r))
+  raise ValueError(f'unknown fused kernel family: {kfam!r}')
+
 
 def mll_fused_hbm(x_scaled, y, signal_variance, diag_add,
                   block: int = 256, chunk: int = 512, tw: int = 1024,
@@ -403,7 +441,7 @@ def _seg_ofs(i, t, group):
 
 def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
                   scoped_sweep, sweep_unroll, zero_init, hier_sweep,
-                  value_sweep, pivot_mode,
+                  value_sweep, pivot_mode, kfam,
                   xa_hbm, xb_hbm, y_ref, sv_ref, diag_ref, l_hbm,
                   quad_ref, ld_ref, halfbuf, lbuf, strip, lt_s,
                   w_all, seg_ref, z_ref, s_ref, xbuf, xcbuf, top_ref,
@@ -488,7 +526,7 @@ def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
     slot = jax.lax.rem(h, 2)
     xa_copy(h, slot).wait()
     sqd = _pdot(xbuf[slot], xcbuf[:], (((1,), (1,)), ((), ())), precise)
-    return sv_ref[0, 0] * jnp.exp(-0.5 * jnp.maximum(sqd, 0.0))
+    return _gram_transform(sqd, sv_ref[0, 0], kfam)
 
   wdims = (((1,), (1,)), ((), ()))
 
@@ -782,7 +820,7 @@ def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
                                              'group', 'scoped_sweep',
                                              'sweep_unroll',
                                              'hier_sweep', 'value_sweep',
-                                             'pivot_mode',
+                                             'pivot_mode', 'kfam',
                                              'return_l', 'interpret'))
 def mll_fused_g(x_scaled: jnp.ndarray, y: jnp.ndarray,
                 signal_variance, diag_add, block: int = 256,
@@ -795,16 +833,24 @@ def mll_fused_g(x_scaled: jnp.ndarray, y: jnp.ndarray,
                 pivot_mode: str = 'octv',
                 return_l: bool = False,
                 valid=None,
+                kfam: str = 'se',
                 interpret: bool = False):
-  """Grouped panel-major fused SE-kernel GP NLL (v11; _kernel_mll_g).
+  """Grouped panel-major fused GP NLL (v11; _kernel_mll_g).
+
+  `kfam` selects the stationary kernel family applied to the raw
+  squared-distance tiles (_gram_transform): 'se' (default), 'matern32'
+  or 'matern52' — everything else in the kernel (panel factorization,
+  solve taps, logdet) is family-independent because k(0) = sv for all
+  three.
 
   `valid` ((n,) 0/1 floats, optional) masks padded rows EXACTLY through
   the distance embedding: two extra feature lanes add a penalty
-  P_i + P_j (P = 50 on padded rows) to every squared distance touching
-  a padded row, driving those Gram entries to sv * exp(-50) ~ 0 —
-  including the padded diagonal, which becomes exactly diag_add (the
-  caller corrects the logdet analytically). Small exact adds — no
-  large-sentinel f32 cancellation — and the kernel body is unchanged.
+  P_i + P_j (P = _PENALTY[kfam] on padded rows) to every squared
+  distance touching a padded row, driving those Gram entries to
+  k(sqrt(P)) ~ 0 — including the padded diagonal, which becomes exactly
+  diag_add (the caller corrects the logdet analytically). Small exact
+  adds — no large-sentinel f32 cancellation — and the kernel body is
+  unchanged.
   """
   n, d = x_scaled.shape
   half = min(half, n)
@@ -826,7 +872,7 @@ def mll_fused_g(x_scaled: jnp.ndarray, y: jnp.ndarray,
     bcols = [xs32, onev, sqn, pad]
   else:
     assert d + 4 <= feat, d
-    pen = 50.0 * (1.0 - valid.astype(jnp.float32).reshape(n, 1))
+    pen = _PENALTY[kfam] * (1.0 - valid.astype(jnp.float32).reshape(n, 1))
     pad = jnp.zeros((n, feat - d - 4), jnp.float32)
     acols = [-2.0 * xs32, sqn, onev, pen, onev, pad]
     bcols = [xs32, onev, sqn, onev, pen, pad]
@@ -836,6 +882,7 @@ def mll_fused_g(x_scaled: jnp.ndarray, y: jnp.ndarray,
   sv = jnp.asarray(signal_variance, jnp.float32).reshape(1, 1)
   da = jnp.asarray(diag_add, jnp.float32).reshape(1, 1)
   assert not (hier_sweep and block % 2), block
+  assert kfam in _KFAMS, kfam
   assert pivot_mode in ('scalar', 'vector', 'pair', 'pairv', 'quadv',
                         'octv', 'hexv'), pivot_mode
   if not (value_sweep and sweep_unroll >= mb):
@@ -847,7 +894,7 @@ def mll_fused_g(x_scaled: jnp.ndarray, y: jnp.ndarray,
   kernel = functools.partial(_kernel_mll_g, n, d, block, half, precise,
                              mode, mb, slots, group, scoped_sweep,
                              sweep_unroll, return_l, hier_sweep,
-                             value_sweep, pivot_mode)
+                             value_sweep, pivot_mode, kfam)
   l_pm, quad, ld = pl.pallas_call(
       kernel,
       in_specs=[
@@ -910,11 +957,12 @@ def mll_fused_g(x_scaled: jnp.ndarray, y: jnp.ndarray,
 
 @functools.lru_cache(maxsize=None)
 def _se_nll_core_fn(block: int, half: int, group: int, interpret: bool,
-                    sweep_unroll: int = 32):
-  """Differentiable fused SE-NLL core: nll_core(x_scaled, delta, sv, da).
+                    sweep_unroll: int = 32, kfam: str = 'se'):
+  """Differentiable fused NLL core: nll_core(x_scaled, delta, sv, da).
 
   Returns 0.5 y^T K^{-1} y + sum(log diag L) for
-  K = sv * exp(-0.5 ||xi - xj||^2) + da * I (the 0.5 n log 2pi constant
+  K = sv * k_fam(||xi - xj||^2) + da * I (kfam one of _KFAMS; for SE
+  k = exp(-0.5 r2) — the 0.5 n log 2pi constant
   stays with the caller). The primal runs the fused Pallas kernel; the
   custom VJP (round-3 verdict item 1 — the reference's pre-training
   loop differentiates this objective per step,
@@ -937,7 +985,7 @@ def _se_nll_core_fn(block: int, half: int, group: int, interpret: bool,
   def core(x_scaled, delta, sv, da):
     quad, ld = mll_fused_g(x_scaled, delta, sv, da, block=block,
                            half=half, group=group,
-                           sweep_unroll=sweep_unroll,
+                           sweep_unroll=sweep_unroll, kfam=kfam,
                            interpret=interpret)
     return 0.5 * quad + ld
 
@@ -945,13 +993,13 @@ def _se_nll_core_fn(block: int, half: int, group: int, interpret: bool,
     l, quad, ld = mll_fused_g(x_scaled, delta, sv, da, block=block,
                               half=half, group=group,
                               sweep_unroll=sweep_unroll, return_l=True,
-                              interpret=interpret)
+                              kfam=kfam, interpret=interpret)
     return 0.5 * quad + ld, (l, x_scaled, delta, sv, da)
 
   def bwd(res, g):
     l, x_scaled, delta, sv, da = res
     d_x, d_delta, d_sv, d_da = _se_core_bwd(l, x_scaled, delta, sv,
-                                            None)
+                                            None, kfam)
     return (g * d_x, g * d_delta, g * d_sv, g * d_da)
 
   core.defvjp(fwd, bwd)
@@ -977,13 +1025,25 @@ def _tri_inv(l):
       lower=True)
 
 
-def _se_core_bwd(l, x_scaled, delta, sv, valid):
-  """Shared closed-form adjoints for the fused SE-NLL cores.
+def _se_core_bwd(l, x_scaled, delta, sv, valid, kfam='se'):
+  """Shared closed-form adjoints for the fused NLL cores.
 
   G = dnll/dK = 0.5 (K^{-1} - alpha alpha^T) from the saved factor;
-  chain rule onto (x_scaled, delta, sv, da). With `valid` set, the exp
-  factor is masked by valid_i * valid_j to match the penalty-masked
-  forward kernel.
+  chain rule onto (x_scaled, delta, sv, da). Per family, with
+  r2_ij = ||xi - xj||^2 (of scaled inputs):
+
+    d/d sv = sum(G o K_offdiagless) / sv   (K here excludes diag_add)
+    d/d x  needs W = G o (-2 dk/dr2):
+      se:       -2 dk/dr2 = sv exp(-r2/2)            (= k itself)
+      matern32: -2 dk/dr2 = 3 sv exp(-r),     r = sqrt(3 r2)
+      matern52: -2 dk/dr2 = (5/3) sv (1+r) exp(-r), r = sqrt(5 r2)
+    then d/d x_i = 2 [(W x)_i - (W 1)_i x_i] — the Matern adjoints are
+    smooth at r = 0 (no safe-sqrt clamp needed; the coincident-point
+    limit of the true derivative is 0 and this form realizes it).
+
+  With `valid` set, the kernel factors are masked by valid_i * valid_j
+  to match the penalty-masked forward kernel (padded Gram entries ~ 0,
+  padded diagonal = da — so d/d da stays the full trace).
   """
   hi = jax.lax.Precision.HIGH
   z = jax.lax.linalg.triangular_solve(
@@ -994,25 +1054,76 @@ def _se_core_bwd(l, x_scaled, delta, sv, valid):
   kinv = jnp.matmul(linv.T, linv, precision=hi)
   gmat = 0.5 * (kinv - jnp.matmul(alpha, alpha.T, precision=hi))
   sqn = jnp.sum(x_scaled * x_scaled, axis=1, keepdims=True)
-  r2 = sqn + sqn.T - 2.0 * jnp.matmul(x_scaled, x_scaled.T,
-                                      precision=hi)
-  w = gmat * (sv * jnp.exp(-0.5 * jnp.maximum(r2, 0.0)))
+  r2 = jnp.maximum(sqn + sqn.T - 2.0 * jnp.matmul(x_scaled, x_scaled.T,
+                                                  precision=hi), 0.0)
+  if kfam == 'se':
+    kmat = sv * jnp.exp(-0.5 * r2)
+    neg2kp = kmat
+  elif kfam == 'matern32':
+    r = _SQRT3 * jnp.sqrt(r2)
+    e = jnp.exp(-r)
+    kmat = sv * (1.0 + r) * e
+    neg2kp = 3.0 * sv * e
+  elif kfam == 'matern52':
+    r = _SQRT5 * jnp.sqrt(r2)
+    e = jnp.exp(-r)
+    kmat = sv * (1.0 + r + (r * r) * (1.0 / 3.0)) * e
+    neg2kp = (5.0 / 3.0) * sv * (1.0 + r) * e
+  else:
+    raise ValueError(f'unknown fused kernel family: {kfam!r}')
   if valid is not None:
     vv = valid.astype(jnp.float32).reshape(-1, 1)
-    w = w * (vv * vv.T)
-  d_sv = jnp.sum(w) / sv
+    pair = vv * vv.T
+    kmat = kmat * pair
+    neg2kp = neg2kp * pair
+  w = gmat * neg2kp
+  d_sv = jnp.sum(gmat * kmat) / sv
   d_da = jnp.trace(gmat)
   wsum = jnp.sum(w, axis=1, keepdims=True)
   d_x = 2.0 * (jnp.matmul(w, x_scaled, precision=hi) - wsum * x_scaled)
   return d_x, alpha, d_sv, d_da
 
 
-def _se_embed(params, x, cov_func, warp_func):
-  """Inputs the SE kernel actually sees: raw, MLP- or Kumar-embedded.
+def _fused_kernel_table():
+  """cov_func identity -> (kernel family, embedding kind) for every
+  kernel the fused path serves: the SE and Matern families, raw or
+  over MLP/Kumar embeddings (reference hyperbo/gp_utils/kernel.py:
+  63-123 base forms, 148-222 embedded variants). dot_product is
+  excluded by design: its Gram is ONE rank-d matmul (no transcendental
+  epilogue), which the XLA dense pipeline already fuses optimally."""
+  from hyperbo_tpu.models import kernel as kl
+  return {
+      kl.squared_exponential: ('se', None),
+      kl.squared_exponential_mlp: ('se', 'mlp'),
+      kl.squared_exponential_kumar: ('se', 'kumar'),
+      kl.matern32: ('matern32', None),
+      kl.matern32_mlp: ('matern32', 'mlp'),
+      kl.matern32_kumar: ('matern32', 'kumar'),
+      kl.matern52: ('matern52', None),
+      kl.matern52_mlp: ('matern52', 'mlp'),
+      kl.matern52_kumar: ('matern52', 'kumar'),
+  }
 
-  SE-over-MLP is SE on embedded inputs (reference
+
+def kernel_family(cov_func) -> str:
+  """Fused-path family name ('se'/'matern32'/'matern52') for a library
+  kernel; 'se' for None (direct low-level calls default to SE)."""
+  if cov_func is None:
+    return 'se'
+  entry = _fused_kernel_table().get(cov_func)
+  if entry is None:
+    raise ValueError(
+        f'{getattr(cov_func, "__name__", cov_func)!r} is not served by '
+        'the fused MLL path (gate with se_nll_fused_applicable)')
+  return entry[0]
+
+
+def _se_embed(params, x, cov_func, warp_func):
+  """Inputs the base kernel actually sees: raw, MLP- or Kumar-embedded.
+
+  Kernel-over-MLP is the kernel on embedded inputs (reference
   hyperbo/gp_utils/kernel.py:148-222) — pre-applying the basis function
-  here lets the same fused kernel serve every squared_exponential*
+  here lets the same fused kernel serve every SE/Matern-family
   variant, gradients included (the embedding stays outside the custom
   VJP, so jax.grad flows into mlp/kumar parameters automatically).
   """
@@ -1035,17 +1146,18 @@ def se_nll_fused(mean_func, params, x, y, warp_func=None, eps=1e-6,
                  block: int = 256, half: int = 512, group: int = 2,
                  sweep_unroll: int = 32, cov_func=None,
                  interpret: bool = False):
-  """GP NLL for squared-exponential-family kernels via the fused kernel.
+  """GP NLL for SE/Matern-family kernels via the fused kernel.
 
   Drop-in value parity with the dense pipeline
-  (objectives.neg_log_marginal_likelihood with cov_func =
-  kernel.squared_exponential / squared_exponential_mlp /
-  squared_exponential_kumar; diag add = warped noise_variance + eps,
-  matching ops/linalg.solve_gp_linear_system). Single (n, m=1) task
-  with n divisible by group*block. ~1.6x faster than the XLA dense
-  pipeline at n=8192 on v5e AND ~400x closer to the f64 truth (PERF.md
-  round 2). Fully differentiable (custom VJP, see _se_nll_core_fn) —
-  gradient-based pre-training trains straight through this path.
+  (objectives.neg_log_marginal_likelihood with cov_func any of the
+  nine kernels in _fused_kernel_table — squared_exponential /
+  matern32 / matern52, raw or *_mlp / *_kumar; diag add = warped
+  noise_variance + eps, matching ops/linalg.solve_gp_linear_system).
+  Single (n, m=1) task with n divisible by group*block. ~1.6x faster
+  than the XLA dense pipeline at n=8192 on v5e AND ~400x closer to the
+  f64 truth (PERF.md round 2). Fully differentiable (custom VJP, see
+  _se_nll_core_fn) — gradient-based pre-training trains straight
+  through this path.
   """
   from hyperbo_tpu.core.warp import retrieve_params
   lengthscale, signal_variance, noise_variance = retrieve_params(
@@ -1062,7 +1174,8 @@ def se_nll_fused(mean_func, params, x, y, warp_func=None, eps=1e-6,
     # sweep is numerically equivalent (pivot-mode parity is covered by
     # tests/test_pallas_chol.py) and keeps CPU test runs fast.
     sweep_unroll = min(sweep_unroll, 2)
-  core = _se_nll_core_fn(block, half, group, interpret, sweep_unroll)
+  core = _se_nll_core_fn(block, half, group, interpret, sweep_unroll,
+                         kernel_family(cov_func))
   nll_core = core(x_scaled, delta, jnp.squeeze(signal_variance),
                   jnp.squeeze(noise_variance) + eps)
   return nll_core + 0.5 * n * jnp.log(2 * jnp.pi)
@@ -1070,16 +1183,18 @@ def se_nll_fused(mean_func, params, x, y, warp_func=None, eps=1e-6,
 
 @functools.lru_cache(maxsize=None)
 def _se_nll_core_masked_fn(block: int, half: int, group: int,
-                           interpret: bool, sweep_unroll: int = 32):
-  """Masked differentiable fused SE-NLL core (packed-batch support).
+                           interpret: bool, sweep_unroll: int = 32,
+                           kfam: str = 'se'):
+  """Masked differentiable fused NLL core (packed-batch support).
 
   core(x_scaled, delta, sv, da, valid) with valid an (n,) 0/1 mask:
   padded rows are removed from the Gram matrix EXACTLY through the
   embedding penalty lanes (see mll_fused_g `valid`), leaving their
   diagonal at `da` (caller corrects the logdet). The backward pass is
-  the same closed form as _se_nll_core_fn with the exp factor masked by
-  valid_i * valid_j — the padded diagonal's dK/d(sv) is exp(-100) ~ 0
-  and its dK/d(da) is 1, matching the forward kernel.
+  the same closed form as _se_nll_core_fn with the kernel factors
+  masked by valid_i * valid_j — the padded diagonal's dK/d(sv) is
+  k(sqrt(2 _PENALTY[kfam])) / sv ~ 0 and its dK/d(da) is 1, matching
+  the forward kernel.
   """
 
   @jax.custom_vjp
@@ -1087,20 +1202,21 @@ def _se_nll_core_masked_fn(block: int, half: int, group: int,
     quad, ld = mll_fused_g(x_scaled, delta, sv, da, block=block,
                            half=half, group=group,
                            sweep_unroll=sweep_unroll, valid=valid,
-                           interpret=interpret)
+                           kfam=kfam, interpret=interpret)
     return 0.5 * quad + ld
 
   def fwd(x_scaled, delta, sv, da, valid):
     l, quad, ld = mll_fused_g(x_scaled, delta, sv, da, block=block,
                               half=half, group=group,
                               sweep_unroll=sweep_unroll, valid=valid,
-                              return_l=True, interpret=interpret)
+                              return_l=True, kfam=kfam,
+                              interpret=interpret)
     return 0.5 * quad + ld, (l, x_scaled, delta, sv, da, valid)
 
   def bwd(res, g):
     l, x_scaled, delta, sv, da, valid = res
     d_x, d_delta, d_sv, d_da = _se_core_bwd(l, x_scaled, delta, sv,
-                                            valid)
+                                            valid, kfam)
     return (g * d_x, g * d_delta, g * d_sv, g * d_da,
             jnp.zeros_like(valid))
 
@@ -1111,8 +1227,9 @@ def _se_nll_core_masked_fn(block: int, half: int, group: int,
 def se_nll_fused_masked(x_scaled, delta_masked, sv, da, count,
                         block: int = 256, half: int = 512,
                         group: int = 2, sweep_unroll: int = 32,
+                        kfam: str = 'se',
                         interpret: bool = False):
-  """Fused SE NLL for one PADDED task (packed-batch support).
+  """Fused NLL for one PADDED task (packed-batch support).
 
   Padded rows (index >= count) are masked out of the Gram matrix via
   the embedding penalty (exact in f32), their delta is zeroed, and the
@@ -1130,7 +1247,7 @@ def se_nll_fused_masked(x_scaled, delta_masked, sv, da, count,
   if interpret:
     sweep_unroll = min(sweep_unroll, 2)  # see se_nll_fused
   core = _se_nll_core_masked_fn(block, half, group, interpret,
-                                sweep_unroll)
+                                sweep_unroll, kfam)
   nll_core = core(xs, delta, sv, da, valid)
   surplus = 0.5 * jnp.log(da) * (n - count)
   return nll_core - surplus + 0.5 * count * jnp.log(2 * jnp.pi)
@@ -1139,32 +1256,35 @@ def se_nll_fused_masked(x_scaled, delta_masked, sv, da, count,
 def se_nll_fused_applicable(cov_func, x, params=None, block: int = 256,
                             group: int = 2, masked: bool = False,
                             y=None) -> bool:
-  """True when the fused path can replace the dense SE NLL pipeline.
+  """True when the fused path can replace the dense NLL pipeline.
 
-  masked=True reserves the two extra embedding lanes the padded-row
-  penalty needs (packed batches). Pass `y` so multi-output tasks
-  (y with m > 1 columns, which the kernel's panel-major y layout
-  cannot represent) fall back to the dense pipeline.
+  Serves the SE and Matern kernel families, raw or MLP/Kumar-embedded
+  (_fused_kernel_table). masked=True reserves the two extra embedding
+  lanes the padded-row penalty needs (packed batches). Pass `y` so
+  multi-output tasks (y with m > 1 columns, which the kernel's
+  panel-major y layout cannot represent) fall back to the dense
+  pipeline.
   """
   if y is not None and y.ndim == 2 and y.shape[1] != 1:
     return False
-  from hyperbo_tpu.models import kernel as kernel_lib
   if not (x.ndim == 2 and x.shape[0] >= group * block and
           x.shape[0] % (group * block) == 0):
     return False
-  if cov_func is kernel_lib.squared_exponential:
+  entry = _fused_kernel_table().get(cov_func)
+  if entry is None:
+    return False
+  _, embed = entry
+  if embed is None:
     emb_dim = x.shape[1]
-  elif cov_func is kernel_lib.squared_exponential_kumar:
+  elif embed == 'kumar':
     emb_dim = x.shape[1]
     if params is None or 'kumar_params' not in params.model:
       return False
-  elif cov_func is kernel_lib.squared_exponential_mlp:
+  else:  # 'mlp'
     if params is None or 'mlp_params' not in params.model:
       return False
     features = (params.config or {}).get('mlp_features')
     if not features:
       return False
     emb_dim = features[-1]
-  else:
-    return False
   return emb_dim + (4 if masked else 2) <= 128

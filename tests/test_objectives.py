@@ -311,14 +311,82 @@ def test_fused_mll_objective_parity():
       mean.constant, kernel.squared_exponential, params_fused, dataset,
       warp_func=DEFAULT_WARP_FUNC))
   np.testing.assert_allclose(got, want, rtol=1e-4)
-  # Non-SE kernels fall back to the dense path untouched.
-  got_m = float(objectives.neg_log_marginal_likelihood(
-      mean.constant, kernel.matern52, params_fused, dataset,
+  # Kernels outside the SE/Matern families fall back to the dense path
+  # untouched (dot_product's Gram is one rank-d matmul — nothing for
+  # the fused kernel to win).
+  for p in (params_dense, params_fused):
+    p.model['dot_prod_sigma'] = 0.8
+    p.model['dot_prod_bias'] = 0.1
+  got_dp = float(objectives.neg_log_marginal_likelihood(
+      mean.constant, kernel.dot_product, params_fused, dataset,
       warp_func=DEFAULT_WARP_FUNC))
-  want_m = float(objectives.neg_log_marginal_likelihood(
-      mean.constant, kernel.matern52, params_dense, dataset,
+  want_dp = float(objectives.neg_log_marginal_likelihood(
+      mean.constant, kernel.dot_product, params_dense, dataset,
       warp_func=DEFAULT_WARP_FUNC))
-  np.testing.assert_allclose(got_m, want_m, rtol=1e-6)
+  np.testing.assert_allclose(got_dp, want_dp, rtol=1e-6)
+
+
+@pytest.mark.parametrize('cov_name', ['matern32', 'matern52'])
+def test_fused_mll_serves_matern_kernels(cov_name):
+  """Matern 3/2 and 5/2 evaluate AND differentiate through the fused
+  path (the in-kernel Gram transform generalizes beyond SE; the
+  closed-form adjoint is smooth at r=0 — ops/pallas_mll._gram_transform
+  / _se_core_bwd). Reference forms: hyperbo/gp_utils/kernel.py:84-123."""
+  cov = getattr(kernel, cov_name)
+  n, d = 512, 3
+  key = jax.random.PRNGKey(46)
+  vx = jax.random.uniform(key, (n, d))
+  vy = jax.random.normal(jax.random.fold_in(key, 1), (n, 1))
+  dataset = {'a': defs.SubDataset(vx, vy)}
+  model = {'constant': 0.3, 'lengthscale': jnp.ones(d) * 0.4,
+           'signal_variance': 0.5, 'noise_variance': -2.0}
+  want = float(_nll_loss_fn(cov, {}, dataset)(model))
+  got = float(_nll_loss_fn(cov, {'fused_mll': 'interpret'},
+                           dataset)(model))
+  np.testing.assert_allclose(got, want, rtol=1e-4)
+  g_dense = jax.grad(_nll_loss_fn(cov, {}, dataset))(model)
+  g_fused = jax.grad(_nll_loss_fn(cov, {'fused_mll': 'interpret'},
+                                  dataset))(model)
+  for k in model:
+    a = np.asarray(g_dense[k])
+    b = np.asarray(g_fused[k])
+    assert np.max(np.abs(a - b)) <= 3e-3 * np.max(np.abs(a)) + 1e-5, (
+        f'grad mismatch for {k}: {a} vs {b}')
+
+
+def test_fused_mll_serves_matern_mlp_kernel():
+  """matern52_mlp (Matern over MLP embeddings) through the fused path:
+  value and gradient parity with the dense pipeline, including the MLP
+  parameters (embedding outside the custom VJP)."""
+  from hyperbo_tpu.models import basis as bf
+  n, d = 512, 3
+  key = jax.random.PRNGKey(47)
+  vx = jax.random.uniform(key, (n, d))
+  vy = jax.random.normal(jax.random.fold_in(key, 1), (n, 1))
+  dataset = {'a': defs.SubDataset(vx, vy)}
+  mlp_features = (8, 8)
+  base_cfg = {'mlp_features': mlp_features}
+  p_init = defs.GPParams(
+      model={'constant': 0.3, 'lengthscale': jnp.ones(mlp_features[-1]),
+             'signal_variance': 0.5, 'noise_variance': -2.0},
+      config=dict(base_cfg))
+  bf.init_mlp_with_shape(jax.random.fold_in(key, 2), p_init, (0, d))
+  model = p_init.model
+  want = float(_nll_loss_fn(
+      kernel.matern52_mlp, dict(base_cfg), dataset)(model))
+  got = float(_nll_loss_fn(
+      kernel.matern52_mlp, dict(base_cfg, fused_mll='interpret'),
+      dataset)(model))
+  np.testing.assert_allclose(got, want, rtol=1e-4)
+  g_dense = jax.grad(_nll_loss_fn(
+      kernel.matern52_mlp, dict(base_cfg), dataset))(model)
+  g_fused = jax.grad(_nll_loss_fn(
+      kernel.matern52_mlp, dict(base_cfg, fused_mll='interpret'),
+      dataset))(model)
+  from jax.flatten_util import ravel_pytree
+  a = np.asarray(ravel_pytree(g_dense)[0])
+  b = np.asarray(ravel_pytree(g_fused)[0])
+  assert np.max(np.abs(a - b)) <= 3e-3 * np.max(np.abs(a)) + 1e-5
 
 
 def _nll_loss_fn(cov, config, dataset):
@@ -447,3 +515,40 @@ def test_fused_packed_nll_parity_and_grad():
     b = np.asarray(g_fused[k])
     assert np.max(np.abs(a - b)) <= 5e-3 * np.max(np.abs(a)) + 1e-4, (
         f'packed grad mismatch for {k}: {a} vs {b}')
+
+
+def test_fused_packed_nll_matern_padded_rows():
+  """Packed fused NLL with a Matern kernel and a padded task: the
+  padded-row penalty must be larger for Matern (poly * exp decay — P=400
+  vs SE's 50, ops/pallas_mll._PENALTY) for value/grad parity to hold."""
+  d = 3
+  key = jax.random.PRNGKey(51)
+  dataset = {}
+  for i, n_i in enumerate((512, 450)):
+    kx = jax.random.fold_in(key, 2 * i)
+    ky = jax.random.fold_in(key, 2 * i + 1)
+    dataset[i] = defs.SubDataset(
+        jax.random.uniform(kx, (n_i, d)),
+        jax.random.normal(ky, (n_i, 1)))
+  packed, _ = packed_lib.pack_dataset(dataset, pad_to_multiple=512)
+  model = {'constant': 0.3, 'lengthscale': jnp.ones(d) * 0.4,
+           'signal_variance': 0.5, 'noise_variance': -2.0}
+
+  def loss_fn(config):
+    def loss(m):
+      p = defs.GPParams(model=m, config=config)
+      return packed_lib.neg_log_marginal_likelihood_packed(
+          mean.constant, kernel.matern32, p, packed,
+          warp_func=DEFAULT_WARP_FUNC)
+    return loss
+
+  want = float(loss_fn({})(model))
+  got = float(loss_fn({'fused_mll': 'interpret'})(model))
+  np.testing.assert_allclose(got, want, rtol=2e-4)
+  g_dense = jax.grad(loss_fn({}))(model)
+  g_fused = jax.grad(loss_fn({'fused_mll': 'interpret'}))(model)
+  for k in model:
+    a = np.asarray(g_dense[k])
+    b = np.asarray(g_fused[k])
+    assert np.max(np.abs(a - b)) <= 5e-3 * np.max(np.abs(a)) + 1e-4, (
+        f'packed matern grad mismatch for {k}: {a} vs {b}')
