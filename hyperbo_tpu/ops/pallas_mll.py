@@ -1153,11 +1153,14 @@ def se_nll_fused(mean_func, params, x, y, warp_func=None, eps=1e-6,
   nine kernels in _fused_kernel_table — squared_exponential /
   matern32 / matern52, raw or *_mlp / *_kumar; diag add = warped
   noise_variance + eps, matching ops/linalg.solve_gp_linear_system).
-  Single (n, m=1) task with n divisible by group*block. ~1.6x faster
-  than the XLA dense pipeline at n=8192 on v5e AND ~400x closer to the
-  f64 truth (PERF.md round 2). Fully differentiable (custom VJP, see
-  _se_nll_core_fn) — gradient-based pre-training trains straight
-  through this path.
+  Single (n, m=1) task. n not divisible by group*block is handled by
+  sentinel-padding up to the next multiple through the masked kernel
+  (exact — the penalty lanes remove padded rows from the Gram matrix
+  and the logdet surplus is corrected analytically), so any n >=
+  group*block qualifies. ~1.6x faster than the XLA dense pipeline at
+  n=8192 on v5e AND ~400x closer to the f64 truth (PERF.md round 2).
+  Fully differentiable (custom VJP, see _se_nll_core_fn) —
+  gradient-based pre-training trains straight through this path.
   """
   from hyperbo_tpu.core.warp import retrieve_params
   lengthscale, signal_variance, noise_variance = retrieve_params(
@@ -1174,10 +1177,18 @@ def se_nll_fused(mean_func, params, x, y, warp_func=None, eps=1e-6,
     # sweep is numerically equivalent (pivot-mode parity is covered by
     # tests/test_pallas_chol.py) and keeps CPU test runs fast.
     sweep_unroll = min(sweep_unroll, 2)
+  kfam = kernel_family(cov_func)
+  sv = jnp.squeeze(signal_variance)
+  da = jnp.squeeze(noise_variance) + eps
+  if n % (group * block) != 0:
+    # Ragged n: the masked kernel pads to the next group*block multiple
+    # internally (value- and gradient-exact vs the dense pipeline).
+    return se_nll_fused_masked(
+        x_scaled, delta, sv, da, n, block=block, half=half, group=group,
+        sweep_unroll=sweep_unroll, kfam=kfam, interpret=interpret)
   core = _se_nll_core_fn(block, half, group, interpret, sweep_unroll,
-                         kernel_family(cov_func))
-  nll_core = core(x_scaled, delta, jnp.squeeze(signal_variance),
-                  jnp.squeeze(noise_variance) + eps)
+                         kfam)
+  nll_core = core(x_scaled, delta, sv, da)
   return nll_core + 0.5 * n * jnp.log(2 * jnp.pi)
 
 
@@ -1238,8 +1249,18 @@ def se_nll_fused_masked(x_scaled, delta_masked, sv, da, count,
   subtracted analytically: both value AND gradients match the dense
   masked pipeline. The surplus is ordinary jnp arithmetic outside the
   custom-VJP core, so d/d(da) of the correction is handled by autodiff.
+
+  x_scaled with n not a multiple of group*block is zero-padded up to
+  the next multiple here (padded rows are masked out like any other
+  sentinel row, so the result is unchanged); callers may hand in any
+  n >= group*block.
   """
-  n = x_scaled.shape[0]
+  gb = group * block
+  n_in = x_scaled.shape[0]
+  n = -(-n_in // gb) * gb
+  if n != n_in:
+    x_scaled = jnp.pad(x_scaled, ((0, n - n_in), (0, 0)))
+    delta_masked = jnp.pad(delta_masked, ((0, n - n_in), (0, 0)))
   idx = jnp.arange(n)
   valid = (idx < count).astype(jnp.float32)
   xs = jnp.where(valid[:, None] > 0, x_scaled, 0.0)
@@ -1267,9 +1288,12 @@ def se_nll_fused_applicable(cov_func, x, params=None, block: int = 256,
   """
   if y is not None and y.ndim == 2 and y.shape[1] != 1:
     return False
-  if not (x.ndim == 2 and x.shape[0] >= group * block and
-          x.shape[0] % (group * block) == 0):
+  if not (x.ndim == 2 and x.shape[0] >= group * block):
     return False
+  if x.shape[0] % (group * block) != 0:
+    # Ragged n rides the masked kernel (sentinel padding) — needs the
+    # penalty lanes even in the unmasked caller.
+    masked = True
   entry = _fused_kernel_table().get(cov_func)
   if entry is None:
     return False

@@ -354,6 +354,77 @@ def test_fused_mll_serves_matern_kernels(cov_name):
         f'grad mismatch for {k}: {a} vs {b}')
 
 
+@pytest.mark.parametrize('cov_name', ['squared_exponential', 'matern32'])
+def test_fused_mll_ragged_n(cov_name):
+  """n not divisible by group*block routes through the masked fused
+  kernel via internal sentinel padding (ops/pallas_mll.se_nll_fused) —
+  value parity with the dense pipeline and gradients in the same f32
+  noise class (threshold calibrated against an f64 ground truth: at
+  n=700 the dense-f32 gradient itself errs ~2e-3 of scale; the masked
+  fused backward ~1e-2)."""
+  cov = getattr(kernel, cov_name)
+  n, d = 700, 3
+  key = jax.random.PRNGKey(8)
+  vx = jax.random.uniform(key, (n, d))
+  vy = jax.random.normal(jax.random.fold_in(key, 1), (n, 1))
+  dataset = {'a': defs.SubDataset(vx, vy)}
+  model = {'constant': 0.3, 'lengthscale': jnp.ones(d) * 0.4,
+           'signal_variance': 0.5, 'noise_variance': -2.0}
+  from hyperbo_tpu.ops import pallas_mll
+  assert pallas_mll.se_nll_fused_applicable(cov, vx)
+  assert not pallas_mll.se_nll_fused_applicable(cov, vx[:100])
+  want = float(_nll_loss_fn(cov, {}, dataset)(model))
+  got = float(_nll_loss_fn(cov, {'fused_mll': 'interpret'},
+                           dataset)(model))
+  np.testing.assert_allclose(got, want, rtol=2e-4)
+  g_dense = jax.grad(_nll_loss_fn(cov, {}, dataset))(model)
+  g_fused = jax.grad(_nll_loss_fn(cov, {'fused_mll': 'interpret'},
+                                  dataset))(model)
+  for k in model:
+    a = np.asarray(g_dense[k])
+    b = np.asarray(g_fused[k])
+    assert np.max(np.abs(a - b)) <= 1.2e-2 * np.max(np.abs(a)) + 1e-4, (
+        f'ragged grad mismatch for {k}: {a} vs {b}')
+
+
+def test_fused_packed_nll_ragged_nmax():
+  """Packed fused NLL when n_max itself is not a group*block multiple:
+  the masked kernel pads internally, so pack_dataset's pad_to_multiple
+  no longer has to be 512-aligned for the fused path to engage."""
+  d = 3
+  key = jax.random.PRNGKey(52)
+  dataset = {}
+  for i, n_i in enumerate((600, 530)):
+    kx = jax.random.fold_in(key, 10 + 2 * i)
+    ky = jax.random.fold_in(key, 11 + 2 * i)
+    dataset[i] = defs.SubDataset(
+        jax.random.uniform(kx, (n_i, d)),
+        jax.random.normal(ky, (n_i, 1)))
+  packed, _ = packed_lib.pack_dataset(dataset, pad_to_multiple=8)
+  assert packed.x.shape[1] == 600  # deliberately not % 512
+  model = {'constant': 0.3, 'lengthscale': jnp.ones(d) * 0.4,
+           'signal_variance': 0.5, 'noise_variance': -2.0}
+
+  def loss_fn(config):
+    def loss(m):
+      p = defs.GPParams(model=m, config=config)
+      return packed_lib.neg_log_marginal_likelihood_packed(
+          mean.constant, kernel.squared_exponential, p, packed,
+          warp_func=DEFAULT_WARP_FUNC)
+    return loss
+
+  want = float(loss_fn({})(model))
+  got = float(loss_fn({'fused_mll': 'interpret'})(model))
+  np.testing.assert_allclose(got, want, rtol=2e-4)
+  g_dense = jax.grad(loss_fn({}))(model)
+  g_fused = jax.grad(loss_fn({'fused_mll': 'interpret'}))(model)
+  for k in model:
+    a = np.asarray(g_dense[k])
+    b = np.asarray(g_fused[k])
+    assert np.max(np.abs(a - b)) <= 1.2e-2 * np.max(np.abs(a)) + 1e-4, (
+        f'ragged packed grad mismatch for {k}: {a} vs {b}')
+
+
 def test_fused_mll_serves_matern_mlp_kernel():
   """matern52_mlp (Matern over MLP embeddings) through the fused path:
   value and gradient parity with the dense pipeline, including the MLP
