@@ -20,7 +20,12 @@ Never timeout-kill this process (wedges the tunnel); it deadlines itself.
 """
 
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 T0 = time.time()
 DEADLINE_S = 80 * 60.0
