@@ -105,12 +105,18 @@ def bench_pd1():
       jax.random.PRNGKey(2), jnp.empty((0, 8)))['params']
   packed, _ = packed_lib.pack_dataset(dataset, pad_to_multiple=128)
 
+  # Reusable compiled runner (compile once, train many): repeat calls
+  # share one jit object, so the cached timings below measure device
+  # throughput instead of per-call host retrace (~6 s at PD1 scale on
+  # the container's single CPU core — see PERF.md r3_pd1_step_probe).
+  runner = adam_lib.make_fit_adam_packed(
+      mean.linear_mlp, kernel.squared_exponential_mlp, params.config,
+      warp_func=DEFAULT_WARP_FUNC)
+  model0 = dict(params.model)
+
   def run(seed):
     t0 = time.perf_counter()
-    _, losses = adam_lib.fit_adam_packed(
-        mean.linear_mlp, kernel.squared_exponential_mlp,
-        dict(params.model), packed, params.config,
-        warp_func=DEFAULT_WARP_FUNC, key=jax.random.PRNGKey(seed))
+    _, losses = runner(model0, packed, jax.random.PRNGKey(seed))
     l0, l1 = float(losses[0]), float(losses[-1])
     return time.perf_counter() - t0, l0, l1
 

@@ -92,9 +92,13 @@ def pack_dataset(dataset: Dict[Union[int, str], SubDataset],
                        task_mask=task_mask), keys
 
 
-def nll_one_task(mean_func, cov_func, params, x, y, mask, count,
-                 warp_func=None, eps: float = 1e-6) -> jnp.ndarray:
-  """Masked NLL of one padded task; equals the reference per-task NLL."""
+def _masked_system(mean_func, cov_func, params, x, y, mask,
+                   warp_func=None, eps: float = 1e-6):
+  """(K_masked, delta) of one padded task.
+
+  Padded rows of K are replaced by identity rows (diag exactly 1 =>
+  zero log-det contribution) and padded entries of delta by 0.
+  """
   noise_variance, = retrieve_params(params, ['noise_variance'],
                                     warp_func=warp_func)
   mu = mean_func(params, x, warp_func=warp_func)
@@ -105,6 +109,14 @@ def nll_one_task(mean_func, cov_func, params, x, y, mask, count,
   eye = jnp.eye(n_max, dtype=kmat.dtype)
   diag_fill = jnp.where(mask, noise_variance + eps, 1.0)
   kmat = jnp.where(pair_mask, kmat, 0.0) + eye * diag_fill
+  return kmat, delta
+
+
+def nll_one_task(mean_func, cov_func, params, x, y, mask, count,
+                 warp_func=None, eps: float = 1e-6) -> jnp.ndarray:
+  """Masked NLL of one padded task; equals the reference per-task NLL."""
+  kmat, delta = _masked_system(mean_func, cov_func, params, x, y, mask,
+                               warp_func=warp_func, eps=eps)
   chol = chol_ops.cholesky(kmat)
   kinvy = chol_ops.cho_solve(chol, delta)
   quad = 0.5 * jnp.sum(delta * kinvy)
@@ -146,6 +158,50 @@ def _nll_packed_fused(mean_func, cov_func, params, packed, warp_func,
                            packed.count))
 
 
+def _batched_chol_route(params, packed):
+  """(impl, interpret) when the loop-free batched small-n kernel should
+  evaluate the packed NLL, else None.
+
+  config['batched_chol']: None/'auto' engages automatically on TPU for
+  n_max <= 128 (the PD1 subsample regime — XLA's while-loop Cholesky/
+  solve expansions dominate the step there, see ops/pallas_batch_chol);
+  True forces it; False disables; 'interpret' runs the Pallas kernel in
+  interpret mode (CPU tests); 'tasks3d'/'grid2d'/'xla' pick the
+  implementation explicitly.
+  """
+  flag = (params.config or {}).get('batched_chol', 'auto')
+  if flag is None:
+    flag = 'auto'
+  if flag is False:
+    return None
+  n_max = packed.x.shape[1]
+  if n_max > 128:
+    return None
+  if flag in ('tasks3d', 'grid2d', 'xla'):
+    return flag, False
+  if flag == 'interpret':
+    return 'tasks3d', True
+  on_tpu = jax.devices()[0].platform not in ('cpu',)
+  if flag == 'auto' and not on_tpu:
+    return None
+  return 'tasks3d', False
+
+
+def _nll_packed_batched(mean_func, cov_func, params, packed, warp_func,
+                        eps, route):
+  """Per-task NLL via the batched loop-free kernel (route from
+  _batched_chol_route)."""
+  from hyperbo_tpu.ops import pallas_batch_chol
+  impl, interpret = route
+  kb, delta = jax.vmap(
+      lambda x, y, m: _masked_system(mean_func, cov_func, params, x, y,
+                                     m, warp_func=warp_func, eps=eps))(
+                                         packed.x, packed.y, packed.mask)
+  quad, ld = pallas_batch_chol.nll_terms_batched(
+      kb, delta, impl, interpret)
+  return 0.5 * quad + ld + 0.5 * packed.count * jnp.log(2 * jnp.pi)
+
+
 def neg_log_marginal_likelihood_packed(mean_func,
                                        cov_func,
                                        params,
@@ -170,10 +226,15 @@ def neg_log_marginal_likelihood_packed(mean_func,
     else:
       fused = None
   if not fused:
-    per_task = jax.vmap(
-        lambda x, y, m, c: nll_one_task(
-            mean_func, cov_func, params, x, y, m, c, warp_func, eps))(
-                packed.x, packed.y, packed.mask, packed.count)
+    route = _batched_chol_route(params, packed)
+    if route:
+      per_task = _nll_packed_batched(mean_func, cov_func, params, packed,
+                                     warp_func, eps, route)
+    else:
+      per_task = jax.vmap(
+          lambda x, y, m, c: nll_one_task(
+              mean_func, cov_func, params, x, y, m, c, warp_func, eps))(
+                  packed.x, packed.y, packed.mask, packed.count)
   per_task = jnp.where(packed.task_mask, per_task, 0.0)
   num = jnp.maximum(jnp.sum(packed.task_mask), 1)
   total = jnp.sum(per_task) / num

@@ -224,6 +224,90 @@ def fit_adam_packed(mean_func,
                        key)
 
 
+def make_fit_adam_packed(mean_func,
+                         cov_func,
+                         config: Dict[str, Any],
+                         warp_func=None,
+                         loss_fn: Optional[Callable] = None):
+  """Reusable compiled packed-Adam runner: compile once, train many.
+
+  `fit_adam_packed` builds a fresh `jax.jit` wrapper per call, so every
+  invocation re-traces and re-lowers the whole training program —
+  measured ~6 s of host work per run at PD1 scale against ~0.34 s of
+  actual device time (PERF.md, r3_pd1_step_probe). Production
+  pre-training sweeps (restarts, workload sets, hyperparameter grids)
+  re-run the same program shape many times; this factory returns ONE
+  jitted runner whose compilation is shared across all calls with
+  matching shapes.
+
+  The runner signature is `run(model_params, packed, key) ->
+  (model_params, losses)` with semantics identical to
+  `fit_adam_packed` (per-step on-device subsampling, NaN-freeze); with
+  config['fast_subsample'] the one-time row permutation also happens
+  inside the compiled program, keyed by `key`. Unlike
+  `fit_adam_packed`'s concrete-value gate, fast_subsample is honored
+  as given — the window sampler itself handles tasks smaller than the
+  batch (offset 0 + row mask), so no data-dependent Python branch is
+  needed.
+
+  Args:
+    mean_func / cov_func: GP mean/kernel functions.
+    config: needs learning_rate, max_training_step; optional
+      batch_size (defaults to the packed width at trace time) and
+      fast_subsample.
+    warp_func: parameter warping.
+    loss_fn: optional override (model, packed_batch) -> scalar.
+
+  Returns:
+    The jitted runner.
+  """
+  from hyperbo_tpu.core import defs  # local import to avoid cycle
+
+  optimizer = optax.adam(config['learning_rate'])
+  steps = int(config['max_training_step'])
+  batch_size_cfg = config.get('batch_size')
+  fast = bool(config.get('fast_subsample', False))
+
+  if loss_fn is None:
+    def loss_fn(model, batch):
+      shim = defs.GPParams(model=model, config=config)
+      return packed_lib.neg_log_marginal_likelihood_packed(
+          mean_func, cov_func, shim, batch, warp_func=warp_func)
+
+  @jax.jit
+  def run(model, packed, key):
+    batch_size = int(batch_size_cfg or packed.x.shape[1])
+    if fast:
+      key, pkey = jax.random.split(key)
+      packed_run = packed_lib.prepermute_packed(pkey, packed)
+      def subsample(k, data):
+        return packed_lib.subsample_packed_window(k, data, batch_size)
+    else:
+      packed_run = packed
+      def subsample(k, data):
+        return packed_lib.subsample_packed(k, data, batch_size)
+
+    def step(carry, k):
+      model, opt_state, frozen = carry
+      batch = subsample(k, packed_run)
+      loss, grads = jax.value_and_grad(loss_fn)(model, batch)
+      updates, new_opt_state = optimizer.update(grads, opt_state)
+      new_model = optax.apply_updates(model, updates)
+      ok = jnp.isfinite(loss) & ~frozen
+      model = jax.tree.map(lambda new, old: jnp.where(ok, new, old),
+                           new_model, model)
+      opt_state = jax.tree.map(lambda new, old: jnp.where(ok, new, old),
+                               new_opt_state, opt_state)
+      return (model, opt_state, frozen | ~jnp.isfinite(loss)), loss
+
+    carry = (model, optimizer.init(model), jnp.array(False))
+    (model, _, _), losses = jax.lax.scan(step, carry,
+                                         jax.random.split(key, steps))
+    return model, losses
+
+  return run
+
+
 def fit_adam_packed_multistart(mean_func,
                                cov_func,
                                model_params: Dict[str, Any],

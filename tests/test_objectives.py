@@ -623,3 +623,38 @@ def test_fused_packed_nll_matern_padded_rows():
     b = np.asarray(g_fused[k])
     assert np.max(np.abs(a - b)) <= 5e-3 * np.max(np.abs(a)) + 1e-4, (
         f'packed matern grad mismatch for {k}: {a} vs {b}')
+
+
+def test_make_fit_adam_packed_runner():
+  """Reusable compiled runner: trains, reuses across calls, both
+  samplers; final params match fit_adam_scan semantics (NaN-freeze,
+  per-step window subsampling)."""
+  from hyperbo_tpu.train import adam as adam_lib
+  cov_func = kernel.squared_exponential
+  dataset, _ = _ground_truth_dataset(jax.random.PRNGKey(40), cov_func,
+                                     n=16, num_fns=6)
+  init = _init_params('adam', obj.nll, cov_func, 2)
+  init.config['batch_size'] = 8
+  init.config['max_training_step'] = 40
+  packed, _ = packed_lib.pack_dataset(dataset)
+
+  def full_loss(m):
+    shim = GPParams(model=m, config=init.config)
+    return float(packed_lib.neg_log_marginal_likelihood_packed(
+        mean.constant, cov_func, shim, packed, warp_func=WF))
+
+  before = full_loss(init.model)
+  for fast in (False, True):
+    cfg = dict(init.config)
+    cfg['fast_subsample'] = fast
+    runner = adam_lib.make_fit_adam_packed(
+        mean.constant, cov_func, cfg, warp_func=WF)
+    model, losses = runner(dict(init.model), packed,
+                           jax.random.PRNGKey(41))
+    assert losses.shape == (40,)
+    assert full_loss(model) < before
+    # Second call reuses the same jit object (no error, fresh key).
+    model2, losses2 = runner(dict(init.model), packed,
+                             jax.random.PRNGKey(42))
+    assert full_loss(model2) < before
+    assert float(losses2[-1]) != float(losses[-1])  # keys differ
