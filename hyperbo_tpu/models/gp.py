@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import collections
 import logging
-from typing import Any, Callable, Dict, List, Tuple, Union
+from typing import Any, Callable, Dict, List, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -77,8 +77,15 @@ def _build_packed_training(objective, dataset, config, mean_func,
     need_kl = False
 
   batch_size = int(config.get('batch_size', 1 << 30))
-  pnll = packed_lib.pack_dataset(dataset)[0] if need_nll else None
-  pekl = (packed_lib.pack_aligned_dataset(dataset)[0]
+  # config['train_pad_to_multiple'] (default 8) buckets the packed
+  # width: a BO retrain loop that appends one observation per iteration
+  # recompiles only when the bucket rolls over (e.g. 128 -> one compile
+  # per 128 appends, composing with the trainer cache in
+  # infer_parameters).
+  pad = int(config.get('train_pad_to_multiple', 8))
+  pnll = (packed_lib.pack_dataset(dataset, pad_to_multiple=pad)[0]
+          if need_nll else None)
+  pekl = (packed_lib.pack_aligned_dataset(dataset, pad_to_multiple=pad)[0]
           if need_kl else None)
   data = (pnll, pekl)
 
@@ -115,7 +122,8 @@ def infer_parameters(mean_func,
                      objective=obj.neg_log_marginal_likelihood,
                      key=None,
                      get_params_path=None,
-                     callback=None) -> GPParams:
+                     callback=None,
+                     trainer_cache: Optional[dict] = None) -> GPParams:
   """Fit GP (hyper)parameters to a multi-task dataset.
 
   Supported config['method']: 'adam' (fused-step host loop or packed
@@ -174,9 +182,33 @@ def infer_parameters(mean_func,
             perturb_scale=params.config.get('restart_perturb_scale', 1.0),
             callback=chunk_hook if periodic else None)
       else:
-        model, losses = adam_lib.fit_adam_scan(
-            loss_fn, params.model, data, subsample_fn, params.config,
-            key=subkey, callback=chunk_hook if periodic else None)
+        # Reusable compiled runner when the caller supplies a cache
+        # (GP.train): the BO retrain loop re-fits on same-shaped packed
+        # buffers every iteration, and fit_adam_scan would re-trace the
+        # whole training program each time. The cache key covers the
+        # data shapes plus every config scalar the trace bakes in; the
+        # mean/cov/warp/objective are fixed for the owning GP instance.
+        cache_key = None
+        if (trainer_cache is not None and not periodic
+            and not params.config.get('return_state')
+            and params.config.get('opt_state') is None):
+          cache_key = (
+              jax.tree_util.tree_structure(data),
+              tuple((l.shape, str(l.dtype)) for l in jax.tree.leaves(data)),
+              int(max_training_step),
+              float(params.config['learning_rate']),
+              int(params.config.get('batch_size', 1 << 30)))
+        if cache_key is not None:
+          runner = trainer_cache.get(cache_key)
+          if runner is None:
+            runner = adam_lib.make_fit_adam_scan(
+                loss_fn, subsample_fn, params.config)
+            trainer_cache[cache_key] = runner
+          model, losses = runner(params.model, data, subkey)
+        else:
+          model, losses = adam_lib.fit_adam_scan(
+              loss_fn, params.model, data, subsample_fn, params.config,
+              key=subkey, callback=chunk_hook if periodic else None)
         final_loss = losses[-1]
       if bool(jnp.isfinite(final_loss)):
         params.model = model
@@ -352,6 +384,13 @@ class GP:
     if 'objective' not in self.params.config:
       self.params.config['objective'] = obj.neg_log_marginal_likelihood
     self.rng = None
+    # Compiled-trainer cache (shape-keyed): repeated train() calls —
+    # the BO retrain loop — reuse one jitted runner per packed shape
+    # instead of re-tracing the training scan every call. Keyed on
+    # data shapes + the trace-baked config scalars; mutate other
+    # trace-relevant config (priors, objective routing flags) only via
+    # a fresh GP or after clearing this dict.
+    self._trainer_cache: dict = {}
 
   def _embedding_dim(self) -> int:
     """Width of the kernel-input embedding: mlp output or raw inputs.
@@ -471,7 +510,8 @@ class GP:
         objective=self.params.config['objective'],
         key=subkey,
         get_params_path=get_params_path,
-        callback=callback)
+        callback=callback,
+        trainer_cache=self._trainer_cache)
     logging.info('Trained params = %s', self.params)
     return self.params
 

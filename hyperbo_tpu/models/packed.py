@@ -163,11 +163,16 @@ def _batched_chol_route(params, packed):
   evaluate the packed NLL, else None.
 
   config['batched_chol']: None/'auto' engages automatically on TPU for
-  n_max <= 128 (the PD1 subsample regime — XLA's while-loop Cholesky/
-  solve expansions dominate the step there, see ops/pallas_batch_chol);
-  True forces it; False disables; 'interpret' runs the Pallas kernel in
-  interpret mode (CPU tests); 'tasks3d'/'grid2d'/'xla' pick the
-  implementation explicitly.
+  32 < n_max <= 128 (the PD1 subsample regime — XLA's while-loop
+  Cholesky/solve expansions dominate the step there, see
+  ops/pallas_batch_chol; below n_max=32 the kernel's fixed 128-wide
+  padded sweep wastes more FLOPs than the while loops cost, so auto
+  stays on the dense path); True forces it; False disables; 'interpret'
+  runs the Pallas kernel in interpret mode (CPU tests);
+  'tasks3d'/'grid2d'/'xla' pick the implementation explicitly. Forced
+  Mosaic impls (True/'tasks3d'/'grid2d') fall back to interpret mode on
+  non-TPU backends — the kernel uses pltpu.VMEM scratch and cannot
+  lower elsewhere.
   """
   flag = (params.config or {}).get('batched_chol', 'auto')
   if flag is None:
@@ -177,12 +182,19 @@ def _batched_chol_route(params, packed):
   n_max = packed.x.shape[1]
   if n_max > 128:
     return None
-  if flag in ('tasks3d', 'grid2d', 'xla'):
+  dev = jax.devices()[0]
+  on_tpu = (dev.platform == 'tpu'
+            or 'TPU' in str(getattr(dev, 'device_kind', '')))
+  if flag == 'xla':
     return flag, False
+  if flag in ('tasks3d', 'grid2d'):
+    return flag, not on_tpu
   if flag == 'interpret':
     return 'tasks3d', True
-  on_tpu = jax.devices()[0].platform not in ('cpu',)
-  if flag == 'auto' and not on_tpu:
+  if flag is True:
+    return 'tasks3d', not on_tpu
+  # 'auto'
+  if not on_tpu or n_max <= 32:
     return None
   return 'tasks3d', False
 

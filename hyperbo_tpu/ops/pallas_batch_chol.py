@@ -84,7 +84,12 @@ def _sweep_kernel_3d(k_ref, b_ref, w_ref):
   for j in range(n):
     prow = w_ref[j:j + 1, :, :]                        # (1, T, N)
     piv = prow[:, :, j:j + 1]                          # (1, T, 1)
-    rp = jax.lax.rsqrt(jnp.maximum(piv, 1e-30))
+    # No pivot clamp: a non-PD K must yield NaN (rsqrt of a negative)
+    # so the trainers' isfinite-freeze trips exactly as it does on the
+    # dense lax.linalg.cholesky path. A clamp here would turn an
+    # indefinite batch into large-but-finite garbage and silently
+    # corrupt training.
+    rp = jax.lax.rsqrt(piv)
     wseg = w_ref[j:j + n + 1]                          # (N+1, T, N)
     colseg = wseg[:, :, j:j + 1] * rp                  # (N+1, T, 1)
     rowm = jnp.where(lane > j, prow * rp, 0.0)         # (1, T, N)
@@ -110,7 +115,7 @@ def _sweep_kernel_2d(k_ref, b_ref, w_ref):
   for j in range(n):
     prow = w_ref[j:j + 1, :]                           # (1, N)
     piv = prow[:, j:j + 1]                             # (1, 1)
-    rp = jax.lax.rsqrt(jnp.maximum(piv, 1e-30))
+    rp = jax.lax.rsqrt(piv)  # no clamp: non-PD -> NaN (see tasks3d)
     wseg = w_ref[j:j + n + 1, :]                       # (N+1, N)
     colseg = wseg[:, j:j + 1] * rp                     # (N+1, 1)
     rowm = jnp.where(lane > j, prow * rp, 0.0)         # (1, N)
@@ -210,7 +215,9 @@ def _nll_terms_fwd_impl(kb, delta, impl, interpret):
   z = jnp.matmul(jnp.swapaxes(b, -1, -2), delta)       # L^{-1} delta
   quad = jnp.sum(z * z, axis=(-2, -1))
   diag = jnp.diagonal(b, axis1=-2, axis2=-1)
-  ld = -jnp.sum(jnp.log(jnp.maximum(diag, 1e-30)), axis=-1)
+  # diag B = 1/L_jj > 0 for an SPD input; log of a NaN/nonpositive diag
+  # (non-PD input) must propagate, matching the dense pipeline.
+  ld = -jnp.sum(jnp.log(diag), axis=-1)
   return quad, ld, b, z
 
 

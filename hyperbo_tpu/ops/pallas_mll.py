@@ -1046,12 +1046,13 @@ def _se_core_bwd(l, x_scaled, delta, sv, valid, kfam='se'):
   padded diagonal = da — so d/d da stays the full trace).
   """
   hi = jax.lax.Precision.HIGH
-  z = jax.lax.linalg.triangular_solve(
-      l, delta, left_side=True, lower=True)
-  alpha = jax.lax.linalg.triangular_solve(
-      l, z, left_side=True, lower=True, transpose_a=True)
   linv = _tri_inv(l)
   kinv = jnp.matmul(linv.T, linv, precision=hi)
+  # alpha via the explicit inverse (2n^2 matvec) instead of two chained
+  # 1-RHS triangular solves: at n=8192 each solve is a ~n/block-step
+  # sequential while loop (latency-bound, several ms) while kinv is
+  # already materialized for G. Same accuracy class as kinv itself.
+  alpha = jnp.matmul(kinv, delta, precision=hi)
   gmat = 0.5 * (kinv - jnp.matmul(alpha, alpha.T, precision=hi))
   sqn = jnp.sum(x_scaled * x_scaled, axis=1, keepdims=True)
   r2 = jnp.maximum(sqn + sqn.T - 2.0 * jnp.matmul(x_scaled, x_scaled.T,

@@ -27,6 +27,27 @@ import optax
 from hyperbo_tpu.models import packed as packed_lib
 
 
+def _guarded_update(optimizer, loss_fn, model, opt_state, frozen, batch):
+  """One Adam update with the on-device NaN-freeze.
+
+  Shared by every scan-based trainer in this module: a non-finite loss
+  keeps the previous model/optimizer state and latches `frozen` so all
+  remaining steps are no-ops (the on-device equivalent of the reference
+  loop's break-on-instability, hyperbo/gp_utils/gp.py:134-141).
+
+  Returns (model, opt_state, frozen, loss).
+  """
+  loss, grads = jax.value_and_grad(loss_fn)(model, batch)
+  updates, new_opt_state = optimizer.update(grads, opt_state)
+  new_model = optax.apply_updates(model, updates)
+  ok = jnp.isfinite(loss) & ~frozen
+  model = jax.tree.map(lambda new, old: jnp.where(ok, new, old),
+                       new_model, model)
+  opt_state = jax.tree.map(lambda new, old: jnp.where(ok, new, old),
+                           new_opt_state, opt_state)
+  return model, opt_state, frozen | ~jnp.isfinite(loss), loss
+
+
 def fit_adam(loss_fn: Callable[[Dict[str, Any], Any], jnp.ndarray],
              model_params: Dict[str, Any],
              dataset_iter,
@@ -123,15 +144,9 @@ def fit_adam_scan(loss_fn: Callable[[Dict[str, Any], Any], jnp.ndarray],
     model, opt_state, k, frozen = carry
     k, sk = jax.random.split(k)
     batch = subsample_fn(sk, data) if subsample_fn else data
-    loss, grads = jax.value_and_grad(loss_fn)(model, batch)
-    updates, new_opt_state = optimizer.update(grads, opt_state)
-    new_model = optax.apply_updates(model, updates)
-    ok = jnp.isfinite(loss) & ~frozen
-    model = jax.tree.map(lambda new, old: jnp.where(ok, new, old),
-                         new_model, model)
-    opt_state = jax.tree.map(lambda new, old: jnp.where(ok, new, old),
-                             new_opt_state, opt_state)
-    return (model, opt_state, k, frozen | ~jnp.isfinite(loss)), loss
+    model, opt_state, frozen, loss = _guarded_update(
+        optimizer, loss_fn, model, opt_state, frozen, batch)
+    return (model, opt_state, k, frozen), loss
 
   init_opt_state = config.get('opt_state')
   if init_opt_state is None:
@@ -166,6 +181,47 @@ def fit_adam_scan(loss_fn: Callable[[Dict[str, Any], Any], jnp.ndarray],
   return model, losses
 
 
+def make_fit_adam_scan(loss_fn: Callable[[Dict[str, Any], Any],
+                                         jnp.ndarray],
+                       subsample_fn: Optional[Callable[[jax.Array, Any],
+                                                       Any]],
+                       config: Dict[str, Any]):
+  """Reusable compiled analog of `fit_adam_scan`: compile once, train many.
+
+  `fit_adam_scan` wraps its scan in a fresh `jax.jit` per call, so a
+  loop that retrains repeatedly on same-shaped data (the BO retrain
+  path, reference hyperbo/bo_utils/bayesopt.py:60-75, re-fits the GP
+  every iteration) pays the full host retrace each time — measured ~6 s
+  per call at PD1 scale against sub-second device time (PERF.md). This
+  factory returns ONE jitted `run(model_params, data, key) ->
+  (model_params, losses)` shared across all same-shaped calls.
+
+  Semantics match `fit_adam_scan` (per-step subsample, NaN-freeze)
+  except: no callbacks/checkpointing, no opt_state resume, and the
+  per-step PRNG keys are pre-split from `key` rather than threaded
+  through the carry (same distributional semantics, different draws).
+  Callers needing those features should use `fit_adam_scan`.
+  """
+  optimizer = optax.adam(config['learning_rate'])
+  steps = int(config['max_training_step'])
+
+  @jax.jit
+  def run(model, data, key):
+    def step(carry, k):
+      model, opt_state, frozen = carry
+      batch = subsample_fn(k, data) if subsample_fn else data
+      model, opt_state, frozen, loss = _guarded_update(
+          optimizer, loss_fn, model, opt_state, frozen, batch)
+      return (model, opt_state, frozen), loss
+
+    carry = (model, optimizer.init(model), jnp.array(False))
+    (model, _, _), losses = jax.lax.scan(step, carry,
+                                         jax.random.split(key, steps))
+    return model, losses
+
+  return run
+
+
 def fit_adam_packed(mean_func,
                     cov_func,
                     model_params: Dict[str, Any],
@@ -194,6 +250,12 @@ def fit_adam_packed(mean_func,
   from hyperbo_tpu.core import defs  # local import to avoid cycle
 
   batch_size = int(config.get('batch_size', packed.x.shape[1]))
+  if in_shardings is not None and 'batched_chol' not in config:
+    # GSPMD cannot partition a pallas_call: under task sharding the
+    # auto-routed batched-chol kernel would force replication (or fail
+    # to partition) where the vmapped XLA pipeline shards cleanly.
+    # Explicit user settings are honored; only the auto-route is off.
+    config = dict(config, batched_chol=False)
   if loss_fn is None:
     def loss_fn(model, batch):
       shim = defs.GPParams(model=model, config=config)
@@ -290,15 +352,9 @@ def make_fit_adam_packed(mean_func,
     def step(carry, k):
       model, opt_state, frozen = carry
       batch = subsample(k, packed_run)
-      loss, grads = jax.value_and_grad(loss_fn)(model, batch)
-      updates, new_opt_state = optimizer.update(grads, opt_state)
-      new_model = optax.apply_updates(model, updates)
-      ok = jnp.isfinite(loss) & ~frozen
-      model = jax.tree.map(lambda new, old: jnp.where(ok, new, old),
-                           new_model, model)
-      opt_state = jax.tree.map(lambda new, old: jnp.where(ok, new, old),
-                               new_opt_state, opt_state)
-      return (model, opt_state, frozen | ~jnp.isfinite(loss)), loss
+      model, opt_state, frozen, loss = _guarded_update(
+          optimizer, loss_fn, model, opt_state, frozen, batch)
+      return (model, opt_state, frozen), loss
 
     carry = (model, optimizer.init(model), jnp.array(False))
     (model, _, _), losses = jax.lax.scan(step, carry,
@@ -377,15 +433,9 @@ def fit_adam_packed_multistart(mean_func,
     model, opt_state, k, frozen = carry
     k, sk = jax.random.split(k)
     batch = packed_lib.subsample_packed(sk, packed, batch_size)
-    loss, grads = jax.value_and_grad(loss_fn)(model, batch)
-    updates, new_opt_state = optimizer.update(grads, opt_state)
-    new_model = optax.apply_updates(model, updates)
-    ok = jnp.isfinite(loss) & ~frozen
-    model = jax.tree.map(lambda new, old: jnp.where(ok, new, old),
-                         new_model, model)
-    opt_state = jax.tree.map(lambda new, old: jnp.where(ok, new, old),
-                             new_opt_state, opt_state)
-    return (model, opt_state, k, frozen | ~jnp.isfinite(loss)), loss
+    model, opt_state, frozen, loss = _guarded_update(
+        optimizer, loss_fn, model, opt_state, frozen, batch)
+    return (model, opt_state, k, frozen), loss
 
   @functools.partial(jax.jit, static_argnums=(1,))
   def run_chunk(carry, length):

@@ -115,6 +115,52 @@ def test_packed_route_gating():
   assert packed_lib._batched_chol_route(shim_auto, packed) is None
 
 
+def test_non_pd_propagates_nan():
+  """A non-PD K must come out NaN (not finite garbage) so the trainers'
+  isfinite-freeze trips exactly as on the dense-Cholesky path."""
+  kb = _spd_batch(jax.random.PRNGKey(8), 2, 32)
+  kb = kb.at[1].add(-10.0 * jnp.eye(32))  # task 1 indefinite
+  delta = jax.random.normal(jax.random.PRNGKey(9), (2, 32, 1))
+  quad, ld = pbc.nll_terms_batched(kb, delta, 'tasks3d', True)
+  assert bool(jnp.isfinite(quad[0])) and bool(jnp.isfinite(ld[0]))
+  assert not bool(jnp.isfinite(quad[1])) or not bool(jnp.isfinite(ld[1]))
+
+
+class _FakeTpu:
+  platform = 'tpu'
+  device_kind = 'TPU v5 lite'
+
+
+def test_route_platform_gating(monkeypatch):
+  """Forced Mosaic impls fall back to interpret off-TPU; auto needs
+  32 < n_max <= 128 on TPU."""
+  packed, model = _packed_setup(jax.random.PRNGKey(10))  # n_max = 40
+
+  def shim(flag):
+    return defs.GPParams(model=model, config={'batched_chol': flag})
+
+  # On CPU: True / explicit Mosaic impls degrade to interpret mode.
+  assert packed_lib._batched_chol_route(shim(True), packed) == (
+      'tasks3d', True)
+  assert packed_lib._batched_chol_route(shim('grid2d'), packed) == (
+      'grid2d', True)
+  assert packed_lib._batched_chol_route(shim('xla'), packed) == (
+      'xla', False)
+
+  monkeypatch.setattr(packed_lib.jax, 'devices', lambda: [_FakeTpu()])
+  # On TPU: auto engages for n_max = 40 with the real kernel...
+  assert packed_lib._batched_chol_route(shim('auto'), packed) == (
+      'tasks3d', False)
+  # ...but stays dense below the n_max = 32 padding-waste threshold.
+  small = packed_lib.PackedDataset(
+      x=jnp.zeros((2, 24, 2)), y=jnp.zeros((2, 24, 1)),
+      mask=jnp.ones((2, 24), bool), count=jnp.full((2,), 24),
+      task_mask=jnp.ones((2,), bool))
+  assert packed_lib._batched_chol_route(shim('auto'), small) is None
+  assert packed_lib._batched_chol_route(shim(True), packed) == (
+      'tasks3d', False)
+
+
 def test_vmap_over_models():
   """Multistart vmaps the whole loss over restart-stacked params."""
   packed, model = _packed_setup(jax.random.PRNGKey(6))

@@ -197,3 +197,39 @@ def test_incremental_cache_traces_o1_across_appends():
   # 12 appends from n=12 -> 24: buckets 64 only => exactly 1 new trace.
   assert misses <= 2, f'{misses} append-program traces for 12 appends'
   assert model.params.cache[0].num_obs == model.dataset[0].x.shape[0]
+
+
+def test_trainer_cache_reused_across_retrains():
+  """Repeated train() calls (the BO retrain loop) share ONE compiled
+  runner per packed shape instead of re-tracing the training scan."""
+  model = _make_model(jax.random.PRNGKey(50))
+  model.params.config['max_training_step'] = 5
+  model.train()
+  assert len(model._trainer_cache) == 1
+  runner0 = next(iter(model._trainer_cache.values()))
+  model.train()
+  assert len(model._trainer_cache) == 1
+  assert next(iter(model._trainer_cache.values())) is runner0
+
+  # Bucketed packing: appends inside the same pad bucket keep the key.
+  model.params.config['train_pad_to_multiple'] = 64
+  nx = jax.random.normal(jax.random.PRNGKey(51), (1, 2))
+  ny = jax.random.normal(jax.random.PRNGKey(52), (1, 1))
+  model.update_sub_dataset((nx, ny), 0, is_append=True)
+  model.train()  # n 12->13 but bucket 64: one new entry for new pad cfg
+  n_after_bucket = len(model._trainer_cache)
+  model.update_sub_dataset((nx, ny), 0, is_append=True)
+  model.train()  # still inside the 64 bucket: no new entry
+  assert len(model._trainer_cache) == n_after_bucket
+
+
+def test_trainer_cache_bypassed_when_periodic():
+  """checkpointing/callbacks keep the fit_adam_scan path (exact chunked
+  semantics) — the cache must not swallow the callback."""
+  model = _make_model(jax.random.PRNGKey(53))
+  model.params.config['max_training_step'] = 4
+  model.params.config['checkpoint_every'] = 2
+  seen = []
+  model.train(callback=lambda step, m, loss: seen.append(step))
+  assert seen, 'callback did not fire'
+  assert not model._trainer_cache
