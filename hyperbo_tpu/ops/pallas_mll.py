@@ -891,6 +891,20 @@ def mll_fused_g(x_scaled: jnp.ndarray, y: jnp.ndarray,
     # keys on what actually runs) instead of silently ignoring the
     # requested mode inside the kernel.
     pivot_mode = 'scalar'
+  # Scratch buffers that the selected sweep variant never touches are
+  # allocated as minimal (8, 128) dummies: the remote toolchain's
+  # scoped-VMEM accounting (16 MB limit as of 2026-08-17, measured
+  # 16.12M for the default config with full allocations) counts them
+  # whether used or not, and the default value-carried static sweep
+  # uses neither the fori top/bot buffers nor the five hier-sweep
+  # blocks (_sweep_fori writes top/bot only when
+  # `not (values and unroll >= mb)`; sweep_inner_hier only runs under
+  # hier_sweep).
+  dummy = (8, 128)
+  topbot_shape = ((mb, block)
+                  if not (value_sweep and sweep_unroll >= mb) else dummy)
+  hier_shape = (block // 2, block // 2) if hier_sweep else dummy
+  subsweep_shape = (mb, block // 2) if hier_sweep else dummy
   kernel = functools.partial(_kernel_mll_g, n, d, block, half, precise,
                              mode, mb, slots, group, scoped_sweep,
                              sweep_unroll, return_l, hier_sweep,
@@ -926,15 +940,15 @@ def mll_fused_g(x_scaled: jnp.ndarray, y: jnp.ndarray,
           pltpu.VMEM((gb, 1), jnp.float32),             # s partial
           pltpu.VMEM((2, half, 128), jnp.float32),      # xa tiles (x2)
           pltpu.VMEM((gb, 128), jnp.float32),           # xb tile
-          pltpu.VMEM((mb, block), jnp.float32),         # sweep top
-          pltpu.VMEM((mb, block), jnp.float32),         # sweep bot
-          pltpu.VMEM((block // 2, block // 2), jnp.float32),  # lt_a
-          pltpu.VMEM((block // 2, block // 2), jnp.float32),  # w_a
-          pltpu.VMEM((block // 2, block // 2), jnp.float32),  # lt_b
-          pltpu.VMEM((block // 2, block // 2), jnp.float32),  # w_b
-          pltpu.VMEM((block // 2, block // 2), jnp.float32),  # d22
-          pltpu.VMEM((mb, block // 2), jnp.float32),    # sub-sweep top
-          pltpu.VMEM((mb, block // 2), jnp.float32),    # sub-sweep bot
+          pltpu.VMEM(topbot_shape, jnp.float32),        # sweep top
+          pltpu.VMEM(topbot_shape, jnp.float32),        # sweep bot
+          pltpu.VMEM(hier_shape, jnp.float32),          # lt_a
+          pltpu.VMEM(hier_shape, jnp.float32),          # w_a
+          pltpu.VMEM(hier_shape, jnp.float32),          # lt_b
+          pltpu.VMEM(hier_shape, jnp.float32),          # w_b
+          pltpu.VMEM(hier_shape, jnp.float32),          # d22
+          pltpu.VMEM(subsweep_shape, jnp.float32),      # sub-sweep top
+          pltpu.VMEM(subsweep_shape, jnp.float32),      # sub-sweep bot
           pltpu.SemaphoreType.DMA((slots,)),            # sem_l
           pltpu.SemaphoreType.DMA((slots,)),            # sem_s
           pltpu.SemaphoreType.DMA((2,)),                # sem_x
@@ -944,13 +958,18 @@ def mll_fused_g(x_scaled: jnp.ndarray, y: jnp.ndarray,
       interpret=interpret,
   )(xa, xb, y_pm, sv, da)
   if return_l:
-    l = jnp.moveaxis(l_pm, 0, 1).reshape(n, n)
-    # The kernel stores diagonal (B, B) blocks transposed; fix here.
+    # The kernel stores diagonal (B, B) blocks transposed; fix them IN
+    # the panel-major layout (l_pm[p] holds all n rows of column-panel
+    # p, so the diagonal block is row-block p of panel p) — a (nb, B, B)
+    # gather/scatter — before the single dense-layout transpose. The
+    # previous dense-side fix cost two extra full n^2 transpose
+    # materializations (~1.3 ms of HBM traffic at n=8192 inside the
+    # VJP forward).
     idx = jnp.arange(nb)
-    blocks = l.reshape(nb, block, nb, block).transpose(0, 2, 1, 3)
+    blocks = l_pm.reshape(nb, nb, block, block)       # [panel, rowblk]
     diagb = blocks[idx, idx]                          # (nb, B, B)
     blocks = blocks.at[idx, idx].set(jnp.swapaxes(diagb, -1, -2))
-    l = blocks.transpose(0, 2, 1, 3).reshape(n, n)
+    l = jnp.moveaxis(blocks.reshape(nb, n, block), 0, 1).reshape(n, n)
     return l, quad[0, 0], ld[0, 0]
   return quad[0, 0], ld[0, 0]
 
@@ -999,7 +1018,8 @@ def _se_nll_core_fn(block: int, half: int, group: int, interpret: bool,
   def bwd(res, g):
     l, x_scaled, delta, sv, da = res
     d_x, d_delta, d_sv, d_da = _se_core_bwd(l, x_scaled, delta, sv,
-                                            None, kfam)
+                                            None, kfam,
+                                            interpret=interpret)
     return (g * d_x, g * d_delta, g * d_sv, g * d_da)
 
   core.defvjp(fwd, bwd)
@@ -1025,7 +1045,61 @@ def _tri_inv(l):
       lower=True)
 
 
-def _se_core_bwd(l, x_scaled, delta, sv, valid, kfam='se'):
+def _bwd_precision():
+  """Precision for the backward's n x n products.
+
+  HIGH (X3 / 3-pass bf16) by default to match the forward kernel's
+  accuracy class. HYPERBO_BWD_PREC=default opts into single-pass bf16
+  (the v5e's native 2x-faster mode): gradient accuracy drops to the
+  ~1e-3 relative class, which is usually irrelevant for Adam/L-BFGS
+  pre-training but outside the repo's 1e-4 parity tests — hence opt-in.
+  """
+  import os
+  if os.environ.get('HYPERBO_BWD_PREC', 'high') == 'default':
+    return jax.lax.Precision.DEFAULT
+  return jax.lax.Precision.HIGH
+
+
+def _kinv_from_linv(linv, precision):
+  """K^{-1} = L^{-T} L^{-1}, optionally exploiting the triangularity.
+
+  The plain GEMM is 2n^3 FLOPs and ignores that linv is lower
+  triangular. HYPERBO_BWD_KINV=syrk computes K^{-1} by block columns:
+  column block j of K^{-1} is linv[j:, :]^T @ linv[j:, j:j+b] (rows
+  above j of the j-th column block of linv are zero), which sums to
+  n^3 FLOPs — the classic LAUUM trick, expressed as nb static-shape
+  GEMMs XLA schedules back-to-back.
+  """
+  import os
+  if os.environ.get('HYPERBO_BWD_KINV', 'gemm') == 'syrk':
+    n = linv.shape[0]
+    for b in (512, 256, 128):
+      if n % b == 0 and b < n:
+        cols = []
+        for j in range(0, n, b):
+          tail = linv[j:, :]
+          cols.append(jnp.matmul(tail.T, tail[:, j:j + b],
+                                 precision=precision))
+        return jnp.concatenate(cols, axis=1)
+  return jnp.matmul(linv.T, linv, precision=precision)
+
+
+def _bwd_fused_wanted(n, valid, interpret):
+  """Route the VJP backward through the fused Pallas kernel?
+
+  HYPERBO_BWD_FUSED=1 opts in (ops/pallas_mll_bwd: the block-triangular
+  SYRK consumes each K^{-1} block in VMEM — K^{-1}/G/W never reach
+  HBM). v1 serves the unmasked single-task path only.
+  """
+  import os
+  del interpret  # the kernel has an interpret mode; routing is the same
+  if os.environ.get('HYPERBO_BWD_FUSED', '0') != '1':
+    return False
+  return valid is None and n % 512 == 0
+
+
+def _se_core_bwd(l, x_scaled, delta, sv, valid, kfam='se',
+                 interpret=False):
   """Shared closed-form adjoints for the fused NLL cores.
 
   G = dnll/dK = 0.5 (K^{-1} - alpha alpha^T) from the saved factor;
@@ -1045,9 +1119,20 @@ def _se_core_bwd(l, x_scaled, delta, sv, valid, kfam='se'):
   to match the penalty-masked forward kernel (padded Gram entries ~ 0,
   padded diagonal = da — so d/d da stays the full trace).
   """
-  hi = jax.lax.Precision.HIGH
+  hi = _bwd_precision()
   linv = _tri_inv(l)
-  kinv = jnp.matmul(linv.T, linv, precision=hi)
+  if _bwd_fused_wanted(l.shape[-1], valid, interpret):
+    from hyperbo_tpu.ops import pallas_mll_bwd
+    n = l.shape[-1]
+    block = 256
+    tpm = jnp.moveaxis(linv.reshape(n, n // block, block), 1, 0)
+    alpha = jnp.matmul(linv.T, jnp.matmul(linv, delta, precision=hi),
+                       precision=hi)
+    d_x, dsv_raw, d_da = pallas_mll_bwd.mll_bwd_fused(
+        tpm, x_scaled, alpha, sv, block=block, chunk=512, kfam=kfam,
+        interpret=interpret)
+    return d_x, alpha, dsv_raw / sv, d_da
+  kinv = _kinv_from_linv(linv, hi)
   # alpha via the explicit inverse (2n^2 matvec) instead of two chained
   # 1-RHS triangular solves: at n=8192 each solve is a ~n/block-step
   # sequential while loop (latency-bound, several ms) while kinv is
@@ -1228,7 +1313,8 @@ def _se_nll_core_masked_fn(block: int, half: int, group: int,
   def bwd(res, g):
     l, x_scaled, delta, sv, da, valid = res
     d_x, d_delta, d_sv, d_da = _se_core_bwd(l, x_scaled, delta, sv,
-                                            valid, kfam)
+                                            valid, kfam,
+                                            interpret=interpret)
     return (g * d_x, g * d_delta, g * d_sv, g * d_da,
             jnp.zeros_like(valid))
 

@@ -1,0 +1,239 @@
+"""Fused backward pass for the single-kernel GP NLL (Pallas/Mosaic).
+
+The fused-MLL custom VJP (ops/pallas_mll._se_core_bwd) needs, from the
+factor L the forward kernel already wrote:
+
+  G  = dnll/dK = 0.5 (K^{-1} - alpha alpha^T),   alpha = K^{-1} delta
+  d_sv ~ sum(G o K),   d_da = tr(G),
+  d_x  = 2 [(W x) - (W 1) o x],   W = G o N(r2)   (N per kernel family)
+
+The XLA chain materializes K^{-1} = T^T T (T = L^{-1}) as a full 2n^3
+GEMM plus ~10 HBM passes of n^2 elementwise temporaries. This kernel
+exploits two structural facts instead:
+
+  * T is lower triangular, so block (i, j) of K^{-1} (i >= j) only sums
+    panel rows k >= i*B: the triangular block-SYRK is n^3/3 MACs, and
+    by symmetry only the lower block triangle is ever computed;
+  * every consumer of K^{-1} is an elementwise-weighted reduction, so
+    each (B, B) block is consumed IN VMEM the moment its accumulation
+    finishes — K^{-1}, G and W never exist in HBM at all. The r2 tile
+    regenerates from the same [-2x, sqn, 1] x [x, 1, sqn] embedding
+    trick as the forward kernel, and one (B, B) @ (B, 128) product per
+    side yields BOTH W @ x (lanes 0..d-1) and the row sums W @ 1
+    (lane d) because the b-embedding carries a ones lane.
+
+Inputs are panel-major T (nb, n, B) — the natural layout of
+triangular_solve output after one transpose — and tile-major embedding
+tiles; output is the (n, 128) P-accumulator (P = W x | W 1 lanes) plus
+the d_sv / d_da scalars. The host wrapper assembles the final adjoints.
+
+Reference semantics anchor: the gradient of the training objective at
+hyperbo/gp_utils/gp.py:124-146 (value_and_grad of the NLL per step).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hyperbo_tpu.ops.pallas_chol_hbm import _pdot
+
+_SQRT3 = 3.0 ** 0.5
+_SQRT5 = 5.0 ** 0.5
+
+
+def _km_nm(sqd, sv, kfam):
+  """(kmat, neg2kp) = (sv * k(r2), -2 sv dk/dr2) per kernel family.
+
+  Same forms as ops/pallas_mll._se_core_bwd; sqd is clamped at 0 like
+  the forward's _gram_transform.
+  """
+  r2 = jnp.maximum(sqd, 0.0)
+  if kfam == 'se':
+    km = sv * jnp.exp(-0.5 * r2)
+    return km, km
+  if kfam == 'matern32':
+    r = _SQRT3 * jnp.sqrt(r2)
+    e = jnp.exp(-r)
+    return sv * (1.0 + r) * e, 3.0 * sv * e
+  if kfam == 'matern52':
+    r = _SQRT5 * jnp.sqrt(r2)
+    e = jnp.exp(-r)
+    return (sv * (1.0 + r + (r * r) * (1.0 / 3.0)) * e,
+            (5.0 / 3.0) * sv * (1.0 + r) * e)
+  raise ValueError(f'unknown fused kernel family: {kfam!r}')
+
+
+def _kernel_bwd(n, d, block, chunk, precise, kfam,
+                tpm_hbm, xa_hbm, xb_hbm, arow_ref, acol_ref, sv_ref,
+                pacc_hbm, dsv_ref, dda_ref,
+                ci, cj, xai, xbi, xbj, pacc, sem_c, sem_x, sem_out):
+  """One sequential pass over the lower block triangle of K^{-1}."""
+  nb = n // block
+  wdims = (((1,), (1,)), ((), ()))       # a @ b^T (contract lanes)
+  rdims = (((0,), (0,)), ((), ()))       # a^T @ b (contract sublanes)
+  mdims = (((1,), (0,)), ((), ()))       # a @ b
+  eye_b = (jax.lax.broadcasted_iota(jnp.int32, (block, block), 0) ==
+           jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
+           ).astype(jnp.float32)
+
+  pacc[:] = jnp.zeros((n, 128), jnp.float32)
+  dsv_ref[0, 0] = 0.0
+  dda_ref[0, 0] = 0.0
+
+  def x_copy(src_hbm, p, buf, s):
+    return pltpu.make_async_copy(src_hbm.at[p], buf, sem_x.at[s])
+
+  def strip_copy(panel, row0, buf, slot, sem_sel):
+    return pltpu.make_async_copy(
+        tpm_hbm.at[panel, pl.ds(row0, chunk), :], buf.at[slot],
+        sem_c.at[sem_sel])
+
+  def i_loop(i, _):
+    ib = pl.multiple_of(i * block, block)
+    cxa = x_copy(xa_hbm, i, xai, 0)
+    cxb = x_copy(xb_hbm, i, xbi, 1)
+    cxa.start()
+    cxb.start()
+    # k-range: panel rows [align_down(i*B, chunk), n). Rows of panel i
+    # above i*B are exactly zero (T is lower triangular), so aligning
+    # DOWN to the chunk grid only adds zero terms to the accumulator
+    # and keeps every DMA a full (chunk, B) tile.
+    k0 = jax.lax.div(ib, chunk) * chunk
+    nchunks = jax.lax.div(n - k0, chunk)
+    cxa.wait()
+    cxb.wait()
+
+    def j_loop(j, _):
+      jb = pl.multiple_of(j * block, block)
+      cx = x_copy(xb_hbm, j, xbj, 2)
+      cx.start()
+      # double-buffered strip DMAs over the k-chunks of panels i and j
+      strip_copy(i, k0, ci, 0, 0).start()
+      strip_copy(j, k0, cj, 0, 1).start()
+      cx.wait()
+
+      def k_step(c, kacc):
+        slot = jax.lax.rem(c, 2)
+        row = k0 + c * chunk
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+          nxt = jax.lax.rem(c + 1, 2)
+          strip_copy(i, row + chunk, ci, nxt, 2 * nxt).start()
+          strip_copy(j, row + chunk, cj, nxt, 2 * nxt + 1).start()
+
+        strip_copy(i, row, ci, slot, 2 * slot).wait()
+        strip_copy(j, row, cj, slot, 2 * slot + 1).wait()
+        return kacc + _pdot(ci[slot], cj[slot], rdims, precise)
+
+      kacc = jax.lax.fori_loop(
+          0, nchunks, k_step, jnp.zeros((block, block), jnp.float32))
+
+      # --- consume the K^{-1} block entirely in VMEM ---
+      sqd = _pdot(xai[:], xbj[:], wdims, precise)
+      km, nm = _km_nm(sqd, sv_ref[0, 0], kfam)
+      outer = acol_ref[pl.ds(ib, block), :] * arow_ref[pl.ds(j, 1), :]
+      g = 0.5 * kacc - 0.5 * outer
+      on_diag = (i == j).astype(jnp.float32)
+      w2 = 2.0 - on_diag
+      dsv_ref[0, 0] += w2 * jnp.sum(g * km)
+      dda_ref[0, 0] += on_diag * jnp.sum(g * eye_b)
+      w = g * nm
+      pacc[pl.ds(ib, block), :] += _pdot(w, xbj[:], mdims, precise)
+
+      @pl.when(j < i)
+      def _():
+        pacc[pl.ds(jb, block), :] += _pdot(w, xbi[:], rdims, precise)
+      return 0
+
+    jax.lax.fori_loop(0, i + 1, j_loop, 0)
+    return 0
+
+  jax.lax.fori_loop(0, nb, i_loop, 0)
+  co = pltpu.make_async_copy(pacc, pacc_hbm, sem_out)
+  co.start()
+  co.wait()
+
+
+@functools.partial(jax.jit, static_argnames=('block', 'chunk', 'precise',
+                                             'kfam', 'interpret'))
+def mll_bwd_fused(tpm: jnp.ndarray, x_scaled: jnp.ndarray,
+                  alpha: jnp.ndarray, signal_variance,
+                  block: int = 256, chunk: int = 512,
+                  precise: bool = True, kfam: str = 'se',
+                  interpret: bool = False):
+  """Fused NLL adjoints from panel-major T = L^{-1}.
+
+  Args:
+    tpm: (nb, n, block) panel-major lower-triangular inverse — panel p
+      holds all n rows of column block p (rows < p*block are zero).
+    x_scaled: (n, d) length-scaled inputs (same scaling as the forward).
+    alpha: (n, 1) = K^{-1} (y - mu).
+    signal_variance: scalar sv.
+
+  Returns:
+    (d_x, d_sv_raw, d_da): d_x is the (n, d) input adjoint;
+    d_sv_raw = sum(G o K) over the full matrix (caller divides by sv);
+    d_da = tr(G).
+  """
+  n, d = x_scaled.shape
+  nb = n // block
+  assert tpm.shape == (nb, n, block), (tpm.shape, nb, n, block)
+  assert n % chunk == 0 and chunk % block == 0, (n, chunk, block)
+  feat = 128
+  assert d + 2 <= feat, d
+  xs32 = x_scaled.astype(jnp.float32)
+  sqn = jnp.sum(xs32 * xs32, axis=1, keepdims=True)
+  onev = jnp.ones((n, 1), jnp.float32)
+  pad = jnp.zeros((n, feat - d - 2), jnp.float32)
+  xa = jnp.concatenate([-2.0 * xs32, sqn, onev, pad],
+                       axis=1).reshape(nb, block, feat)
+  xb = jnp.concatenate([xs32, onev, sqn, pad],
+                       axis=1).reshape(nb, block, feat)
+  arow = alpha.astype(jnp.float32).reshape(nb, block)
+  acol = alpha.astype(jnp.float32).reshape(n, 1)
+  sv = jnp.asarray(signal_variance, jnp.float32).reshape(1, 1)
+
+  kernel = functools.partial(_kernel_bwd, n, d, block, chunk, precise,
+                             kfam)
+  pacc, dsv, dda = pl.pallas_call(
+      kernel,
+      in_specs=[
+          pl.BlockSpec(memory_space=pl.ANY),            # tpm panels
+          pl.BlockSpec(memory_space=pl.ANY),            # xa tiles
+          pl.BlockSpec(memory_space=pl.ANY),            # xb tiles
+          pl.BlockSpec(memory_space=pltpu.VMEM),        # alpha rows
+          pl.BlockSpec(memory_space=pltpu.VMEM),        # alpha col
+          pl.BlockSpec(memory_space=pltpu.SMEM),        # sv
+      ],
+      out_specs=(
+          pl.BlockSpec(memory_space=pl.ANY),            # P accumulator
+          pl.BlockSpec(memory_space=pltpu.SMEM),        # d_sv raw
+          pl.BlockSpec(memory_space=pltpu.SMEM),        # d_da
+      ),
+      out_shape=(
+          jax.ShapeDtypeStruct((n, feat), jnp.float32),
+          jax.ShapeDtypeStruct((1, 1), jnp.float32),
+          jax.ShapeDtypeStruct((1, 1), jnp.float32),
+      ),
+      scratch_shapes=[
+          pltpu.VMEM((2, chunk, block), jnp.float32),   # ci strips
+          pltpu.VMEM((2, chunk, block), jnp.float32),   # cj strips
+          pltpu.VMEM((block, feat), jnp.float32),       # xa tile of i
+          pltpu.VMEM((block, feat), jnp.float32),       # xb tile of i
+          pltpu.VMEM((block, feat), jnp.float32),       # xb tile of j
+          pltpu.VMEM((n, feat), jnp.float32),           # P accumulator
+          pltpu.SemaphoreType.DMA((4,)),                # strip sems
+          pltpu.SemaphoreType.DMA((3,)),                # x-tile sems
+          pltpu.SemaphoreType.DMA,                      # out sem
+      ],
+      compiler_params=pltpu.CompilerParams(has_side_effects=True),
+      interpret=interpret,
+  )(tpm, xa, xb, arow, acol, sv)
+  d_x = 2.0 * (pacc[:, :d] - pacc[:, d:d + 1] * xs32)
+  return d_x, dsv[0, 0], dda[0, 0]

@@ -21,5 +21,11 @@ setup(
     ],
     extras_require={
         'test': ['pytest'],
+        'checkpoint': ['orbax-checkpoint'],
+    },
+    entry_points={
+        'console_scripts': [
+            'hyperbo-tpu-exp=hyperbo_tpu.experiments.driver:main',
+        ],
     },
 )

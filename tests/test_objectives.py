@@ -658,3 +658,60 @@ def test_make_fit_adam_packed_runner():
                              jax.random.PRNGKey(42))
     assert full_loss(model2) < before
     assert float(losses2[-1]) != float(losses[-1])  # keys differ
+
+
+def test_fused_bwd_knobs_gradient_parity():
+  """The backward env knobs (HYPERBO_BWD_KINV=syrk block-column K^{-1};
+  HYPERBO_BWD_PREC=default single-pass products) keep the fused VJP's
+  gradients in their documented accuracy classes vs the default
+  backward (ops/pallas_mll._kinv_from_linv / _bwd_precision)."""
+  import os
+  from hyperbo_tpu.ops import pallas_mll
+
+  n, d = 512, 3
+  key = jax.random.PRNGKey(52)
+  vx = jax.random.uniform(key, (n, d))
+  vy = jax.random.normal(jax.random.fold_in(key, 1), (n, 1))
+  dataset = {'a': defs.SubDataset(vx, vy)}
+  model = {'constant': 0.3, 'lengthscale': jnp.ones(d) * 0.4,
+           'signal_variance': 0.5, 'noise_variance': -2.0}
+  loss = _nll_loss_fn(kernel.squared_exponential,
+                      {'fused_mll': 'interpret'}, dataset)
+
+  knobs = ('HYPERBO_BWD_KINV', 'HYPERBO_BWD_PREC', 'HYPERBO_BWD_FUSED')
+
+  def grad_with(**env):
+    saved = {k: os.environ.pop(k, None) for k in knobs}
+    os.environ.update(env)
+    pallas_mll._se_nll_core_fn.cache_clear()
+    pallas_mll._se_nll_core_masked_fn.cache_clear()
+    try:
+      return jax.grad(loss)(model)
+    finally:
+      for k in knobs:
+        os.environ.pop(k, None)
+        if saved[k] is not None:
+          os.environ[k] = saved[k]
+      pallas_mll._se_nll_core_fn.cache_clear()
+      pallas_mll._se_nll_core_masked_fn.cache_clear()
+
+  g_ref = grad_with()
+  # syrk is the same arithmetic reassociated: tight tolerance. On CPU
+  # interpret, HIGH precision is exact f32, so expect near-identity.
+  g_syrk = grad_with(HYPERBO_BWD_KINV='syrk')
+  # single-pass products: the ~1e-3 class documented in _bwd_precision
+  # (on CPU DEFAULT == f32, so this mostly checks the code path runs).
+  g_fast = grad_with(HYPERBO_BWD_KINV='syrk', HYPERBO_BWD_PREC='default')
+  # The fully fused Pallas backward (ops/pallas_mll_bwd): K^{-1}
+  # consumed block-wise in VMEM. Noise class of a cancelling f32
+  # reduction (tests/test_pallas_mll_bwd.py pins it vs f64 truth).
+  g_pallas = grad_with(HYPERBO_BWD_FUSED='1')
+  for k in model:
+    a = np.asarray(g_ref[k])
+    np.testing.assert_allclose(np.asarray(g_syrk[k]), a,
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_fast[k]), a,
+                               rtol=5e-3, atol=1e-5)
+    sc = np.max(np.abs(a)) + 1e-8
+    np.testing.assert_allclose(np.asarray(g_pallas[k]), a,
+                               rtol=2e-2, atol=5e-3 * sc)
