@@ -120,7 +120,20 @@ def bench_pd1():
     l0, l1 = float(losses[0]), float(losses[-1])
     return time.perf_counter() - t0, l0, l1
 
-  t_first, l0, l1 = run(3)
+  try:
+    t_first, l0, l1 = run(3)
+  except Exception as e:  # noqa: BLE001
+    # Remote-toolchain drift can reject a Pallas kernel that compiled
+    # on earlier libtpu builds (observed 2026-08-17: scoped-vmem limit
+    # change). Fall back to the pure-XLA packed pipeline rather than
+    # losing the headline.
+    log(f'batched-chol runner failed ({type(e).__name__}); '
+        f'falling back to the XLA packed pipeline: {str(e)[:200]}')
+    params.config['batched_chol'] = False
+    runner = adam_lib.make_fit_adam_packed(
+        mean.linear_mlp, kernel.squared_exponential_mlp, params.config,
+        warp_func=DEFAULT_WARP_FUNC)
+    t_first, l0, l1 = run(3)
   log(f'compile + {steps} steps: {t_first:.1f}s; loss {l0:.2f} -> {l1:.2f}')
   _RESULT.update({
       'metric': 'pd1_scale_pretrain_seconds',
@@ -192,29 +205,7 @@ def bench_chol():
       'lengthscale': jnp.ones(d) * 0.5, 'signal_variance': 0.0,
       'noise_variance': -2.0})
 
-  if use_fused:
-    from hyperbo_tpu.core.warp import retrieve_params
-    from hyperbo_tpu.ops import pallas_mll
-    ls, sv = retrieve_params(params, ['lengthscale', 'signal_variance'],
-                             warp_func=DEFAULT_WARP_FUNC)
-    fb = int(os.environ.get('BENCH_FUSED_BLOCK', 256 if on_tpu else 128))
-    fh = int(os.environ.get('BENCH_FUSED_HALF', 512 if on_tpu else 256))
-    fg = int(os.environ.get('BENCH_FUSED_GROUP', 2))
-    fu = int(os.environ.get('BENCH_FUSED_UNROLL', 32))
-
-    @jax.jit
-    def mll_k(x, y):
-      x_scaled = x / ls
-
-      def one(carry, bump):
-        quad, ld = pallas_mll.mll_fused_g(
-            x_scaled, y, jnp.squeeze(sv), 0.1 + bump, block=fb,
-            half=fh, group=fg, sweep_unroll=fu, interpret=not on_tpu)
-        nll = 0.5 * quad + ld + 0.5 * n * jnp.log(2 * jnp.pi)
-        return carry + nll, ()
-      total, _ = lax.scan(one, 0.0, jnp.linspace(0., 1e-3, k_iters))
-      return total
-  else:
+  def make_dense():
     @jax.jit
     def mll_k(x, y):
       def one(carry, bump):
@@ -229,6 +220,65 @@ def bench_chol():
         return carry + nll, ()
       total, _ = lax.scan(one, 0.0, jnp.linspace(0., 1e-3, k_iters))
       return total
+    return mll_k
+
+  fused_cfg = {}
+  if use_fused:
+    from hyperbo_tpu.core.warp import retrieve_params
+    from hyperbo_tpu.ops import pallas_mll
+    ls, sv = retrieve_params(params, ['lengthscale', 'signal_variance'],
+                             warp_func=DEFAULT_WARP_FUNC)
+    fb = int(os.environ.get('BENCH_FUSED_BLOCK', 256 if on_tpu else 128))
+    fh = int(os.environ.get('BENCH_FUSED_HALF', 512 if on_tpu else 256))
+    fg = int(os.environ.get('BENCH_FUSED_GROUP', 2))
+    fu = int(os.environ.get('BENCH_FUSED_UNROLL', 32))
+
+    def make_fused(cfg):
+      @jax.jit
+      def mll_k(x, y):
+        x_scaled = x / ls
+
+        def one(carry, bump):
+          quad, ld = pallas_mll.mll_fused_g(
+              x_scaled, y, jnp.squeeze(sv), 0.1 + bump, block=fb,
+              half=fh, group=fg, interpret=not on_tpu,
+              **{'sweep_unroll': fu, **cfg})
+          nll = 0.5 * quad + ld + 0.5 * n * jnp.log(2 * jnp.pi)
+          return carry + nll, ()
+        total, _ = lax.scan(one, 0.0, jnp.linspace(0., 1e-3, k_iters))
+        return total
+      return mll_k
+
+    # Remote-toolchain drift can reject configs that compiled on
+    # earlier libtpu builds (2026-08-17: a 16 MB scoped-vmem limit on
+    # Mosaic's stack frame). Walk a ladder of configs rather than
+    # losing the metric; the dense pipeline is the last resort.
+    ladder = [({}, 'default'),
+              ({'force_zero_init': True}, 'zero-pass on'),
+              ({'sweep_unroll': 16}, 'unroll=16'),
+              ({'pivot_mode': 'quadv'}, 'quadv'),
+              ({'sweep_unroll': 16, 'pivot_mode': 'quadv'},
+               'unroll=16+quadv'),
+              ({'sweep_unroll': 16, 'pivot_mode': 'quadv',
+                'force_zero_init': True}, 'unroll=16+quadv+zero')]
+    mll_k = None
+    for cfg, tag in ladder:
+      try:
+        cand = make_fused(cfg)
+        float(cand(x, y))
+        mll_k = cand
+        fused_cfg = cfg
+        if tag != 'default':
+          log(f'fused config fallback engaged: {tag}')
+        break
+      except Exception as e:  # noqa: BLE001
+        log(f'fused config {tag} failed ({type(e).__name__}): '
+            f'{str(e)[:160]}')
+    if mll_k is None:
+      log('all fused configs failed; falling back to the XLA pipeline')
+      use_fused = False
+  if not use_fused:
+    mll_k = make_dense()
 
   float(mll_k(x, y))
   t_mll = timed_scalar(mll_k, x, y)
@@ -286,7 +336,8 @@ def bench_chol():
         def one(carry, bump):
           quad, ld2 = pallas_mll.mll_fused_g(
               xs2, y2, jnp.squeeze(sv), 0.1 + bump, block=fb, half=fh,
-              group=fg, sweep_unroll=fu, interpret=not on_tpu)
+              group=fg, interpret=not on_tpu,
+              **{'sweep_unroll': fu, **fused_cfg})
           return carry + 0.5 * quad + ld2, ()
         tot, _ = lax.scan(one, 0.0, jnp.linspace(0., 1e-3, k2))
         return tot

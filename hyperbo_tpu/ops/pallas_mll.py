@@ -821,7 +821,8 @@ def _kernel_mll_g(n, d, block, half, precise, mode, mb, slots, group,
                                              'sweep_unroll',
                                              'hier_sweep', 'value_sweep',
                                              'pivot_mode', 'kfam',
-                                             'return_l', 'interpret'))
+                                             'return_l', 'force_zero_init',
+                                             'interpret'))
 def mll_fused_g(x_scaled: jnp.ndarray, y: jnp.ndarray,
                 signal_variance, diag_add, block: int = 256,
                 half: int = 1024, precise: bool = True,
@@ -832,6 +833,7 @@ def mll_fused_g(x_scaled: jnp.ndarray, y: jnp.ndarray,
                 value_sweep: bool = True,
                 pivot_mode: str = 'octv',
                 return_l: bool = False,
+                force_zero_init: bool = False,
                 valid=None,
                 kfam: str = 'se',
                 interpret: bool = False):
@@ -905,10 +907,14 @@ def mll_fused_g(x_scaled: jnp.ndarray, y: jnp.ndarray,
                   if not (value_sweep and sweep_unroll >= mb) else dummy)
   hier_shape = (block // 2, block // 2) if hier_sweep else dummy
   subsweep_shape = (mb, block // 2) if hier_sweep else dummy
+  # zero_init normally follows return_l (the zero pass only matters for
+  # an exported L); force_zero_init decouples them as a toolchain-
+  # bisect/fallback axis (round 4: the zero-skip variant crashes the
+  # updated remote compile-helper).
   kernel = functools.partial(_kernel_mll_g, n, d, block, half, precise,
                              mode, mb, slots, group, scoped_sweep,
-                             sweep_unroll, return_l, hier_sweep,
-                             value_sweep, pivot_mode, kfam)
+                             sweep_unroll, return_l or force_zero_init,
+                             hier_sweep, value_sweep, pivot_mode, kfam)
   l_pm, quad, ld = pl.pallas_call(
       kernel,
       in_specs=[
@@ -1089,13 +1095,13 @@ def _bwd_fused_wanted(n, valid, interpret):
 
   HYPERBO_BWD_FUSED=1 opts in (ops/pallas_mll_bwd: the block-triangular
   SYRK consumes each K^{-1} block in VMEM — K^{-1}/G/W never reach
-  HBM). v1 serves the unmasked single-task path only.
+  HBM). Serves both the unmasked and the packed/masked paths.
   """
   import os
-  del interpret  # the kernel has an interpret mode; routing is the same
+  del interpret, valid  # kernel handles both; routing is the same
   if os.environ.get('HYPERBO_BWD_FUSED', '0') != '1':
     return False
-  return valid is None and n % 512 == 0
+  return n % 512 == 0
 
 
 def _se_core_bwd(l, x_scaled, delta, sv, valid, kfam='se',
@@ -1130,7 +1136,7 @@ def _se_core_bwd(l, x_scaled, delta, sv, valid, kfam='se',
                        precision=hi)
     d_x, dsv_raw, d_da = pallas_mll_bwd.mll_bwd_fused(
         tpm, x_scaled, alpha, sv, block=block, chunk=512, kfam=kfam,
-        interpret=interpret)
+        valid=valid, interpret=interpret)
     return d_x, alpha, dsv_raw / sv, d_da
   kinv = _kinv_from_linv(linv, hi)
   # alpha via the explicit inverse (2n^2 matvec) instead of two chained

@@ -68,8 +68,9 @@ def _km_nm(sqd, sv, kfam):
   raise ValueError(f'unknown fused kernel family: {kfam!r}')
 
 
-def _kernel_bwd(n, d, block, chunk, precise, kfam,
-                tpm_hbm, xa_hbm, xb_hbm, arow_ref, acol_ref, sv_ref,
+def _kernel_bwd(n, d, block, chunk, precise, kfam, masked,
+                tpm_hbm, xa_hbm, xb_hbm, arow_ref, acol_ref,
+                vrow_ref, vcol_ref, sv_ref,
                 pacc_hbm, dsv_ref, dda_ref,
                 ci, cj, xai, xbi, xbj, pacc, sem_c, sem_x, sem_out):
   """One sequential pass over the lower block triangle of K^{-1}."""
@@ -137,6 +138,14 @@ def _kernel_bwd(n, d, block, chunk, precise, kfam,
       # --- consume the K^{-1} block entirely in VMEM ---
       sqd = _pdot(xai[:], xbj[:], wdims, precise)
       km, nm = _km_nm(sqd, sv_ref[0, 0], kfam)
+      if masked:
+        # Packed-batch masking: kernel factors carry valid_i * valid_j
+        # (matches the penalty-masked forward and the XLA chain in
+        # pallas_mll._se_core_bwd — d_da stays the full trace).
+        pair = (vcol_ref[pl.ds(ib, block), :]
+                * vrow_ref[pl.ds(j, 1), :])
+        km = km * pair
+        nm = nm * pair
       outer = acol_ref[pl.ds(ib, block), :] * arow_ref[pl.ds(j, 1), :]
       g = 0.5 * kacc - 0.5 * outer
       on_diag = (i == j).astype(jnp.float32)
@@ -166,6 +175,7 @@ def mll_bwd_fused(tpm: jnp.ndarray, x_scaled: jnp.ndarray,
                   alpha: jnp.ndarray, signal_variance,
                   block: int = 256, chunk: int = 512,
                   precise: bool = True, kfam: str = 'se',
+                  valid=None,
                   interpret: bool = False):
   """Fused NLL adjoints from panel-major T = L^{-1}.
 
@@ -197,10 +207,15 @@ def mll_bwd_fused(tpm: jnp.ndarray, x_scaled: jnp.ndarray,
                        axis=1).reshape(nb, block, feat)
   arow = alpha.astype(jnp.float32).reshape(nb, block)
   acol = alpha.astype(jnp.float32).reshape(n, 1)
+  masked = valid is not None
+  v = (valid.astype(jnp.float32).reshape(n) if masked
+       else jnp.ones((n,), jnp.float32))
+  vrow = v.reshape(nb, block)
+  vcol = v.reshape(n, 1)
   sv = jnp.asarray(signal_variance, jnp.float32).reshape(1, 1)
 
   kernel = functools.partial(_kernel_bwd, n, d, block, chunk, precise,
-                             kfam)
+                             kfam, masked)
   pacc, dsv, dda = pl.pallas_call(
       kernel,
       in_specs=[
@@ -209,6 +224,8 @@ def mll_bwd_fused(tpm: jnp.ndarray, x_scaled: jnp.ndarray,
           pl.BlockSpec(memory_space=pl.ANY),            # xb tiles
           pl.BlockSpec(memory_space=pltpu.VMEM),        # alpha rows
           pl.BlockSpec(memory_space=pltpu.VMEM),        # alpha col
+          pl.BlockSpec(memory_space=pltpu.VMEM),        # valid rows
+          pl.BlockSpec(memory_space=pltpu.VMEM),        # valid col
           pl.BlockSpec(memory_space=pltpu.SMEM),        # sv
       ],
       out_specs=(
@@ -234,6 +251,6 @@ def mll_bwd_fused(tpm: jnp.ndarray, x_scaled: jnp.ndarray,
       ],
       compiler_params=pltpu.CompilerParams(has_side_effects=True),
       interpret=interpret,
-  )(tpm, xa, xb, arow, acol, sv)
+  )(tpm, xa, xb, arow, acol, vrow, vcol, sv)
   d_x = 2.0 * (pacc[:, :d] - pacc[:, d:d + 1] * xs32)
   return d_x, dsv[0, 0], dda[0, 0]

@@ -92,3 +92,38 @@ def test_bwd_fused_gp_regime_and_uneven_chunk():
   assert np.abs(d_x - dx64).max() / sc < 2e-3
   np.testing.assert_allclose(d_sv, dsv64, atol=5e-2)
   np.testing.assert_allclose(d_da, dda64, rtol=1e-4)
+
+
+def test_bwd_fused_masked_matches_xla_chain():
+  """Packed/masked path: kernel factors carry valid_i * valid_j exactly
+  like the XLA masked chain (pallas_mll._se_core_bwd with valid)."""
+  from hyperbo_tpu.ops import pallas_mll
+  n, count, d, block, chunk = 512, 400, 3, 128, 128
+  key = jax.random.PRNGKey(7)
+  x = jax.random.uniform(key, (n, d), jnp.float32)
+  valid = (jnp.arange(n) < count).astype(jnp.float32)
+  x = x * valid[:, None]
+  delta = jax.random.normal(jax.random.fold_in(key, 1), (n, 1),
+                            jnp.float32) * valid[:, None]
+  sv, da = jnp.float32(1.3), jnp.float32(0.5)
+  sq = jnp.sum(x * x, axis=1, keepdims=True)
+  r2 = jnp.maximum(sq + sq.T - 2.0 * x @ x.T, 0.0)
+  pair = valid[:, None] * valid[None, :]
+  k = sv * jnp.exp(-0.5 * r2) * pair + da * jnp.eye(n)
+  l = jnp.linalg.cholesky(k)
+
+  want_dx, want_alpha, want_dsv, want_dda = pallas_mll._se_core_bwd(
+      l, x, delta, sv, valid, 'se')
+
+  linv = jax.lax.linalg.triangular_solve(
+      l, jnp.eye(n, dtype=l.dtype), left_side=True, lower=True)
+  tpm = jnp.moveaxis(linv.reshape(n, n // block, block), 1, 0)
+  alpha = linv.T @ (linv @ delta)
+  d_x, dsv_raw, d_da = pallas_mll_bwd.mll_bwd_fused(
+      tpm, x, alpha, sv, block=block, chunk=chunk, kfam='se',
+      valid=valid, interpret=True)
+  sc = np.abs(np.asarray(want_dx)).max() + 1e-8
+  assert np.abs(np.asarray(d_x) - np.asarray(want_dx)).max() / sc < 2e-3
+  np.testing.assert_allclose(float(dsv_raw / sv), float(want_dsv),
+                             atol=5e-2, rtol=1e-2)
+  np.testing.assert_allclose(float(d_da), float(want_dda), rtol=1e-3)
