@@ -93,3 +93,47 @@ def test_gram_rowsharded_matches_dense():
   want = kernel.matern52(params, x, warp_func=wf)
   np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                              atol=2e-5)
+
+
+def test_distributed_cholesky_n4096():
+  """Deeper scaling point (round-3/4 priority: grow CPU-mesh evidence
+  while real multi-chip hardware is unavailable): n=4096, 16 block
+  columns per device at block=256, conditioning like the BO posterior
+  regime."""
+  key = jax.random.PRNGKey(11)
+  n = 4096
+  a = jax.random.normal(key, (n, n))
+  a = a @ a.T / n + 2.0 * jnp.eye(n)
+  mesh = mesh_lib.create_mesh(8)
+  got = distributed_chol.distributed_cholesky(a, mesh, block=256)
+  want = jnp.linalg.cholesky(a)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             atol=4e-3)
+
+
+def test_mll_distributed_n1024():
+  """Distributed NLL at a size where every device owns multiple row
+  blocks AND multiple cyclic panels (n=1024, block=64: 16 panels over
+  8 devices)."""
+  from hyperbo_tpu.core import defs
+  from hyperbo_tpu.core.warp import DEFAULT_WARP_FUNC
+  from hyperbo_tpu.models import kernel, mean
+  from hyperbo_tpu.models import objectives as obj
+  from hyperbo_tpu.parallel import large
+
+  key = jax.random.PRNGKey(3)
+  n, d = 1024, 4
+  x = jax.random.uniform(key, (n, d))
+  y = jax.random.normal(jax.random.PRNGKey(4), (n, 1))
+  params = defs.GPParams(model={
+      'constant': 0.1, 'lengthscale': jnp.ones(d) * 0.5,
+      'signal_variance': 0.3, 'noise_variance': -2.0})
+  wf = DEFAULT_WARP_FUNC
+  mesh = mesh_lib.create_mesh(8)
+  got = float(large.mll_distributed(
+      mean.constant, kernel.squared_exponential, params, x, y, mesh,
+      warp_func=wf, block=64))
+  want = float(obj.neg_log_marginal_likelihood(
+      mean_func=mean.constant, cov_func=kernel.squared_exponential,
+      params=params, dataset={0: defs.SubDataset(x, y)}, warp_func=wf))
+  np.testing.assert_allclose(got, want, rtol=2e-4)
