@@ -16,6 +16,11 @@ Demonstrates the three scale-out paths of hyperbo_tpu.parallel
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

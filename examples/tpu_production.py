@@ -1,0 +1,121 @@
+"""The TPU production path, end to end.
+
+The tutorial (examples/demo.py) mirrors the reference notebook through
+the host-loop API. This script is the throughput-oriented flow a
+production deployment uses instead:
+
+  1. pack the multi-task dataset once (`models/packed.pack_dataset`);
+  2. pre-train with a REUSABLE compiled runner
+     (`train/adam.make_fit_adam_packed`) — compile once, train many;
+     on TPU the per-task small-n factorizations route through the
+     batched Pallas kernel (`ops/pallas_batch_chol`, auto);
+  3. run BO entirely on device (`bo/ondevice`): one compiled scan with
+     preallocated buffers and rank-1 Cholesky appends — 0.35 ms per
+     iteration at 10k candidates on a v5e chip vs ~31 ms for the host
+     loop through a remote tunnel.
+
+Runs on CPU at toy sizes (default) and on TPU at PD1 scale:
+
+  env JAX_PLATFORMS=cpu python examples/tpu_production.py
+  python examples/tpu_production.py --tasks 23 --points 2048 --steps 1000
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from hyperbo_tpu.bo import ondevice
+from hyperbo_tpu.core import defs
+from hyperbo_tpu.core.warp import DEFAULT_WARP_FUNC
+from hyperbo_tpu.models import basis as bf
+from hyperbo_tpu.models import kernel, mean
+from hyperbo_tpu.models import packed as packed_lib
+from hyperbo_tpu.train import adam as adam_lib
+
+
+def main():
+  parser = argparse.ArgumentParser()
+  parser.add_argument('--tasks', type=int, default=6)
+  parser.add_argument('--points', type=int, default=128)
+  parser.add_argument('--dim', type=int, default=4)
+  parser.add_argument('--steps', type=int, default=200)
+  parser.add_argument('--bo_iters', type=int, default=25)
+  parser.add_argument('--candidates', type=int, default=500)
+  args = parser.parse_args()
+
+  print(f'device: {jax.devices()[0]}')
+  key = jax.random.PRNGKey(0)
+
+  # --- synthetic multi-task tuning data (PD1-shaped) ---
+  dataset = {}
+  for i in range(args.tasks):
+    k1, k2 = jax.random.split(jax.random.fold_in(key, i))
+    x = jax.random.uniform(k1, (args.points, args.dim))
+    w = jax.random.normal(k2, (args.dim, 1))
+    y = jnp.sin(3 * x @ w) + 0.1 * jax.random.normal(k2,
+                                                     (args.points, 1))
+    dataset[f'workload{i}'] = defs.SubDataset(x, y)
+
+  # --- model: MLP-warped SE kernel, linear-MLP mean ---
+  config = {'method': 'adam', 'learning_rate': 1e-2,
+            'max_training_step': args.steps,
+            'batch_size': min(100, args.points), 'objective': 'nll',
+            'mlp_features': (8, 8), 'fast_subsample': True}
+  params = defs.GPParams(
+      model={'constant': 0., 'lengthscale': jnp.zeros(8),
+             'signal_variance': 0., 'noise_variance': -4.},
+      config=config)
+  bf.init_mlp_with_shape(jax.random.PRNGKey(1), params, (0, args.dim))
+  params.model['linear_mean'] = nn.Dense(1).init(
+      jax.random.PRNGKey(2), jnp.empty((0, 8)))['params']
+
+  # --- 1+2. pack once, pre-train through the compiled runner ---
+  packed, _ = packed_lib.pack_dataset(dataset, pad_to_multiple=128)
+  runner = adam_lib.make_fit_adam_packed(
+      mean.linear_mlp, kernel.squared_exponential_mlp, config,
+      warp_func=DEFAULT_WARP_FUNC)
+  def timed_run(seed):
+    # Force a host readback inside the timed region — remote-TPU
+    # tunnels can return unmaterialized arrays early.
+    t0 = time.perf_counter()
+    model, losses = runner(dict(params.model), packed,
+                           jax.random.PRNGKey(seed))
+    l0, l1 = float(losses[0]), float(losses[-1])
+    return time.perf_counter() - t0, model, l0, l1
+
+  t_first, model, l0, l1 = timed_run(3)
+  t_cached, model, l0, l1 = timed_run(4)
+  print(f'pre-train {args.steps} steps: {t_first:.2f}s first '
+        f'(incl. compile), {t_cached:.2f}s cached; '
+        f'loss {l0:.3f} -> {l1:.3f}')
+
+  # --- 3. on-device BO on a held-out task ---
+  kq = jax.random.fold_in(key, 999)
+  qx = jax.random.uniform(kq, (args.candidates, args.dim))
+  wq = jax.random.normal(jax.random.fold_in(kq, 1), (args.dim, 1))
+  qy = jnp.sin(3 * qx @ wq)
+  cand = defs.SubDataset(qx, qy)
+
+  t0 = time.perf_counter()
+  x_obs, y_obs, idx = ondevice.simulated_bayesopt_ondevice(
+      mean.linear_mlp, kernel.squared_exponential_mlp, model, config,
+      DEFAULT_WARP_FUNC, cand, iters=args.bo_iters, acquisition='ei',
+      num_train_tasks=args.tasks, key=jax.random.PRNGKey(5))
+  best = float(jnp.max(y_obs))
+  t_bo = time.perf_counter() - t0
+  opt = float(jnp.max(qy))
+  print(f'on-device BO: {args.bo_iters} iters over {args.candidates} '
+        f'candidates in {t_bo:.2f}s (incl. compile); best {best:.4f} '
+        f'vs optimum {opt:.4f} (simple regret {opt - best:.4f})')
+
+
+if __name__ == '__main__':
+  main()
