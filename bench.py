@@ -439,18 +439,22 @@ if __name__ == '__main__':
       emit(bench_train())
     else:  # both: pd1 is the headline; chol rides along as "secondary"
       result = bench_pd1()
-      try:
-        result['secondary'] = bench_chol()
-        _RESULT.update(result)
-      except Exception as e:  # noqa: BLE001
-        log(f'secondary (chol) bench failed: {type(e).__name__}: {e}')
-        result['secondary'] = {'metric': 'chol_bench_failed'}
+      # Train before chol: the fused value_and_grad program compiles on
+      # every observed toolchain build, while the standalone chol leg
+      # can hang ~50 min per dead compile-helper on a degraded tunnel
+      # (2026-08-17) — keep the reliable legs ahead of the watchdog.
       if os.environ.get('BENCH_TRAIN', '1') == '1':
         try:
           result['train'] = bench_train()
           _RESULT.update(result)
         except Exception as e:  # noqa: BLE001
           log(f'train bench failed: {type(e).__name__}: {e}')
+      try:
+        result['secondary'] = bench_chol()
+        _RESULT.update(result)
+      except Exception as e:  # noqa: BLE001
+        log(f'secondary (chol) bench failed: {type(e).__name__}: {e}')
+        result['secondary'] = {'metric': 'chol_bench_failed'}
       emit(result)
   except Exception as e:  # noqa: BLE001
     log(f'bench failed: {type(e).__name__}: {e}')
