@@ -982,7 +982,9 @@ def mll_fused_g(x_scaled: jnp.ndarray, y: jnp.ndarray,
 
 @functools.lru_cache(maxsize=None)
 def _se_nll_core_fn(block: int, half: int, group: int, interpret: bool,
-                    sweep_unroll: int = 32, kfam: str = 'se'):
+                    sweep_unroll: int = 32, kfam: str = 'se',
+                    pivot_mode: str = 'octv',
+                    force_zero: bool = False):
   """Differentiable fused NLL core: nll_core(x_scaled, delta, sv, da).
 
   Returns 0.5 y^T K^{-1} y + sum(log diag L) for
@@ -1011,6 +1013,8 @@ def _se_nll_core_fn(block: int, half: int, group: int, interpret: bool,
     quad, ld = mll_fused_g(x_scaled, delta, sv, da, block=block,
                            half=half, group=group,
                            sweep_unroll=sweep_unroll, kfam=kfam,
+                           pivot_mode=pivot_mode,
+                           force_zero_init=force_zero,
                            interpret=interpret)
     return 0.5 * quad + ld
 
@@ -1018,7 +1022,8 @@ def _se_nll_core_fn(block: int, half: int, group: int, interpret: bool,
     l, quad, ld = mll_fused_g(x_scaled, delta, sv, da, block=block,
                               half=half, group=group,
                               sweep_unroll=sweep_unroll, return_l=True,
-                              kfam=kfam, interpret=interpret)
+                              kfam=kfam, pivot_mode=pivot_mode,
+                              interpret=interpret)
     return 0.5 * quad + ld, (l, x_scaled, delta, sv, da)
 
   def bwd(res, g):
@@ -1176,6 +1181,21 @@ def _se_core_bwd(l, x_scaled, delta, sv, valid, kfam='se',
   return d_x, alpha, d_sv, d_da
 
 
+def _fused_env_config(sweep_unroll):
+  """Resolve fused-kernel config env overrides.
+
+  HYPERBO_FUSED_UNROLL / HYPERBO_FUSED_PIVOT / HYPERBO_FUSED_ZERO let a
+  deployment pick a compiling configuration when the remote toolchain
+  drifts (round 4: a 16 MB scoped-vmem limit rejects some configs that
+  previously compiled) without touching code.
+  """
+  import os
+  unroll = int(os.environ.get('HYPERBO_FUSED_UNROLL', sweep_unroll))
+  pivot = os.environ.get('HYPERBO_FUSED_PIVOT', 'octv')
+  force_zero = os.environ.get('HYPERBO_FUSED_ZERO', '0') == '1'
+  return unroll, pivot, force_zero
+
+
 def _fused_kernel_table():
   """cov_func identity -> (kernel family, embedding kind) for every
   kernel the fused path serves: the SE and Matern families, raw or
@@ -1278,8 +1298,9 @@ def se_nll_fused(mean_func, params, x, y, warp_func=None, eps=1e-6,
     return se_nll_fused_masked(
         x_scaled, delta, sv, da, n, block=block, half=half, group=group,
         sweep_unroll=sweep_unroll, kfam=kfam, interpret=interpret)
-  core = _se_nll_core_fn(block, half, group, interpret, sweep_unroll,
-                         kfam)
+  unroll, pivot, force_zero = _fused_env_config(sweep_unroll)
+  core = _se_nll_core_fn(block, half, group, interpret, unroll,
+                         kfam, pivot, force_zero)
   nll_core = core(x_scaled, delta, sv, da)
   return nll_core + 0.5 * n * jnp.log(2 * jnp.pi)
 
@@ -1287,7 +1308,8 @@ def se_nll_fused(mean_func, params, x, y, warp_func=None, eps=1e-6,
 @functools.lru_cache(maxsize=None)
 def _se_nll_core_masked_fn(block: int, half: int, group: int,
                            interpret: bool, sweep_unroll: int = 32,
-                           kfam: str = 'se'):
+                           kfam: str = 'se', pivot_mode: str = 'octv',
+                           force_zero: bool = False):
   """Masked differentiable fused NLL core (packed-batch support).
 
   core(x_scaled, delta, sv, da, valid) with valid an (n,) 0/1 mask:
@@ -1305,7 +1327,9 @@ def _se_nll_core_masked_fn(block: int, half: int, group: int,
     quad, ld = mll_fused_g(x_scaled, delta, sv, da, block=block,
                            half=half, group=group,
                            sweep_unroll=sweep_unroll, valid=valid,
-                           kfam=kfam, interpret=interpret)
+                           kfam=kfam, pivot_mode=pivot_mode,
+                           force_zero_init=force_zero,
+                           interpret=interpret)
     return 0.5 * quad + ld
 
   def fwd(x_scaled, delta, sv, da, valid):
@@ -1313,6 +1337,7 @@ def _se_nll_core_masked_fn(block: int, half: int, group: int,
                               half=half, group=group,
                               sweep_unroll=sweep_unroll, valid=valid,
                               return_l=True, kfam=kfam,
+                              pivot_mode=pivot_mode,
                               interpret=interpret)
     return 0.5 * quad + ld, (l, x_scaled, delta, sv, da, valid)
 
@@ -1360,8 +1385,9 @@ def se_nll_fused_masked(x_scaled, delta_masked, sv, da, count,
   delta = jnp.where(valid[:, None] > 0, delta_masked, 0.0)
   if interpret:
     sweep_unroll = min(sweep_unroll, 2)  # see se_nll_fused
+  unroll, pivot, force_zero = _fused_env_config(sweep_unroll)
   core = _se_nll_core_masked_fn(block, half, group, interpret,
-                                sweep_unroll, kfam)
+                                unroll, kfam, pivot, force_zero)
   nll_core = core(xs, delta, sv, da, valid)
   surplus = 0.5 * jnp.log(da) * (n - count)
   return nll_core - surplus + 0.5 * count * jnp.log(2 * jnp.pi)
