@@ -323,3 +323,63 @@ def get_method2fraction(workload2result, workload2ref, bo_iters=100):
   for method in method2fraction:
     method2fraction[method] = method2fraction[method] / total[method]
   return method2fraction
+
+
+def summarize_results_dir(root, percentiles=(20, 50, 80), verbose=True):
+  """Aggregate every result.pkl under `root` into regret percentiles.
+
+  Walks the experiment driver's output layout (root/<run_id>/result.pkl,
+  any nesting), attaches regret arrays (add_regret_array) and reports
+  the regret-at-final-iteration percentiles plus a per-iteration median
+  curve — the quality protocol of the reference's analysis layer
+  (hyperbo/plot_utils/bayesopt_results.py:358-434) without needing a
+  notebook.
+
+  Returns (summary dict, list of per-run result dicts).
+  """
+  runs = []
+  for dirpath, _, filenames in os.walk(root):
+    if 'result.pkl' in filenames:
+      res = params_io.load_from_file(os.path.join(dirpath, 'result.pkl'))
+      if res and 'observations' in res:
+        runs.append(add_regret_array(res))
+  if not runs:
+    return None, []
+  finals = np.asarray([r['regret_array'][-1] for r in runs])
+  min_len = min(len(r['regret_array']) for r in runs)
+  curves = np.asarray([r['regret_array'][:min_len] for r in runs])
+  summary = {
+      'num_runs': len(runs),
+      'final_regret_percentiles': {
+          int(p): float(np.percentile(finals, p)) for p in percentiles},
+      'median_regret_curve': np.median(curves, axis=0).tolist(),
+  }
+  if verbose:
+    pcts = ', '.join(f'p{p}={v:.4g}' for p, v in
+                     summary['final_regret_percentiles'].items())
+    print(f'{len(runs)} runs under {root}: final regret {pcts}')
+  return summary, runs
+
+
+def main():
+  """CLI: `python -m hyperbo_tpu.analysis.bayesopt_results <dir>`."""
+  import argparse
+  parser = argparse.ArgumentParser(
+      description='Summarize experiment-driver result.pkl files.')
+  parser.add_argument('root', help='directory tree containing result.pkl '
+                                   'files (the driver\'s --output_dir)')
+  parser.add_argument('--percentiles', type=int, nargs='+',
+                      default=[20, 50, 80])
+  args = parser.parse_args()
+  summary, _ = summarize_results_dir(args.root,
+                                     percentiles=args.percentiles)
+  if summary is None:
+    print(f'no result.pkl files found under {args.root}')
+    raise SystemExit(1)
+  curve = summary['median_regret_curve']
+  show = ' '.join(f'{v:.4g}' for v in curve[:10])
+  print(f'median regret curve (first 10 iters): {show}')
+
+
+if __name__ == '__main__':
+  main()

@@ -128,3 +128,29 @@ def test_reference_alias_imports():
   assert callable(data.pd1) and callable(data.random)
   assert callable(bayesopt_results.get_results)
   assert callable(plot_utils.plot_all)
+
+
+def test_summarize_results_dir(tmp_path):
+  """Directory-tree aggregation: regret percentiles + median curve from
+  driver-format result.pkl files (analysis CLI backend)."""
+  import pickle
+  from hyperbo_tpu.analysis import bayesopt_results as br
+
+  for run_id, ys in ((1, [0.1, 0.5, 0.4, 0.9]), (2, [0.2, 0.2, 0.8, 1.0])):
+    d = tmp_path / str(run_id)
+    d.mkdir()
+    res = {
+        'observations': (np.zeros((4, 2)), np.asarray(ys).reshape(-1, 1)),
+        'queries': (np.zeros((4, 2)), np.asarray([[1.0]])),
+        'best_query': (np.zeros(2), np.asarray([[1.0]])),
+    }
+    with open(d / 'result.pkl', 'wb') as f:
+      pickle.dump(res, f)
+
+  summary, runs = br.summarize_results_dir(str(tmp_path), verbose=False)
+  assert summary['num_runs'] == 2
+  # run 1 final regret = 1 - 0.9 = 0.1; run 2 = 0.0
+  np.testing.assert_allclose(
+      summary['final_regret_percentiles'][50], 0.05, atol=1e-9)
+  curve = summary['median_regret_curve']
+  assert len(curve) == 4 and curve[0] > curve[-1]
