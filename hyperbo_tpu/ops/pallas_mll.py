@@ -1106,7 +1106,10 @@ def _bwd_fused_wanted(n, valid, interpret):
   del interpret, valid  # kernel handles both; routing is the same
   if os.environ.get('HYPERBO_BWD_FUSED', '0') != '1':
     return False
-  return n % 512 == 0
+  from hyperbo_tpu.ops import pallas_mll_bwd as pb
+  # n cap: the kernel's (n, 128) VMEM P-accumulator is n * 512 bytes —
+  # beyond MAX_N it would cross the 16 MB scoped-vmem limit.
+  return n % pb.CHUNK == 0 and n <= pb.MAX_N
 
 
 def _se_core_bwd(l, x_scaled, delta, sv, valid, kfam='se',
@@ -1135,13 +1138,14 @@ def _se_core_bwd(l, x_scaled, delta, sv, valid, kfam='se',
   if _bwd_fused_wanted(l.shape[-1], valid, interpret):
     from hyperbo_tpu.ops import pallas_mll_bwd
     n = l.shape[-1]
-    block = 256
+    block = pallas_mll_bwd.BLOCK
     tpm = jnp.moveaxis(linv.reshape(n, n // block, block), 1, 0)
     alpha = jnp.matmul(linv.T, jnp.matmul(linv, delta, precision=hi),
                        precision=hi)
     d_x, dsv_raw, d_da = pallas_mll_bwd.mll_bwd_fused(
-        tpm, x_scaled, alpha, sv, block=block, chunk=512, kfam=kfam,
-        valid=valid, interpret=interpret)
+        tpm, x_scaled, alpha, sv, block=block,
+        chunk=pallas_mll_bwd.CHUNK, kfam=kfam, valid=valid,
+        interpret=interpret)
     return d_x, alpha, dsv_raw / sv, d_da
   kinv = _kinv_from_linv(linv, hi)
   # alpha via the explicit inverse (2n^2 matvec) instead of two chained
@@ -1153,21 +1157,8 @@ def _se_core_bwd(l, x_scaled, delta, sv, valid, kfam='se',
   sqn = jnp.sum(x_scaled * x_scaled, axis=1, keepdims=True)
   r2 = jnp.maximum(sqn + sqn.T - 2.0 * jnp.matmul(x_scaled, x_scaled.T,
                                                   precision=hi), 0.0)
-  if kfam == 'se':
-    kmat = sv * jnp.exp(-0.5 * r2)
-    neg2kp = kmat
-  elif kfam == 'matern32':
-    r = _SQRT3 * jnp.sqrt(r2)
-    e = jnp.exp(-r)
-    kmat = sv * (1.0 + r) * e
-    neg2kp = 3.0 * sv * e
-  elif kfam == 'matern52':
-    r = _SQRT5 * jnp.sqrt(r2)
-    e = jnp.exp(-r)
-    kmat = sv * (1.0 + r + (r * r) * (1.0 / 3.0)) * e
-    neg2kp = (5.0 / 3.0) * sv * (1.0 + r) * e
-  else:
-    raise ValueError(f'unknown fused kernel family: {kfam!r}')
+  from hyperbo_tpu.ops.pallas_mll_bwd import _km_nm
+  kmat, neg2kp = _km_nm(r2, sv, kfam)  # shared per-family forms
   if valid is not None:
     vv = valid.astype(jnp.float32).reshape(-1, 1)
     pair = vv * vv.T

@@ -45,6 +45,14 @@ from hyperbo_tpu.ops.pallas_chol_hbm import _pdot
 _SQRT3 = 3.0 ** 0.5
 _SQRT5 = 5.0 ** 0.5
 
+# Production configuration (the shape _se_core_bwd dispatches) and the
+# largest n the VMEM budget admits: the (n, 128) f32 P-accumulator is
+# n * 512 bytes (8 MB at n=16384), plus ~2.4 MB of strips/tiles, under
+# the toolchain's 16 MB scoped-vmem limit (PERF.md round 4).
+BLOCK = 256
+CHUNK = 512
+MAX_N = 16384
+
 
 def _km_nm(sqd, sv, kfam):
   """(kmat, neg2kp) = (sv * k(r2), -2 sv dk/dr2) per kernel family.
@@ -68,7 +76,7 @@ def _km_nm(sqd, sv, kfam):
   raise ValueError(f'unknown fused kernel family: {kfam!r}')
 
 
-def _kernel_bwd(n, d, block, chunk, precise, kfam, masked,
+def _kernel_bwd(n, block, chunk, precise, kfam, masked,
                 tpm_hbm, xa_hbm, xb_hbm, arow_ref, acol_ref,
                 vrow_ref, vcol_ref, sv_ref,
                 pacc_hbm, dsv_ref, dda_ref,
@@ -151,7 +159,12 @@ def _kernel_bwd(n, d, block, chunk, precise, kfam, masked,
       on_diag = (i == j).astype(jnp.float32)
       w2 = 2.0 - on_diag
       dsv_ref[0, 0] += w2 * jnp.sum(g * km)
-      dda_ref[0, 0] += on_diag * jnp.sum(g * eye_b)
+
+      @pl.when(i == j)
+      def _():
+        # Only 32 of 528 block pairs are diagonal at n=8192 — skip the
+        # (B, B) masked reduce everywhere else.
+        dda_ref[0, 0] += jnp.sum(g * eye_b)
       w = g * nm
       pacc[pl.ds(ib, block), :] += _pdot(w, xbj[:], mdims, precise)
 
@@ -173,7 +186,7 @@ def _kernel_bwd(n, d, block, chunk, precise, kfam, masked,
                                              'kfam', 'interpret'))
 def mll_bwd_fused(tpm: jnp.ndarray, x_scaled: jnp.ndarray,
                   alpha: jnp.ndarray, signal_variance,
-                  block: int = 256, chunk: int = 512,
+                  block: int = BLOCK, chunk: int = CHUNK,
                   precise: bool = True, kfam: str = 'se',
                   valid=None,
                   interpret: bool = False):
@@ -214,7 +227,7 @@ def mll_bwd_fused(tpm: jnp.ndarray, x_scaled: jnp.ndarray,
   vcol = v.reshape(n, 1)
   sv = jnp.asarray(signal_variance, jnp.float32).reshape(1, 1)
 
-  kernel = functools.partial(_kernel_bwd, n, d, block, chunk, precise,
+  kernel = functools.partial(_kernel_bwd, n, block, chunk, precise,
                              kfam, masked)
   pacc, dsv, dda = pl.pallas_call(
       kernel,

@@ -127,3 +127,24 @@ def test_bwd_fused_masked_matches_xla_chain():
   np.testing.assert_allclose(float(dsv_raw / sv), float(want_dsv),
                              atol=5e-2, rtol=1e-2)
   np.testing.assert_allclose(float(d_da), float(want_dda), rtol=1e-3)
+
+
+def test_bwd_fused_production_shape():
+  """The exact configuration _se_core_bwd dispatches (block=256,
+  chunk=512) at the smallest admissible n — closes the gap between the
+  CI shapes and the shipped path."""
+  n, d = 1024, 3
+  x, delta, sv, da, k = (None,) * 5
+  key = jax.random.PRNGKey(9)
+  x = jax.random.uniform(key, (n, d), jnp.float32)
+  delta = jax.random.normal(jax.random.fold_in(key, 1), (n, 1),
+                            jnp.float32)
+  sv, da = 1.3, 1.0
+  dx64, dsv64, dda64, k64 = _f64_truth(x, delta, sv, da, 'se')
+  d_x, d_sv, d_da = _run_fused(x, delta, sv, k64,
+                               pallas_mll_bwd.BLOCK,
+                               pallas_mll_bwd.CHUNK, 'se')
+  sc = np.abs(dx64).max() + 1e-8
+  assert np.abs(d_x - dx64).max() / sc < 2e-3
+  np.testing.assert_allclose(d_sv, dsv64, atol=2e-2, rtol=2e-3)
+  np.testing.assert_allclose(d_da, dda64, rtol=1e-3)
