@@ -1,0 +1,213 @@
+"""Matrix-free GP marginal likelihood for n beyond the O(n^2) wall.
+
+The direct pipeline (fused Pallas kernel / XLA Cholesky) materializes
+the n x n Gram matrix — 4 GB of HBM at n = 32768 and impossible at
+n = 131072 on one chip. This module estimates the same NLL with O(n)
+memory in the style of GPyTorch's BBMM / "Exact Gaussian Processes on
+a Million Data Points" (PAPERS.md: arxiv 1809.11165, 1903.08114),
+built TPU-first:
+
+  * `kernel_matvec` — (K + da I) @ V without materializing K: a
+    `lax.scan` over row chunks, each chunk one rank-d MXU matmul +
+    kernel epilogue against ALL columns of V (so CG probes and SLQ
+    probes ride one pass); O(chunk * n) peak memory.
+  * `cg_batched` — batched conjugate gradients as one `lax.while_loop`
+    (all right-hand sides iterate together; convergence on the max
+    residual), no host round-trips.
+  * `slq_logdet` — stochastic Lanczos quadrature: m Rademacher probes,
+    k Lanczos steps each (one `lax.scan`), logdet ~= sum over probes of
+    ||z||^2 * e1^T f(T) e1 with f = log on the tridiagonal eigenvalues.
+  * `mll_iterative` — 0.5 y^T K^{-1} y (CG, exact to tolerance)
+    + 0.5 logdet (SLQ, unbiased estimator) + const.
+
+Accuracy model: the quad term converges to the direct value (CG on a
+well-conditioned K + da I); the logdet is a randomized estimate whose
+relative error shrinks as 1/sqrt(m) — pre-training gradients tolerate
+this class of noise, and for the exact value at n <= HBM capacity the
+fused kernel remains the default. Reference anchor: the objective this
+estimates is hyperbo/gp_utils/objectives.py:144-156.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from hyperbo_tpu.ops.pallas_mll_bwd import _km_nm
+
+
+def kernel_matvec(x_scaled: jnp.ndarray, v: jnp.ndarray, sv, da,
+                  kfam: str = 'se', row_chunk: int = 1024,
+                  precision=jax.lax.Precision.HIGH) -> jnp.ndarray:
+  """(K + da I) @ V with K = sv * k_fam(||xi - xj||^2), O(chunk*n) mem.
+
+  x_scaled: (n, d) length-scaled inputs; v: (n, m) right-hand sides.
+  n must divide by row_chunk (callers pad; mll_iterative handles it).
+  """
+  n, d = x_scaled.shape
+  assert n % row_chunk == 0, (n, row_chunk)
+  xs = x_scaled.astype(jnp.float32)
+  sqn = jnp.sum(xs * xs, axis=1, keepdims=True)         # (n, 1)
+  vv = v.astype(jnp.float32)
+  blocks = xs.reshape(n // row_chunk, row_chunk, d)
+  sqb = sqn.reshape(n // row_chunk, row_chunk, 1)
+  col_idx = jnp.arange(n).reshape(1, n)
+
+  def one_chunk(c, args):
+    xb, sb = args
+    r2 = sb + sqn.T - 2.0 * jnp.matmul(xb, xs.T, precision=precision)
+    km, _ = _km_nm(r2, sv, kfam)                        # (chunk, n)
+    # The self-distance computes as (big - big) and its f32
+    # cancellation error can push k(0) anywhere between 0 and sv for
+    # large-norm rows (e.g. padding sentinels); zero the in-chunk
+    # diagonal and add the exact k(0) = sv with the ridge below.
+    row_idx = c * row_chunk + jnp.arange(row_chunk).reshape(-1, 1)
+    km = jnp.where(row_idx == col_idx, 0.0, km)
+    return c + 1, jnp.matmul(km, vv, precision=precision)
+
+  _, out = jax.lax.scan(one_chunk, 0, (blocks, sqb))
+  return out.reshape(n, -1) + (sv + da) * vv
+
+
+def cg_batched(matvec: Callable[[jnp.ndarray], jnp.ndarray],
+               b: jnp.ndarray, tol: float = 1e-6,
+               maxiter: int = 1000):
+  """Batched CG: solve A X = B for SPD A, all columns together.
+
+  Returns (X, iterations, max final residual norm). One
+  `lax.while_loop`; convergence when every column's residual norm
+  falls under tol * ||b_col||.
+  """
+  bnorm = jnp.sqrt(jnp.sum(b * b, axis=0, keepdims=True))
+  thresh = tol * jnp.maximum(bnorm, 1e-30)
+
+  def cond(state):
+    _, r, _, _, i = state
+    rn = jnp.sqrt(jnp.sum(r * r, axis=0, keepdims=True))
+    return jnp.logical_and(i < maxiter, jnp.any(rn > thresh))
+
+  def body(state):
+    x, r, p, rs, i = state
+    ap = matvec(p)
+    alpha = rs / jnp.maximum(jnp.sum(p * ap, axis=0, keepdims=True),
+                             1e-30)
+    x = x + alpha * p
+    r = r - alpha * ap
+    rs_new = jnp.sum(r * r, axis=0, keepdims=True)
+    p = r + (rs_new / jnp.maximum(rs, 1e-30)) * p
+    return x, r, p, rs_new, i + 1
+
+  x0 = jnp.zeros_like(b)
+  rs0 = jnp.sum(b * b, axis=0, keepdims=True)
+  x, r, _, _, iters = jax.lax.while_loop(
+      cond, body, (x0, b, b, rs0, jnp.int32(0)))
+  return x, iters, jnp.max(jnp.sqrt(jnp.sum(r * r, axis=0)))
+
+
+def slq_logdet(matvec: Callable[[jnp.ndarray], jnp.ndarray], n: int,
+               key: jax.Array, num_probes: int = 16,
+               lanczos_steps: int = 32):
+  """log det A for SPD A by stochastic Lanczos quadrature.
+
+  E_z [ z^T log(A) z ] = tr(log A) = logdet A with Rademacher probes z;
+  each quadratic form is evaluated from k Lanczos steps' tridiagonal
+  eigendecomposition (Golub-Welsch). All probes run batched through
+  ONE matvec per Lanczos step.
+  """
+  z = jnp.where(
+      jax.random.bernoulli(key, 0.5, (n, num_probes)), 1.0, -1.0
+  ).astype(jnp.float32)
+  znorm = jnp.sqrt(jnp.sum(z * z, axis=0))              # = sqrt(n)
+  q0 = z / znorm
+
+  def lanczos_step(carry, _):
+    q_prev, q, beta_prev = carry
+    w = matvec(q) - beta_prev * q_prev
+    alpha = jnp.sum(q * w, axis=0)
+    w = w - alpha * q
+    # One pass of reorthogonalization against the two live vectors
+    # keeps the tridiagonal coefficients usable at k ~ 32 without
+    # storing the full Krylov basis.
+    w = w - jnp.sum(w * q, axis=0) * q
+    w = w - jnp.sum(w * q_prev, axis=0) * q_prev
+    beta = jnp.sqrt(jnp.maximum(jnp.sum(w * w, axis=0), 1e-30))
+    q_next = w / beta
+    return (q, q_next, beta), (alpha, beta)
+
+  init = (jnp.zeros_like(q0), q0, jnp.zeros((num_probes,), jnp.float32))
+  _, (alphas, betas) = jax.lax.scan(lanczos_step, init, None,
+                                    length=lanczos_steps)
+  # Tridiagonal T per probe: diag = alphas[:, p], offdiag = betas[:-1, p].
+  diag = alphas.T                                       # (m, k)
+  off = betas.T[:, :-1]                                 # (m, k-1)
+  tmat = (jax.vmap(jnp.diag)(diag)
+          + jax.vmap(functools.partial(jnp.diag, k=1))(off)
+          + jax.vmap(functools.partial(jnp.diag, k=-1))(off))
+  evals, evecs = jnp.linalg.eigh(tmat)                  # (m, k), (m,k,k)
+  w0 = evecs[:, 0, :] ** 2                              # e1 weights
+  quad = jnp.sum(w0 * jnp.log(jnp.maximum(evals, 1e-30)), axis=1)
+  return jnp.mean(quad * (znorm ** 2))
+
+
+def mll_iterative(mean_func, params, x, y, warp_func=None, eps: float = 1e-6,
+                  cov_func=None, row_chunk: int = 1024,
+                  cg_tol: float = 1e-5, cg_maxiter: int = 1000,
+                  num_probes: int = 16, lanczos_steps: int = 32,
+                  key: Optional[jax.Array] = None):
+  """O(n)-memory NLL estimate: CG quad term + SLQ logdet.
+
+  Same parameterization as ops/pallas_mll.se_nll_fused (warped params,
+  SE/Matern families incl. MLP/Kumar embeddings, diag add = warped
+  noise_variance + eps). Returns a scalar; differentiable w.r.t. model
+  parameters through the matvecs (CG/Lanczos iterations are unrolled by
+  autodiff — intended for evaluation and large-n experimentation;
+  gradient-based training at this scale should use fewer probes).
+  """
+  from hyperbo_tpu.core.warp import retrieve_params
+  from hyperbo_tpu.ops import pallas_mll as pm
+
+  lengthscale, signal_variance, noise_variance = retrieve_params(
+      params, ['lengthscale', 'signal_variance', 'noise_variance'],
+      warp_func=warp_func)
+  n = x.shape[0]
+  mu = mean_func(params, x, warp_func=warp_func)
+  delta = (y - jnp.atleast_2d(mu)).astype(jnp.float32)
+  emb = pm._se_embed(params, x, cov_func, warp_func)
+  xs = (emb / lengthscale).astype(jnp.float32)
+  kfam = pm.kernel_family(cov_func) if cov_func is not None else 'se'
+  sv = jnp.squeeze(signal_variance)
+  da = jnp.squeeze(noise_variance) + eps
+
+  pad = (-n) % row_chunk
+  if pad:
+    # Padded rows sit at sentinels >= 30 apart from the data AND from
+    # each other: every off-diagonal kernel entry they touch is
+    # k(r2 >= 2700) ~ 0 at f32 even for the slow Matern decay, while
+    # the norms stay small enough that the matmul distance form's
+    # cancellation error (eps * ||x||^2) cannot resurrect them. Their
+    # diagonal is exactly sv + da (kernel_matvec adds k(0) explicitly),
+    # their delta is 0 (quad unchanged), and the logdet surplus
+    # pad * log(sv + da) is subtracted analytically.
+    far = 30.0 * (1.0 + jnp.arange(pad, dtype=jnp.float32)).reshape(-1, 1)
+    far = jnp.broadcast_to(far, (pad, xs.shape[1]))
+    xs = jnp.concatenate([xs, far], axis=0)
+    delta = jnp.concatenate([delta, jnp.zeros((pad, delta.shape[1]),
+                                              jnp.float32)], axis=0)
+  ntot = xs.shape[0]
+
+  def mv(v):
+    return kernel_matvec(xs, v, sv, da, kfam=kfam, row_chunk=row_chunk)
+
+  kinv_delta, _, _ = cg_batched(mv, delta, tol=cg_tol,
+                                maxiter=cg_maxiter)
+  quad = jnp.sum(delta * kinv_delta)
+  if key is None:
+    key = jax.random.PRNGKey(0)
+  ld = slq_logdet(mv, ntot, key, num_probes=num_probes,
+                  lanczos_steps=lanczos_steps)
+  if pad:
+    ld = ld - pad * jnp.log(sv + da)
+  return 0.5 * quad + 0.5 * ld + 0.5 * n * jnp.log(2 * jnp.pi)

@@ -1,0 +1,88 @@
+"""Matrix-free MLL (ops/iterative): CG + SLQ against the dense pipeline.
+
+The quad term is CG-exact to tolerance; the logdet is a randomized
+estimate (error ~ 1/sqrt(num_probes)), so tolerances differ per term.
+Reference objective: hyperbo/gp_utils/objectives.py:144-156.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hyperbo_tpu.core import defs
+from hyperbo_tpu.core.warp import DEFAULT_WARP_FUNC
+from hyperbo_tpu.models import kernel, mean
+from hyperbo_tpu.models import objectives as obj
+from hyperbo_tpu.ops import iterative
+
+
+def _system(n, d, seed=0):
+  key = jax.random.PRNGKey(seed)
+  x = jax.random.uniform(key, (n, d), jnp.float32)
+  y = jax.random.normal(jax.random.fold_in(key, 1), (n, 1), jnp.float32)
+  params = defs.GPParams(model={
+      'constant': 0.2, 'lengthscale': jnp.ones(d) * 0.4,
+      'signal_variance': 0.3, 'noise_variance': 0.5})
+  return x, y, params
+
+
+def test_kernel_matvec_matches_dense():
+  n, d = 256, 3
+  x, y, params = _system(n, d)
+  from hyperbo_tpu.core.warp import retrieve_params
+  ls, sv, nv = retrieve_params(
+      params, ['lengthscale', 'signal_variance', 'noise_variance'],
+      warp_func=DEFAULT_WARP_FUNC)
+  xs = x / ls
+  kdense = kernel.squared_exponential(params, x,
+                                      warp_func=DEFAULT_WARP_FUNC)
+  da = jnp.squeeze(nv) + 0.0
+  v = jax.random.normal(jax.random.PRNGKey(7), (n, 4), jnp.float32)
+  got = iterative.kernel_matvec(xs, v, jnp.squeeze(sv), da,
+                                row_chunk=64)
+  want = (kdense + da * jnp.eye(n)) @ v
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             rtol=2e-4, atol=2e-4)
+
+
+def test_cg_solves_spd_system():
+  n = 200
+  key = jax.random.PRNGKey(3)
+  a = jax.random.normal(key, (n, n))
+  a = a @ a.T / n + 2.0 * jnp.eye(n)
+  b = jax.random.normal(jax.random.fold_in(key, 1), (n, 3))
+  x, iters, res = iterative.cg_batched(lambda v: a @ v, b, tol=1e-7)
+  np.testing.assert_allclose(np.asarray(a @ x), np.asarray(b),
+                             atol=1e-4)
+  assert int(iters) < 200
+
+
+def test_slq_logdet_close_to_exact():
+  n = 256
+  key = jax.random.PRNGKey(5)
+  a = jax.random.normal(key, (n, n))
+  a = a @ a.T / n + 2.0 * jnp.eye(n)
+  want = float(jnp.linalg.slogdet(a)[1])
+  got = float(iterative.slq_logdet(lambda v: a @ v, n,
+                                   jax.random.PRNGKey(0),
+                                   num_probes=24, lanczos_steps=30))
+  assert abs(got - want) / abs(want) < 0.05, (got, want)
+
+
+@pytest.mark.parametrize('cov_name,n', [
+    ('squared_exponential', 256), ('matern52', 300)])
+def test_mll_iterative_matches_dense(cov_name, n):
+  """End-to-end estimate vs the dense NLL; n=300 exercises padding."""
+  d = 3
+  x, y, params = _system(n, d, seed=cov_name == 'matern52')
+  cov = getattr(kernel, cov_name)
+  dataset = {'a': defs.SubDataset(x, y)}
+  want = float(obj.neg_log_marginal_likelihood(
+      mean.constant, cov, params, dataset, warp_func=DEFAULT_WARP_FUNC))
+  got = float(iterative.mll_iterative(
+      mean.constant, params, x, y, warp_func=DEFAULT_WARP_FUNC,
+      cov_func=cov, row_chunk=128, num_probes=32, lanczos_steps=30,
+      key=jax.random.PRNGKey(11)))
+  # quad is CG-exact; logdet carries the SLQ noise class.
+  assert abs(got - want) / abs(want) < 0.05, (got, want)
