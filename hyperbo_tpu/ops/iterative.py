@@ -59,13 +59,18 @@ def kernel_matvec(x_scaled: jnp.ndarray, v: jnp.ndarray, sv, da,
   def one_chunk(c, args):
     xb, sb = args
     r2 = sb + sqn.T - 2.0 * jnp.matmul(xb, xs.T, precision=precision)
-    km, _ = _km_nm(r2, sv, kfam)                        # (chunk, n)
     # The self-distance computes as (big - big) and its f32
     # cancellation error can push k(0) anywhere between 0 and sv for
     # large-norm rows (e.g. padding sentinels); zero the in-chunk
-    # diagonal and add the exact k(0) = sv with the ridge below.
+    # diagonal and add the exact k(0) = sv with the ridge below. The
+    # r2 pin to 1.0 happens BEFORE the family transform so the Matern
+    # sqrt's infinite slope at r2=0 never meets the masked entries'
+    # zero cotangent (0 * inf = NaN would otherwise poison every
+    # gradient through the matvec).
     row_idx = c * row_chunk + jnp.arange(row_chunk).reshape(-1, 1)
-    km = jnp.where(row_idx == col_idx, 0.0, km)
+    diag = row_idx == col_idx
+    km, _ = _km_nm(jnp.where(diag, 1.0, r2), sv, kfam)  # (chunk, n)
+    km = jnp.where(diag, 0.0, km)
     return c + 1, jnp.matmul(km, vv, precision=precision)
 
   _, out = jax.lax.scan(one_chunk, 0, (blocks, sqb))
@@ -156,15 +161,30 @@ def mll_iterative(mean_func, params, x, y, warp_func=None, eps: float = 1e-6,
                   cov_func=None, row_chunk: int = 1024,
                   cg_tol: float = 1e-5, cg_maxiter: int = 1000,
                   num_probes: int = 16, lanczos_steps: int = 32,
-                  key: Optional[jax.Array] = None):
+                  key: Optional[jax.Array] = None,
+                  return_info: bool = False):
   """O(n)-memory NLL estimate: CG quad term + SLQ logdet.
 
   Same parameterization as ops/pallas_mll.se_nll_fused (warped params,
   SE/Matern families incl. MLP/Kumar embeddings, diag add = warped
-  noise_variance + eps). Returns a scalar; differentiable w.r.t. model
-  parameters through the matvecs (CG/Lanczos iterations are unrolled by
-  autodiff — intended for evaluation and large-n experimentation;
-  gradient-based training at this scale should use fewer probes).
+  noise_variance + eps).
+
+  Differentiable via the standard matrix-free gradient construction
+  (GPyTorch/BBMM): the CG and Lanczos ITERATIONS run under
+  stop_gradient (reverse-mode through lax.while_loop is undefined
+  anyway), and surrogate terms whose single differentiable
+  kernel-matvec applications autodiff to the exact identities
+
+    d(delta^T K^{-1} delta) = 2 alpha^T d(delta) - alpha^T dK alpha
+    d(logdet K) = tr(K^{-1} dK) ~= mean_z (K^{-1} z)^T dK z
+
+  carry the gradients (alpha = K^{-1} delta from CG; z Rademacher
+  probes solved in the same batched CG call). The returned VALUE equals
+  delta^T alpha + SLQ-logdet exactly.
+
+  With return_info=True also returns {'cg_iters', 'cg_residual'} — CG
+  hitting cg_maxiter without reaching cg_tol means the quad term (and
+  its gradient) did not converge; check it on new problem classes.
   """
   from hyperbo_tpu.core.warp import retrieve_params
   from hyperbo_tpu.ops import pallas_mll as pm
@@ -174,40 +194,73 @@ def mll_iterative(mean_func, params, x, y, warp_func=None, eps: float = 1e-6,
       warp_func=warp_func)
   n = x.shape[0]
   mu = mean_func(params, x, warp_func=warp_func)
-  delta = (y - jnp.atleast_2d(mu)).astype(jnp.float32)
+  y2 = jnp.asarray(y, jnp.float32).reshape(n, -1)
+  assert y2.shape[1] == 1, ('mll_iterative expects a single task; got '
+                            f'y of shape {jnp.shape(y)}')
+  delta = (y2 - jnp.atleast_2d(mu)).astype(jnp.float32)
   emb = pm._se_embed(params, x, cov_func, warp_func)
   xs = (emb / lengthscale).astype(jnp.float32)
+  # Center like ops/gram.sqdist: translation leaves distances unchanged
+  # (so gradients are unaffected and the shift can be a constant) but
+  # shrinks the norms whose difference the matmul form computes.
+  xs = xs - jax.lax.stop_gradient(jnp.mean(xs, axis=0, keepdims=True))
   kfam = pm.kernel_family(cov_func) if cov_func is not None else 'se'
   sv = jnp.squeeze(signal_variance)
   da = jnp.squeeze(noise_variance) + eps
 
   pad = (-n) % row_chunk
   if pad:
-    # Padded rows sit at sentinels >= 30 apart from the data AND from
-    # each other: every off-diagonal kernel entry they touch is
-    # k(r2 >= 2700) ~ 0 at f32 even for the slow Matern decay, while
-    # the norms stay small enough that the matmul distance form's
-    # cancellation error (eps * ||x||^2) cannot resurrect them. Their
-    # diagonal is exactly sv + da (kernel_matvec adds k(0) explicitly),
-    # their delta is 0 (quad unchanged), and the logdet surplus
-    # pad * log(sv + da) is subtracted analytically.
-    far = 30.0 * (1.0 + jnp.arange(pad, dtype=jnp.float32)).reshape(-1, 1)
+    # Padded rows sit at sentinels placed BEYOND the data's maximum
+    # coordinate magnitude, 30 apart from the data and from each other
+    # in every (centered) dimension: every off-diagonal kernel entry
+    # they touch is k(r2 >= 900) ~ 0 at f32 even for the slow Matern
+    # decay. Their diagonal is exactly sv + da (kernel_matvec adds k(0)
+    # explicitly), their delta is 0 (quad unchanged), and the logdet
+    # surplus pad * log(sv + da) is subtracted analytically.
+    base = jax.lax.stop_gradient(jnp.max(jnp.abs(xs)))
+    far = (base + 30.0 * (1.0 + jnp.arange(pad, dtype=jnp.float32))
+           ).reshape(-1, 1)
     far = jnp.broadcast_to(far, (pad, xs.shape[1]))
     xs = jnp.concatenate([xs, far], axis=0)
     delta = jnp.concatenate([delta, jnp.zeros((pad, delta.shape[1]),
                                               jnp.float32)], axis=0)
   ntot = xs.shape[0]
+  if key is None:
+    key = jax.random.PRNGKey(0)
+  k_slq, k_probe = jax.random.split(key)
+
+  sg = jax.lax.stop_gradient
+  xs_sg, sv_sg, da_sg = sg(xs), sg(sv), sg(da)
+
+  def mv_sg(v):
+    return kernel_matvec(xs_sg, v, sv_sg, da_sg, kfam=kfam,
+                         row_chunk=row_chunk)
 
   def mv(v):
     return kernel_matvec(xs, v, sv, da, kfam=kfam, row_chunk=row_chunk)
 
-  kinv_delta, _, _ = cg_batched(mv, delta, tol=cg_tol,
-                                maxiter=cg_maxiter)
-  quad = jnp.sum(delta * kinv_delta)
-  if key is None:
-    key = jax.random.PRNGKey(0)
-  ld = slq_logdet(mv, ntot, key, num_probes=num_probes,
-                  lanczos_steps=lanczos_steps)
+  z = jnp.where(
+      jax.random.bernoulli(k_probe, 0.5, (ntot, num_probes)), 1.0, -1.0
+  ).astype(jnp.float32)
+  rhs = jnp.concatenate([sg(delta), z], axis=1)
+  solves, cg_iters, cg_res = cg_batched(mv_sg, rhs, tol=cg_tol,
+                                        maxiter=cg_maxiter)
+  alpha = sg(solves[:, :1])                             # K^{-1} delta
+  w = sg(solves[:, 1:])                                 # K^{-1} z
+
+  # quad surrogate: value = delta^T alpha at CG convergence; gradient
+  # = 2 alpha^T d(delta) - alpha^T dK alpha (exact).
+  quad = 2.0 * jnp.sum(delta * alpha) - jnp.sum(alpha * mv(alpha))
+
+  # logdet: SLQ value (constant w.r.t. params) + a zero-valued term
+  # whose gradient is the Hutchinson estimate of tr(K^{-1} dK).
+  ld_val = sg(slq_logdet(mv_sg, ntot, k_slq, num_probes=num_probes,
+                         lanczos_steps=lanczos_steps))
+  trace_sur = jnp.mean(jnp.sum(w * mv(z), axis=0))
+  ld = ld_val + trace_sur - sg(trace_sur)
   if pad:
     ld = ld - pad * jnp.log(sv + da)
-  return 0.5 * quad + 0.5 * ld + 0.5 * n * jnp.log(2 * jnp.pi)
+  nll = 0.5 * quad + 0.5 * ld + 0.5 * n * jnp.log(2 * jnp.pi)
+  if return_info:
+    return nll, {'cg_iters': cg_iters, 'cg_residual': cg_res}
+  return nll

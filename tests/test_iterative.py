@@ -86,3 +86,59 @@ def test_mll_iterative_matches_dense(cov_name, n):
       key=jax.random.PRNGKey(11)))
   # quad is CG-exact; logdet carries the SLQ noise class.
   assert abs(got - want) / abs(want) < 0.05, (got, want)
+
+
+def test_mll_iterative_gradients_match_dense():
+  """jax.grad works (CG/Lanczos run under stop_gradient; surrogate
+  terms carry the exact quad gradient and the Hutchinson logdet-trace
+  estimate) and matches the dense pipeline's gradients to the
+  stochastic-estimator noise class."""
+  n, d = 256, 3
+  x, y, params = _system(n, d, seed=2)
+
+  def loss_iter(model, seed=3):
+    p = defs.GPParams(model=model, config={})
+    return iterative.mll_iterative(
+        mean.constant, p, x, y, warp_func=DEFAULT_WARP_FUNC,
+        cov_func=kernel.matern52, row_chunk=128, cg_tol=1e-6,
+        num_probes=64, lanczos_steps=30, key=jax.random.PRNGKey(seed))
+
+  def loss_dense(model):
+    p = defs.GPParams(model=model, config={})
+    return obj.neg_log_marginal_likelihood(
+        mean.constant, kernel.matern52, p, {'a': defs.SubDataset(x, y)},
+        warp_func=DEFAULT_WARP_FUNC)
+
+  g_de = jax.grad(loss_dense)(dict(params.model))
+  grads = [jax.grad(lambda m, s=s: loss_iter(m, seed=s))(
+      dict(params.model)) for s in (3, 5, 7)]
+  for g_it in grads:
+    for k in g_de:
+      a, b = np.asarray(g_de[k]), np.asarray(g_it[k])
+      assert np.all(np.isfinite(b)), (k, b)
+      # Per-draw: the Hutchinson trace estimator's noise class.
+      sc = np.max(np.abs(a)) + 1e-6
+      assert np.max(np.abs(a - b)) / sc < 0.6, (k, a, b)
+  # The mean-parameter gradient flows only through the CG-exact quad
+  # term — it must match tightly, every draw.
+  for g_it in grads:
+    np.testing.assert_allclose(float(g_it['constant']),
+                               float(g_de['constant']), rtol=1e-3)
+  # Averaging over seeds shrinks the stochastic part: bias check.
+  for k in g_de:
+    a = np.asarray(g_de[k])
+    b = np.mean([np.asarray(g[k]) for g in grads], axis=0)
+    sc = np.max(np.abs(a)) + 1e-6
+    assert np.max(np.abs(a - b)) / sc < 0.25, (k, a, b)
+
+
+def test_mll_iterative_return_info():
+  n, d = 256, 2
+  x, y, params = _system(n, d, seed=4)
+  nll, info = iterative.mll_iterative(
+      mean.constant, params, x, y, warp_func=DEFAULT_WARP_FUNC,
+      cov_func=kernel.squared_exponential, row_chunk=128,
+      return_info=True)
+  assert np.isfinite(float(nll))
+  assert int(info['cg_iters']) < 1000
+  assert float(info['cg_residual']) < 1e-3
