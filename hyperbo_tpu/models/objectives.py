@@ -111,6 +111,21 @@ def neg_log_marginal_likelihood(mean_func,
         return pallas_mll.se_nll_fused(
             mean_func, params, vx, vy, warp_func=warp_func,
             cov_func=cov_func, interpret=(fused == 'interpret'))
+    it_cfg = (params.config.get('iterative_mll')
+              if params.config else None)
+    if it_cfg and vy.shape[-1] == 1:
+      # Opt-in matrix-free path for n beyond the O(n^2) Gram wall
+      # (ops/iterative): CG quad term + stochastic-Lanczos logdet,
+      # O(n) memory, BBMM-style matrix-free gradients. The logdet
+      # (and its gradient) is a randomized ESTIMATE — exact paths are
+      # preferred whenever the Gram matrix fits. it_cfg may be True or
+      # a dict of mll_iterative kwargs (row_chunk, num_probes, ...).
+      from hyperbo_tpu.ops import iterative, pallas_mll
+      if cov_func in pallas_mll._fused_kernel_table():
+        kwargs = dict(it_cfg) if isinstance(it_cfg, dict) else {}
+        return iterative.mll_iterative(
+            mean_func, params, vx, vy, warp_func=warp_func,
+            cov_func=cov_func, **kwargs)
     chol, kinvy, vy = linalg.solve_gp_linear_system(
         mean_func=mean_func,
         cov_func=cov_func,

@@ -142,3 +142,35 @@ def test_mll_iterative_return_info():
   assert np.isfinite(float(nll))
   assert int(info['cg_iters']) < 1000
   assert float(info['cg_residual']) < 1e-3
+
+
+def test_objective_routes_iterative_mll():
+  """config['iterative_mll'] routes single-task NLL through the
+  matrix-free estimator (True or a kwargs dict); non-family kernels
+  fall back to the dense pipeline untouched."""
+  n, d = 256, 2
+  x, y, params = _system(n, d, seed=6)
+  dataset = {'a': defs.SubDataset(x, y)}
+  want = float(obj.neg_log_marginal_likelihood(
+      mean.constant, kernel.squared_exponential, params, dataset,
+      warp_func=DEFAULT_WARP_FUNC))
+  params_it = defs.GPParams(
+      model=dict(params.model),
+      config={'iterative_mll': {'row_chunk': 128, 'num_probes': 32,
+                                'lanczos_steps': 30,
+                                'key': jax.random.PRNGKey(1)}})
+  got = float(obj.neg_log_marginal_likelihood(
+      mean.constant, kernel.squared_exponential, params_it, dataset,
+      warp_func=DEFAULT_WARP_FUNC))
+  assert abs(got - want) / abs(want) < 0.05, (got, want)
+  # dot_product is outside the stationary table -> dense fallback.
+  for p in (params, params_it):
+    p.model['dot_prod_sigma'] = 0.8
+    p.model['dot_prod_bias'] = 0.1
+  want_dp = float(obj.neg_log_marginal_likelihood(
+      mean.constant, kernel.dot_product, params, dataset,
+      warp_func=DEFAULT_WARP_FUNC))
+  got_dp = float(obj.neg_log_marginal_likelihood(
+      mean.constant, kernel.dot_product, params_it, dataset,
+      warp_func=DEFAULT_WARP_FUNC))
+  np.testing.assert_allclose(got_dp, want_dp, rtol=1e-6)
