@@ -340,9 +340,14 @@ def summarize_results_dir(root, percentiles=(20, 50, 80), verbose=True):
   runs = []
   for dirpath, _, filenames in os.walk(root):
     if 'result.pkl' in filenames:
-      res = params_io.load_from_file(os.path.join(dirpath, 'result.pkl'))
-      if res and 'observations' in res:
-        runs.append(add_regret_array(res))
+      path = os.path.join(dirpath, 'result.pkl')
+      try:
+        res = params_io.load_from_file(path)
+        if res and 'observations' in res:
+          runs.append(add_regret_array(res))
+      except Exception as e:  # noqa: BLE001 — skip partial/foreign files
+        logging.warning('skipping %s (%s: %s)', path,
+                        type(e).__name__, e)
   if not runs:
     return None, []
   finals = np.asarray([r['regret_array'][-1] for r in runs])

@@ -226,7 +226,13 @@ def mll_iterative(mean_func, params, x, y, warp_func=None, eps: float = 1e-6,
                                               jnp.float32)], axis=0)
   ntot = xs.shape[0]
   if key is None:
-    key = jax.random.PRNGKey(0)
+    # Derive the default probe key from the data: a FIXED key would
+    # make the SLQ/Hutchinson estimator's randomized error a constant
+    # bias across training steps (it must average out instead); tying
+    # it to delta's bits redraws probes whenever the batch changes.
+    seed = jax.lax.bitcast_convert_type(
+        jnp.sum(delta, dtype=jnp.float32), jnp.int32)
+    key = jax.random.fold_in(jax.random.PRNGKey(20260817), seed)
   k_slq, k_probe = jax.random.split(key)
 
   sg = jax.lax.stop_gradient
@@ -248,15 +254,18 @@ def mll_iterative(mean_func, params, x, y, warp_func=None, eps: float = 1e-6,
   alpha = sg(solves[:, :1])                             # K^{-1} delta
   w = sg(solves[:, 1:])                                 # K^{-1} z
 
-  # quad surrogate: value = delta^T alpha at CG convergence; gradient
-  # = 2 alpha^T d(delta) - alpha^T dK alpha (exact).
-  quad = 2.0 * jnp.sum(delta * alpha) - jnp.sum(alpha * mv(alpha))
-
-  # logdet: SLQ value (constant w.r.t. params) + a zero-valued term
-  # whose gradient is the Hutchinson estimate of tr(K^{-1} dK).
+  # ONE differentiable kernel application serves both surrogates (the
+  # Gram-tile sweep is the cost; its columns are free):
+  #   quad surrogate: value = delta^T alpha at CG convergence;
+  #     gradient = 2 alpha^T d(delta) - alpha^T dK alpha (exact).
+  #   logdet: SLQ value (constant w.r.t. params) + a zero-valued term
+  #     whose gradient is the Hutchinson estimate of tr(K^{-1} dK).
+  k_app = mv(jnp.concatenate([alpha, z], axis=1))
+  quad = (2.0 * jnp.sum(delta * alpha)
+          - jnp.sum(alpha * k_app[:, :1]))
   ld_val = sg(slq_logdet(mv_sg, ntot, k_slq, num_probes=num_probes,
                          lanczos_steps=lanczos_steps))
-  trace_sur = jnp.mean(jnp.sum(w * mv(z), axis=0))
+  trace_sur = jnp.mean(jnp.sum(w * k_app[:, 1:], axis=0))
   ld = ld_val + trace_sur - sg(trace_sur)
   if pad:
     ld = ld - pad * jnp.log(sv + da)

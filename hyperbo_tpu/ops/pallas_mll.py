@@ -984,7 +984,8 @@ def mll_fused_g(x_scaled: jnp.ndarray, y: jnp.ndarray,
 def _se_nll_core_fn(block: int, half: int, group: int, interpret: bool,
                     sweep_unroll: int = 32, kfam: str = 'se',
                     pivot_mode: str = 'octv',
-                    force_zero: bool = False):
+                    force_zero: bool = False,
+                    bwd_cfg=None):
   """Differentiable fused NLL core: nll_core(x_scaled, delta, sv, da).
 
   Returns 0.5 y^T K^{-1} y + sum(log diag L) for
@@ -1030,14 +1031,15 @@ def _se_nll_core_fn(block: int, half: int, group: int, interpret: bool,
     l, x_scaled, delta, sv, da = res
     d_x, d_delta, d_sv, d_da = _se_core_bwd(l, x_scaled, delta, sv,
                                             None, kfam,
-                                            interpret=interpret)
+                                            interpret=interpret,
+                                            bwd_cfg=bwd_cfg)
     return (g * d_x, g * d_delta, g * d_sv, g * d_da)
 
   core.defvjp(fwd, bwd)
   return core
 
 
-def _tri_inv(l):
+def _tri_inv(l, blocked=False):
   """L^{-1} for the VJP backward: XLA solve (default) or blocked GEMMs.
 
   Measured round 3 (n=8192): isolated, tri_inv_blocked beats the XLA
@@ -1047,8 +1049,7 @@ def _tri_inv(l):
   The solve keeps the step at 67 ms = 1.93x the dense pipeline.
   HYPERBO_BWD_TRIINV=1 opts back into the blocked inverse.
   """
-  import os
-  if os.environ.get('HYPERBO_BWD_TRIINV', '0') == '1':
+  if blocked:
     from hyperbo_tpu.ops import linalg as linalg_mod
     return linalg_mod.tri_inv_blocked(l)
   return jax.lax.linalg.triangular_solve(
@@ -1056,33 +1057,37 @@ def _tri_inv(l):
       lower=True)
 
 
-def _bwd_precision():
-  """Precision for the backward's n x n products.
+def _bwd_env_config():
+  """Resolve the backward's env knobs to a hashable config tuple.
 
-  HIGH (X3 / 3-pass bf16) by default to match the forward kernel's
-  accuracy class. HYPERBO_BWD_PREC=default opts into single-pass bf16
-  (the v5e's native 2x-faster mode): gradient accuracy drops to the
-  ~1e-3 relative class, which is usually irrelevant for Adam/L-BFGS
-  pre-training but outside the repo's 1e-4 parity tests — hence opt-in.
+  (fused, kinv_mode, prec_mode, triinv):
+    HYPERBO_BWD_FUSED=1  — route through the fused Pallas backward
+      kernel (ops/pallas_mll_bwd; K^{-1}/G/W never reach HBM);
+    HYPERBO_BWD_KINV=syrk — triangular-aware block-column K^{-1}
+      (n^3 FLOPs instead of 2n^3; the classic LAUUM trick);
+    HYPERBO_BWD_PREC=default — single-pass bf16 backward products
+      (2x MXU rate; ~1e-3 gradient class instead of ~1e-4);
+    HYPERBO_BWD_TRIINV=1 — blocked-GEMM triangular inverse instead of
+      the XLA solve.
+
+  Resolved at the se_nll_fused entry points and threaded INTO the
+  custom-VJP core factories' lru_cache keys, so flipping a knob after
+  a first gradient call takes effect (a trace-time env read inside the
+  cached core would silently keep the old backward).
   """
   import os
-  if os.environ.get('HYPERBO_BWD_PREC', 'high') == 'default':
-    return jax.lax.Precision.DEFAULT
-  return jax.lax.Precision.HIGH
+  return (os.environ.get('HYPERBO_BWD_FUSED', '0') == '1',
+          os.environ.get('HYPERBO_BWD_KINV', 'gemm'),
+          os.environ.get('HYPERBO_BWD_PREC', 'high'),
+          os.environ.get('HYPERBO_BWD_TRIINV', '0') == '1')
 
 
-def _kinv_from_linv(linv, precision):
-  """K^{-1} = L^{-T} L^{-1}, optionally exploiting the triangularity.
-
-  The plain GEMM is 2n^3 FLOPs and ignores that linv is lower
-  triangular. HYPERBO_BWD_KINV=syrk computes K^{-1} by block columns:
+def _kinv_from_linv(linv, precision, mode='gemm'):
+  """K^{-1} = L^{-T} L^{-1}; mode='syrk' exploits the triangularity:
   column block j of K^{-1} is linv[j:, :]^T @ linv[j:, j:j+b] (rows
-  above j of the j-th column block of linv are zero), which sums to
-  n^3 FLOPs — the classic LAUUM trick, expressed as nb static-shape
-  GEMMs XLA schedules back-to-back.
-  """
-  import os
-  if os.environ.get('HYPERBO_BWD_KINV', 'gemm') == 'syrk':
+  above j of the j-th column block of linv are zero), n^3 FLOPs
+  instead of the plain GEMM's 2n^3."""
+  if mode == 'syrk':
     n = linv.shape[0]
     for b in (512, 256, 128):
       if n % b == 0 and b < n:
@@ -1095,16 +1100,8 @@ def _kinv_from_linv(linv, precision):
   return jnp.matmul(linv.T, linv, precision=precision)
 
 
-def _bwd_fused_wanted(n, valid, interpret):
-  """Route the VJP backward through the fused Pallas kernel?
-
-  HYPERBO_BWD_FUSED=1 opts in (ops/pallas_mll_bwd: the block-triangular
-  SYRK consumes each K^{-1} block in VMEM — K^{-1}/G/W never reach
-  HBM). Serves both the unmasked and the packed/masked paths.
-  """
-  import os
-  del interpret, valid  # kernel handles both; routing is the same
-  if os.environ.get('HYPERBO_BWD_FUSED', '0') != '1':
+def _bwd_fused_wanted(n, fused_flag):
+  if not fused_flag:
     return False
   from hyperbo_tpu.ops import pallas_mll_bwd as pb
   # n cap: the kernel's (n, 128) VMEM P-accumulator is n * 512 bytes —
@@ -1113,7 +1110,7 @@ def _bwd_fused_wanted(n, valid, interpret):
 
 
 def _se_core_bwd(l, x_scaled, delta, sv, valid, kfam='se',
-                 interpret=False):
+                 interpret=False, bwd_cfg=None):
   """Shared closed-form adjoints for the fused NLL cores.
 
   G = dnll/dK = 0.5 (K^{-1} - alpha alpha^T) from the saved factor;
@@ -1133,9 +1130,13 @@ def _se_core_bwd(l, x_scaled, delta, sv, valid, kfam='se',
   to match the penalty-masked forward kernel (padded Gram entries ~ 0,
   padded diagonal = da — so d/d da stays the full trace).
   """
-  hi = _bwd_precision()
-  linv = _tri_inv(l)
-  if _bwd_fused_wanted(l.shape[-1], valid, interpret):
+  if bwd_cfg is None:
+    bwd_cfg = _bwd_env_config()
+  fused_flag, kinv_mode, prec_mode, triinv = bwd_cfg
+  hi = (jax.lax.Precision.DEFAULT if prec_mode == 'default'
+        else jax.lax.Precision.HIGH)
+  linv = _tri_inv(l, blocked=triinv)
+  if _bwd_fused_wanted(l.shape[-1], fused_flag):
     from hyperbo_tpu.ops import pallas_mll_bwd
     n = l.shape[-1]
     block = pallas_mll_bwd.BLOCK
@@ -1147,7 +1148,7 @@ def _se_core_bwd(l, x_scaled, delta, sv, valid, kfam='se',
         chunk=pallas_mll_bwd.CHUNK, kfam=kfam, valid=valid,
         interpret=interpret)
     return d_x, alpha, dsv_raw / sv, d_da
-  kinv = _kinv_from_linv(linv, hi)
+  kinv = _kinv_from_linv(linv, hi, mode=kinv_mode)
   # alpha via the explicit inverse (2n^2 matvec) instead of two chained
   # 1-RHS triangular solves: at n=8192 each solve is a ~n/block-step
   # sequential while loop (latency-bound, several ms) while kinv is
@@ -1291,7 +1292,7 @@ def se_nll_fused(mean_func, params, x, y, warp_func=None, eps=1e-6,
         sweep_unroll=sweep_unroll, kfam=kfam, interpret=interpret)
   unroll, pivot, force_zero = _fused_env_config(sweep_unroll)
   core = _se_nll_core_fn(block, half, group, interpret, unroll,
-                         kfam, pivot, force_zero)
+                         kfam, pivot, force_zero, _bwd_env_config())
   nll_core = core(x_scaled, delta, sv, da)
   return nll_core + 0.5 * n * jnp.log(2 * jnp.pi)
 
@@ -1300,7 +1301,8 @@ def se_nll_fused(mean_func, params, x, y, warp_func=None, eps=1e-6,
 def _se_nll_core_masked_fn(block: int, half: int, group: int,
                            interpret: bool, sweep_unroll: int = 32,
                            kfam: str = 'se', pivot_mode: str = 'octv',
-                           force_zero: bool = False):
+                           force_zero: bool = False,
+                           bwd_cfg=None):
   """Masked differentiable fused NLL core (packed-batch support).
 
   core(x_scaled, delta, sv, da, valid) with valid an (n,) 0/1 mask:
@@ -1336,7 +1338,8 @@ def _se_nll_core_masked_fn(block: int, half: int, group: int,
     l, x_scaled, delta, sv, da, valid = res
     d_x, d_delta, d_sv, d_da = _se_core_bwd(l, x_scaled, delta, sv,
                                             valid, kfam,
-                                            interpret=interpret)
+                                            interpret=interpret,
+                                            bwd_cfg=bwd_cfg)
     return (g * d_x, g * d_delta, g * d_sv, g * d_da,
             jnp.zeros_like(valid))
 
@@ -1378,7 +1381,8 @@ def se_nll_fused_masked(x_scaled, delta_masked, sv, da, count,
     sweep_unroll = min(sweep_unroll, 2)  # see se_nll_fused
   unroll, pivot, force_zero = _fused_env_config(sweep_unroll)
   core = _se_nll_core_masked_fn(block, half, group, interpret,
-                                unroll, kfam, pivot, force_zero)
+                                unroll, kfam, pivot, force_zero,
+                                _bwd_env_config())
   nll_core = core(xs, delta, sv, da, valid)
   surplus = 0.5 * jnp.log(da) * (n - count)
   return nll_core - surplus + 0.5 * count * jnp.log(2 * jnp.pi)

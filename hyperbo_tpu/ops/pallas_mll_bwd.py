@@ -57,19 +57,24 @@ MAX_N = 16384
 def _km_nm(sqd, sv, kfam):
   """(kmat, neg2kp) = (sv * k(r2), -2 sv dk/dr2) per kernel family.
 
-  Same forms as ops/pallas_mll._se_core_bwd; sqd is clamped at 0 like
-  the forward's _gram_transform.
+  Same forms as the dense kernels (models/kernel.py), including the
+  r^2 floor under the Matern sqrt: without it, reverse-mode autodiff
+  through sqrt at r2 = 0 (duplicate input rows, or f32-cancellation
+  zeros of the matmul distance form) yields 0 * inf = NaN cotangents
+  that a downstream matmul spreads to every gradient. The floor's
+  max() also zeroes the (undefined) derivative there — matching the
+  true coincident-point limit of the Matern adjoint, which is 0.
   """
   r2 = jnp.maximum(sqd, 0.0)
   if kfam == 'se':
     km = sv * jnp.exp(-0.5 * r2)
     return km, km
   if kfam == 'matern32':
-    r = _SQRT3 * jnp.sqrt(r2)
+    r = _SQRT3 * jnp.sqrt(jnp.maximum(r2, 1e-36))
     e = jnp.exp(-r)
     return sv * (1.0 + r) * e, 3.0 * sv * e
   if kfam == 'matern52':
-    r = _SQRT5 * jnp.sqrt(r2)
+    r = _SQRT5 * jnp.sqrt(jnp.maximum(r2, 1e-36))
     e = jnp.exp(-r)
     return (sv * (1.0 + r + (r * r) * (1.0 / 3.0)) * e,
             (5.0 / 3.0) * sv * (1.0 + r) * e)

@@ -35,8 +35,10 @@ def pytest_configure(config):
   # suite's large interpret-mode Pallas compiles was observed to
   # segfault inside backend_compile ~50 min in) and cuts wall time
   # roughly 2x (226 tests: 46 min at -n 4 vs 75+ min single-process).
-  if not any(a == '-n' or a.startswith('-n') and a[2:].isdigit()
-             for a in args):
+  has_n = any(a == '-n' or a == '--numprocesses'
+              or a.startswith('-n') or a.startswith('--numprocesses')
+              for a in args)
+  if not has_n:
     try:
       import xdist  # noqa: F401
       args = args + ['-n', '4']
