@@ -77,15 +77,82 @@ def kernel_matvec(x_scaled: jnp.ndarray, v: jnp.ndarray, sv, da,
   return out.reshape(n, -1) + (sv + da) * vv
 
 
+def partial_pivoted_cholesky(x_scaled: jnp.ndarray, sv, kfam: str,
+                             rank: int,
+                             precision=jax.lax.Precision.HIGH):
+  """Rank-k pivoted partial Cholesky of K (matrix-free, O(nk) memory).
+
+  Greedy max-residual-diagonal pivoting; each step evaluates ONE kernel
+  row (O(nd) MXU work). Returns L with K ~ L L^T + (residual). The
+  classic CG preconditioner for small-ridge GP systems (GPyTorch
+  Sec. 3.2 / PAPERS.md arxiv 1809.11165).
+  """
+  n, d = x_scaled.shape
+  xs = x_scaled.astype(jnp.float32)
+  sqn = jnp.sum(xs * xs, axis=1, keepdims=True)
+
+  def krow(i):
+    xi = jax.lax.dynamic_slice_in_dim(xs, i, 1, axis=0)     # (1, d)
+    si = jnp.sum(xi * xi)
+    r2 = si + sqn[:, 0] - 2.0 * jnp.matmul(
+        xs, xi.T, precision=precision)[:, 0]
+    km, _ = _km_nm(r2, sv, kfam)                            # (n,)
+    # Exact k(0) on the pivot's own entry (cancellation-proof).
+    return km.at[i].set(sv)
+
+  def step(j, carry):
+    lmat, dvec = carry
+    i = jnp.argmax(dvec)
+    row = krow(i)
+    li = jax.lax.dynamic_slice_in_dim(lmat, i, 1, axis=0)   # (1, k)
+    col = row - jnp.matmul(lmat, li.T, precision=precision)[:, 0]
+    piv = jnp.sqrt(jnp.maximum(dvec[i], 1e-12))
+    col = col / piv
+    # Mask columns t >= j out of the update (lmat buffer is zero there
+    # anyway) and freeze finished pivots' diagonal at 0.
+    lmat = jax.lax.dynamic_update_slice_in_dim(
+        lmat, col.reshape(n, 1), j, axis=1)
+    dvec = jnp.maximum(dvec - col * col, 0.0)
+    return lmat, dvec
+
+  l0 = jnp.zeros((n, rank), jnp.float32)
+  d0 = jnp.full((n,), jnp.asarray(sv, jnp.float32))
+  lmat, _ = jax.lax.fori_loop(0, rank, step, (l0, d0))
+  return lmat
+
+
+def woodbury_inverse_apply(lmat: jnp.ndarray, da):
+  """v -> (L L^T + da I)^{-1} v via the Woodbury identity.
+
+  Factors the k x k core once; each application is two (n, k) GEMMs.
+  """
+  k = lmat.shape[1]
+  core = da * jnp.eye(k, dtype=jnp.float32) + jnp.matmul(
+      lmat.T, lmat, precision=jax.lax.Precision.HIGH)
+  chol = jnp.linalg.cholesky(core)
+
+  def apply(v):
+    ltv = jnp.matmul(lmat.T, v, precision=jax.lax.Precision.HIGH)
+    sol = jax.scipy.linalg.cho_solve((chol, True), ltv)
+    return (v - jnp.matmul(lmat, sol,
+                           precision=jax.lax.Precision.HIGH)) / da
+  return apply
+
+
 def cg_batched(matvec: Callable[[jnp.ndarray], jnp.ndarray],
                b: jnp.ndarray, tol: float = 1e-6,
-               maxiter: int = 1000):
+               maxiter: int = 1000,
+               precond: Optional[Callable[[jnp.ndarray],
+                                          jnp.ndarray]] = None):
   """Batched CG: solve A X = B for SPD A, all columns together.
 
   Returns (X, iterations, max final residual norm). One
   `lax.while_loop`; convergence when every column's residual norm
-  falls under tol * ||b_col||.
+  falls under tol * ||b_col||. With `precond` (v -> M^{-1} v for an
+  SPD approximation M ~ A) runs preconditioned CG — same fixed point,
+  far fewer iterations when A is ill-conditioned (small GP ridge).
   """
+  pinv = precond if precond is not None else (lambda v: v)
   bnorm = jnp.sqrt(jnp.sum(b * b, axis=0, keepdims=True))
   thresh = tol * jnp.maximum(bnorm, 1e-30)
 
@@ -95,20 +162,22 @@ def cg_batched(matvec: Callable[[jnp.ndarray], jnp.ndarray],
     return jnp.logical_and(i < maxiter, jnp.any(rn > thresh))
 
   def body(state):
-    x, r, p, rs, i = state
+    x, r, p, rz, i = state
     ap = matvec(p)
-    alpha = rs / jnp.maximum(jnp.sum(p * ap, axis=0, keepdims=True),
+    alpha = rz / jnp.maximum(jnp.sum(p * ap, axis=0, keepdims=True),
                              1e-30)
     x = x + alpha * p
     r = r - alpha * ap
-    rs_new = jnp.sum(r * r, axis=0, keepdims=True)
-    p = r + (rs_new / jnp.maximum(rs, 1e-30)) * p
-    return x, r, p, rs_new, i + 1
+    z = pinv(r)
+    rz_new = jnp.sum(r * z, axis=0, keepdims=True)
+    p = z + (rz_new / jnp.maximum(rz, 1e-30)) * p
+    return x, r, p, rz_new, i + 1
 
   x0 = jnp.zeros_like(b)
-  rs0 = jnp.sum(b * b, axis=0, keepdims=True)
+  z0 = pinv(b)
+  rz0 = jnp.sum(b * z0, axis=0, keepdims=True)
   x, r, _, _, iters = jax.lax.while_loop(
-      cond, body, (x0, b, b, rs0, jnp.int32(0)))
+      cond, body, (x0, b, z0, rz0, jnp.int32(0)))
   return x, iters, jnp.max(jnp.sqrt(jnp.sum(r * r, axis=0)))
 
 
@@ -162,6 +231,7 @@ def mll_iterative(mean_func, params, x, y, warp_func=None, eps: float = 1e-6,
                   cg_tol: float = 1e-5, cg_maxiter: int = 1000,
                   num_probes: int = 16, lanczos_steps: int = 32,
                   key: Optional[jax.Array] = None,
+                  precond_rank: int = 0,
                   return_info: bool = False):
   """O(n)-memory NLL estimate: CG quad term + SLQ logdet.
 
@@ -248,9 +318,19 @@ def mll_iterative(mean_func, params, x, y, warp_func=None, eps: float = 1e-6,
   z = jnp.where(
       jax.random.bernoulli(k_probe, 0.5, (ntot, num_probes)), 1.0, -1.0
   ).astype(jnp.float32)
+  precond = None
+  if precond_rank > 0:
+    # Rank-k pivoted-Cholesky preconditioner (Woodbury apply): cuts CG
+    # iterations dramatically in the small-ridge regime. Built and
+    # applied under stop_gradient — preconditioning changes the
+    # iteration path, never the fixed point, so gradients are
+    # unaffected.
+    lmat = partial_pivoted_cholesky(xs_sg, sv_sg, kfam, precond_rank)
+    precond = woodbury_inverse_apply(lmat, da_sg)
   rhs = jnp.concatenate([sg(delta), z], axis=1)
   solves, cg_iters, cg_res = cg_batched(mv_sg, rhs, tol=cg_tol,
-                                        maxiter=cg_maxiter)
+                                        maxiter=cg_maxiter,
+                                        precond=precond)
   alpha = sg(solves[:, :1])                             # K^{-1} delta
   w = sg(solves[:, 1:])                                 # K^{-1} z
 

@@ -174,3 +174,59 @@ def test_objective_routes_iterative_mll():
       mean.constant, kernel.dot_product, params_it, dataset,
       warp_func=DEFAULT_WARP_FUNC))
   np.testing.assert_allclose(got_dp, want_dp, rtol=1e-6)
+
+
+def test_pivoted_cholesky_preconditioner():
+  """Rank-k pivoted Cholesky approximates K; PCG cuts iterations in
+  the small-ridge regime and reaches the same solution."""
+  n, d = 256, 2
+  key = jax.random.PRNGKey(8)
+  x = jax.random.uniform(key, (n, d), jnp.float32)
+  from hyperbo_tpu.core.warp import retrieve_params
+  params = defs.GPParams(model={
+      'constant': 0.0, 'lengthscale': jnp.ones(d) * 0.6,
+      'signal_variance': 0.5, 'noise_variance': -6.0})  # tiny ridge
+  ls, sv, nv = retrieve_params(
+      params, ['lengthscale', 'signal_variance', 'noise_variance'],
+      warp_func=DEFAULT_WARP_FUNC)
+  xs = x / ls
+  svj, da = jnp.squeeze(sv), jnp.squeeze(nv) + 1e-6
+
+  lmat = iterative.partial_pivoted_cholesky(xs, svj, 'se', 64)
+  kdense = kernel.squared_exponential(params, x,
+                                      warp_func=DEFAULT_WARP_FUNC)
+  # Low-rank residual shrinks with rank (SE spectra decay fast).
+  resid = float(jnp.max(jnp.abs(kdense - lmat @ lmat.T)))
+  assert resid < 0.05 * float(svj), resid
+
+  b = jax.random.normal(jax.random.fold_in(key, 1), (n, 2), jnp.float32)
+  mv = lambda v: iterative.kernel_matvec(xs, v, svj, da, row_chunk=64)
+  x_plain, it_plain, _ = iterative.cg_batched(mv, b, tol=1e-6,
+                                              maxiter=3000)
+  pinv = iterative.woodbury_inverse_apply(lmat, da)
+  x_pcg, it_pcg, _ = iterative.cg_batched(mv, b, tol=1e-6, maxiter=3000,
+                                          precond=pinv)
+  # Same fixed point: compare at the solution's own scale (the system
+  # is deliberately ill-conditioned — elementwise near-zero entries of
+  # two tol-1e-6 solutions legitimately differ).
+  dx = np.abs(np.asarray(x_pcg) - np.asarray(x_plain)).max()
+  sc = np.abs(np.asarray(x_plain)).max()
+  assert dx / sc < 1e-2, (dx, sc)
+  assert int(it_pcg) < int(it_plain) / 3, (int(it_pcg), int(it_plain))
+
+
+def test_mll_iterative_with_preconditioner():
+  n, d = 256, 2
+  x, y, params = _system(n, d, seed=9)
+  params.model['noise_variance'] = -4.0  # smaller ridge
+  dataset = {'a': defs.SubDataset(x, y)}
+  want = float(obj.neg_log_marginal_likelihood(
+      mean.constant, kernel.squared_exponential, params, dataset,
+      warp_func=DEFAULT_WARP_FUNC))
+  got, info = iterative.mll_iterative(
+      mean.constant, params, x, y, warp_func=DEFAULT_WARP_FUNC,
+      cov_func=kernel.squared_exponential, row_chunk=128,
+      num_probes=32, lanczos_steps=40, precond_rank=64,
+      key=jax.random.PRNGKey(2), return_info=True)
+  assert abs(float(got) - want) / abs(want) < 0.05, (float(got), want)
+  assert float(info['cg_residual']) < 1e-3
