@@ -30,6 +30,21 @@ T0 = time.time()
 def log(*a):
   print(f'[{time.time() - T0:7.1f}s]', *a, file=sys.stderr, flush=True)
 
+_TRANSPORT_DEAD = ('Connection refused', 'Connection Failed',
+                   'UNAVAILABLE')
+
+
+def _abort_if_terminal_down(exc, tag):
+  """A compile against a dead helper burns ~50 min of retries before
+  connection-refused surfaces (round-4 record, PERF.md); once one leg
+  dies on transport, every further attempt likely costs the same —
+  stop the run instead of queueing more."""
+  msg = str(exc)
+  if any(t in msg for t in _TRANSPORT_DEAD):
+    log(f'TERMINAL DOWN (transport failure at {tag}) — aborting the '
+        f'remaining legs; re-run when the tunnel heals')
+    sys.exit(2)
+
 
 def main():
   import jax
@@ -60,6 +75,7 @@ def main():
       val = float(fn(*a))
     except Exception as e:  # noqa: BLE001
       log(f'{tag}: FAILED: {type(e).__name__}: {str(e)[:400]}')
+      _abort_if_terminal_down(e, tag)
       return None
     times = []
     for _ in range(3):
@@ -148,8 +164,27 @@ def main():
   timed('fwd (no L export)', fwd_k, xs, y)
   timed('fwd + return_l (incl. layout fix)', fwd_l_k, xs, y)
 
-  l, _, _ = jax.jit(lambda xs, y: pm.mll_fused_g(
-      xs, y, svj, da, return_l=True))(xs, y)
+  # Residual-producing helper compiles can fail on toolchain drift; a
+  # crashed process mid-compile wedges the tunnel, so build L with a
+  # fallback chain instead of an uncaught jit (2026-08-17: the
+  # standalone return_l kernel hits the new 16 MB scoped-vmem limit
+  # while the dense XLA pipeline always compiles).
+  try:
+    l, _, _ = jax.jit(lambda xs, y: pm.mll_fused_g(
+        xs, y, svj, da, return_l=True))(xs, y)
+  except Exception as e:  # noqa: BLE001
+    log(f'fused L export failed ({type(e).__name__}); building L with '
+        f'the XLA dense pipeline')
+    @jax.jit
+    def dense_l(xs, y):
+      sqn = jnp.sum(xs * xs, axis=1, keepdims=True)
+      r2 = jnp.maximum(sqn + sqn.T
+                       - 2.0 * jnp.matmul(xs, xs.T,
+                                          precision=jax.lax.Precision.HIGH),
+                       0.0)
+      kmat = svj * jnp.exp(-0.5 * r2) + da * jnp.eye(n)
+      return jnp.linalg.cholesky(kmat)
+    l = dense_l(xs, y)
   l = l.block_until_ready()
   delta = y  # zero mean
 

@@ -14,7 +14,7 @@ This probe stays in the readable OOM class (return_l=True, consuming
 l[0,0]) and bisects what actually lowers the stack; then compile-tests
 the new fused backward kernel (ops/pallas_mll_bwd).
 
-Run: nohup python benchmarks/r4_vmemfix2_probe.py > /tmp/r4vmem2.log 2>&1 &
+Run: nohup python benchmarks/r4_vmemfix3_probe.py > /tmp/r4vmem3.log 2>&1 &
 """
 
 import os
@@ -97,9 +97,6 @@ def main():
     log(f'{tag}: OK {ms:.2f} ms/iter (value {val:.4f})')
     return ms
 
-  attempt('L: default (expect OOM by 128K)', make())
-  attempt('L: copts scoped_vmem_limit 17408',
-          make(), copts={'xla_tpu_scoped_vmem_limit_kib': '17408'})
   attempt('L: unroll=16', make(sweep_unroll=16))
   attempt('L: quadv', make(pivot_mode='quadv'))
   attempt('L: pairv', make(pivot_mode='pairv'))
