@@ -251,23 +251,31 @@ def bench_chol():
 
     # Remote-toolchain drift can reject configs that compiled on
     # earlier libtpu builds (2026-08-17: a 16 MB scoped-vmem limit on
-    # Mosaic's stack frame). Walk a ladder of configs rather than
-    # losing the metric; the dense pipeline is the last resort.
-    ladder = [({}, 'default'),
-              ({'force_zero_init': True}, 'zero-pass on'),
-              ({'sweep_unroll': 16}, 'unroll=16'),
-              ({'pivot_mode': 'quadv'}, 'quadv'),
+    # Mosaic's stack frame; the default config overflows it by 128K).
+    # Walk a ladder of configs rather than losing the metric; rung 2
+    # keeps the full-speed config by raising the scoped-vmem ceiling
+    # via compiler options; the dense pipeline is the last resort.
+    vmem_copts = {'xla_tpu_scoped_vmem_limit_kib': '17408'}
+    ladder = [({}, 'default', None),
+              ({}, 'default+vmem17M', vmem_copts),
+              ({'force_zero_init': True}, 'zero-pass on', None),
+              ({'sweep_unroll': 16}, 'unroll=16', None),
+              ({'pivot_mode': 'quadv'}, 'quadv', None),
               ({'sweep_unroll': 16, 'pivot_mode': 'quadv'},
-               'unroll=16+quadv'),
+               'unroll=16+quadv', None),
               ({'sweep_unroll': 16, 'pivot_mode': 'quadv',
-                'force_zero_init': True}, 'unroll=16+quadv+zero')]
+                'force_zero_init': True}, 'unroll=16+quadv+zero', None)]
     mll_k = None
-    for cfg, tag in ladder:
+    fused_copts = None
+    for cfg, tag, copts in ladder:
       try:
         cand = make_fused(cfg)
+        if copts is not None:
+          cand = cand.lower(x, y).compile(compiler_options=copts)
         float(cand(x, y))
         mll_k = cand
         fused_cfg = cfg
+        fused_copts = copts
         if tag != 'default':
           log(f'fused config fallback engaged: {tag}')
         break
@@ -342,6 +350,9 @@ def bench_chol():
         tot, _ = lax.scan(one, 0.0, jnp.linspace(0., 1e-3, k2))
         return tot
 
+      if fused_copts is not None:
+        mll_big = mll_big.lower(xs2, y2).compile(
+            compiler_options=fused_copts)
       float(mll_big(xs2, y2))  # compile outside the timed iters
       t_big = timed_scalar(mll_big, xs2, y2)
       big_flops = (2.0 * n2 * n2 * d + n2**3 / 3.0 + 2.0 * n2 * n2) * k2
@@ -414,7 +425,19 @@ def bench_train():
 
   vg_fused = make_vg({'fused_mll': True if on_tpu else 'interpret'})
   vg_dense = make_vg({})
-  float(vg_fused(model0))
+  try:
+    float(vg_fused(model0))
+  except Exception as e:  # noqa: BLE001
+    # Toolchain-drift insurance (see bench_chol's ladder): retry the
+    # identical program with a raised scoped-vmem ceiling.
+    log(f'fused VG failed ({type(e).__name__}); retrying with '
+        f'vmem copts: {str(e)[:160]}')
+    vg_fused = make_vg(
+        {'fused_mll': True if on_tpu else 'interpret'}).lower(
+            model0).compile(
+                compiler_options={'xla_tpu_scoped_vmem_limit_kib':
+                                  '17408'})
+    float(vg_fused(model0))
   t_fused = timed_scalar(vg_fused, model0) / k_iters
   log(f'n={n} value_and_grad fused: {t_fused*1e3:.1f} ms/step')
   float(vg_dense(model0))
