@@ -35,6 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from hyperbo_tpu.ops import pallas_params
+
 _INV_BASE = 64
 
 
@@ -734,7 +736,7 @@ def cholesky_hbm_halfwide(a: jnp.ndarray, block: int = 256,
           pltpu.SemaphoreType.DMA,                      # sem_s
           pltpu.SemaphoreType.DMA,                      # sem_out
       ],
-      compiler_params=pltpu.CompilerParams(has_side_effects=True),
+      compiler_params=pallas_params.compiler_params(has_side_effects=True),
       interpret=interpret,
   )(a.astype(jnp.float32))
 
@@ -771,7 +773,7 @@ def cholesky_hbm_wide(a: jnp.ndarray, block: int = 256,
           pltpu.SemaphoreType.DMA,                      # sem_s
           pltpu.SemaphoreType.DMA,                      # sem_out
       ],
-      compiler_params=pltpu.CompilerParams(has_side_effects=True),
+      compiler_params=pallas_params.compiler_params(has_side_effects=True),
       interpret=interpret,
   )(a.astype(jnp.float32))
 
@@ -804,7 +806,7 @@ def cholesky_hbm_halves(a: jnp.ndarray, block: int = 256,
           pltpu.SemaphoreType.DMA,                      # sem_s
           pltpu.SemaphoreType.DMA,                      # sem_out
       ],
-      compiler_params=pltpu.CompilerParams(has_side_effects=True),
+      compiler_params=pallas_params.compiler_params(has_side_effects=True),
       interpret=interpret,
   )(a.astype(jnp.float32))
 
@@ -835,7 +837,7 @@ def cholesky_hbm(a: jnp.ndarray, block: int = 256,
           pltpu.SemaphoreType.DMA,                     # sem_s
           pltpu.SemaphoreType.DMA,                     # sem_out
       ],
-      compiler_params=pltpu.CompilerParams(has_side_effects=True),
+      compiler_params=pallas_params.compiler_params(has_side_effects=True),
       interpret=interpret,
   )(a.astype(jnp.float32))
 

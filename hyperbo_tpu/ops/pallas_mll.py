@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from hyperbo_tpu.ops import pallas_params
+
 from hyperbo_tpu.ops.pallas_chol_hbm import (_INV_BASE, _dekker_split,
                                              _pdot, _stacked_sweep,
                                              _sweep_fori)
@@ -418,7 +420,7 @@ def mll_fused_pm(x_scaled: jnp.ndarray, y: jnp.ndarray,
           pltpu.SemaphoreType.DMA,                      # sem_x
           pltpu.SemaphoreType.DMA,                      # sem_out
       ],
-      compiler_params=pltpu.CompilerParams(has_side_effects=True),
+      compiler_params=pallas_params.compiler_params(has_side_effects=True),
       interpret=interpret,
   )(xa, xb, y_pm, sv, da)
   if return_l:
@@ -960,7 +962,7 @@ def mll_fused_g(x_scaled: jnp.ndarray, y: jnp.ndarray,
           pltpu.SemaphoreType.DMA((2,)),                # sem_x
           pltpu.SemaphoreType.DMA,                      # sem_out
       ],
-      compiler_params=pltpu.CompilerParams(has_side_effects=True),
+      compiler_params=pallas_params.compiler_params(has_side_effects=True),
       interpret=interpret,
   )(xa, xb, y_pm, sv, da)
   if return_l:

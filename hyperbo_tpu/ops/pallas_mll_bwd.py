@@ -40,6 +40,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from hyperbo_tpu.ops import pallas_params
+
 from hyperbo_tpu.ops.pallas_chol_hbm import _pdot
 
 _SQRT3 = 3.0 ** 0.5
@@ -267,7 +269,7 @@ def mll_bwd_fused(tpm: jnp.ndarray, x_scaled: jnp.ndarray,
           pltpu.SemaphoreType.DMA((3,)),                # x-tile sems
           pltpu.SemaphoreType.DMA,                      # out sem
       ],
-      compiler_params=pltpu.CompilerParams(has_side_effects=True),
+      compiler_params=pallas_params.compiler_params(has_side_effects=True),
       interpret=interpret,
   )(tpm, xa, xb, arow, acol, vrow, vcol, sv)
   d_x = 2.0 * (pacc[:, :d] - pacc[:, d:d + 1] * xs32)
