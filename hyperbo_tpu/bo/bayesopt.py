@@ -14,7 +14,6 @@ For the fully on-device scan-based loop with rank-1 posterior updates
 
 from __future__ import annotations
 
-import dataclasses
 import logging
 import time
 from typing import Any, Callable, Optional, Tuple, Union
@@ -294,43 +293,14 @@ def run_bayesopt(
   return (sub_dataset.x, sub_dataset.y), None, model.params
 
 
-def _onehot_matrix(shape, idx) -> np.ndarray:
-  """Rows are one-hot vectors with idx-th element 1 (task indicators)."""
-  zeros = np.zeros(shape)
-  zeros[:, idx] = 1
-  return zeros
+def with_task_context(x, task_id: int, num_tasks: int) -> np.ndarray:
+  """Append a one-hot task indicator to each input row.
 
-
-def _subdataset_to_arrays(ds: SubDataset, dataset_id: int,
-                          num_datasets: int) -> Tuple[np.ndarray, np.ndarray]:
-  """Append a one-hot task indicator to x (contextual/MTBO baselines)."""
-  onehot = _onehot_matrix((ds.y.shape[0], num_datasets), dataset_id)
-  return np.concatenate([ds.x, onehot], axis=1), ds.y
-
-
-@dataclasses.dataclass
-class _XYPair:
-  """Keep an (x, y) array pair in sync under append/delete."""
-  x: np.ndarray
-  y: np.ndarray
-
-  def append_xy(self, other, idx: int) -> None:
-    self.x = np.concatenate([self.x, other.x[idx:idx + 1, :]], axis=0)
-    self.y = np.concatenate([self.y, other.y[idx:idx + 1, :]], axis=0)
-
-  def delete(self, idx: int) -> None:
-    self.x = np.delete(self.x, idx, 0)
-    self.y = np.delete(self.y, idx, 0)
-
-  def concat(self, other) -> '_XYPair':
-    return _XYPair(
-        x=np.concatenate([self.x, other.x]),
-        y=np.concatenate([self.y, other.y]))
-
-  def empty_like(self) -> '_XYPair':
-    return _XYPair(
-        x=np.zeros((0, self.x.shape[1])), y=np.zeros((0, self.y.shape[1])))
-
-  @property
-  def size(self):
-    return self.x.shape[0]
+  The contextual/MTBO baselines (reference
+  hyperbo/bo_utils/bayesopt.py:305-344) model all tasks with one GP
+  whose inputs carry the task identity as extra dimensions.
+  """
+  x = np.asarray(x)
+  ctx = np.broadcast_to(np.eye(num_tasks, dtype=x.dtype)[task_id],
+                        (x.shape[0], num_tasks))
+  return np.concatenate([x, ctx], axis=1)

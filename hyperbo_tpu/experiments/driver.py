@@ -72,9 +72,8 @@ def _contextual_dataset(dataset, sub_dataset_key):
   num = len(keys) + 1  # + the test task slot
   xs, ys = [], []
   for i, k in enumerate(keys):
-    x, y = bayesopt._subdataset_to_arrays(unaligned[k], i, num)
-    xs.append(x)
-    ys.append(y)
+    xs.append(bayesopt.with_task_context(unaligned[k].x, i, num))
+    ys.append(np.asarray(unaligned[k].y))
   merged = SubDataset(jnp.asarray(np.concatenate(xs)),
                       jnp.asarray(np.concatenate(ys)))
   return {0: merged}, len(keys)
@@ -204,10 +203,9 @@ def run_experiment(
   if method == const.MTBO:
     dataset, num_tasks = _contextual_dataset(dataset, sub_dataset_key)
     # Pad queried x with the test task's one-hot context.
-    onehot = bayesopt._onehot_matrix(
-        (queried.x.shape[0], num_tasks + 1), num_tasks)
     queried = SubDataset(
-        jnp.asarray(np.concatenate([np.asarray(queried.x), onehot], 1)),
+        jnp.asarray(bayesopt.with_task_context(
+            queried.x, num_tasks, num_tasks + 1)),
         queried.y)
     sub_dataset_key = 'mtbo_test'
   elif method == const.STBO:
