@@ -490,3 +490,198 @@ def continuous_bayesopt_ondevice(
         else jnp.zeros((0, 1), jnp.float32))
   x_out, y_out = run(x0, y0, key)
   return x_out, y_out
+
+
+def simulated_bayesopt_ondevice_retrain(
+    mean_func,
+    cov_func,
+    model_params,
+    config,
+    warp_func,
+    queried_sub_dataset: SubDataset,
+    iters: int,
+    acquisition: str = 'ei',
+    num_train_tasks: int = 0,
+    init_obs: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    n_max: Optional[int] = None,
+    pretrain_packed=None,
+    retrain_every: int = 1,
+    retrain_steps: int = 10,
+    learning_rate: Optional[float] = None,
+    eps: float = 1e-6,
+    key: Optional[jax.Array] = None,
+):
+  """On-device BO with PERIODIC IN-SCAN RETRAINING: the full
+  retrain->select->append experiment loop as ONE compiled program.
+
+  The host loop's `retrain_model` (reference
+  hyperbo/bo_utils/bayesopt.py:46-72, called per iteration from
+  simulated_bayesopt) re-trains the GP on all sub-datasets — the
+  pre-training corpus plus the growing test task — then refactorizes
+  the posterior. Here the model parameters and Adam state ride the
+  scan carry: every `retrain_every` iterations the loop takes
+  `retrain_steps` full-batch Adam steps on the mean per-task NLL of
+  (pretrain_packed (+) masked test buffer) — the same
+  averaged-over-sub-datasets objective (priors subtracted once, as
+  models/packed.neg_log_marginal_likelihood_packed) — and rebuilds the
+  test-task Cholesky from the new kernel; between retrains appends
+  stay O(n^2) rank-1 updates.
+
+  Args:
+    pretrain_packed: optional models.packed.PackedDataset of the
+      pre-training tasks (None = retrain on the test task alone, the
+      STBO regime).
+    retrain_every / retrain_steps: cadence and per-retrain Adam steps;
+      retrain_steps=0 reproduces simulated_bayesopt_ondevice exactly.
+    learning_rate: Adam LR (default config['learning_rate'] or 1e-2).
+
+  Returns:
+    (x_observed, y_observed, selected_indices, final_model_params).
+  """
+  import optax
+  from hyperbo_tpu.models import packed as packed_lib
+
+  if key is None:
+    key = jax.random.PRNGKey(0)
+  n_init = 0 if init_obs is None else init_obs[0].shape[0]
+  if n_max is None:
+    n_max = n_init + iters
+  d = queried_sub_dataset.x.shape[1]
+  config = dict(config or {})
+  lr = learning_rate if learning_rate is not None else config.get(
+      'learning_rate', 1e-2)
+  optimizer = optax.adam(lr)
+  acq_sub, acq_param_kind = _ACQ_SUBS[acquisition]
+  scale = _unbiased_scale(num_train_tasks)
+  config_nopriors = {k: v for k, v in config.items() if k != 'priors'}
+
+  def shim(model, with_priors=False):
+    return defs.GPParams(
+        model=model, config=config if with_priors else config_nopriors)
+
+  def noise_of(model):
+    nv, = retrieve_params(shim(model), ['noise_variance'],
+                          warp_func=warp_func)
+    return nv
+
+  if pretrain_packed is not None:
+    t_real = jnp.sum(pretrain_packed.task_mask).astype(jnp.float32)
+
+  def loss_fn(model, x_buf, y_buf, count):
+    """Mean per-task NLL over pretrain tasks + the masked test buffer."""
+    p = shim(model)
+    mask = jnp.arange(n_max) < count
+    nll_test = packed_lib.nll_one_task(
+        mean_func, cov_func, p, x_buf, y_buf, mask, count,
+        warp_func=warp_func, eps=eps)
+    w_test = (count > 0).astype(jnp.float32)
+    if pretrain_packed is not None:
+      # Mean over the packed tasks (reuses fused/batched routing), then
+      # recombined with the test task at reference averaging semantics.
+      mean_pre = packed_lib.neg_log_marginal_likelihood_packed(
+          mean_func, cov_func, p, pretrain_packed, warp_func=warp_func,
+          eps=eps)
+      total = ((mean_pre * t_real + w_test * nll_test)
+               / jnp.maximum(t_real + w_test, 1.0))
+    else:
+      total = w_test * nll_test
+    if 'priors' in config:
+      pw = shim(model, with_priors=True)
+      for k in model:
+        if k in config['priors']:
+          val, = retrieve_params(pw, [k], warp_func)
+          total -= config['priors'][k](val)
+    return total
+
+  def refactor(model, x_buf, count):
+    """Masked from-scratch Cholesky of the test-task system (padded
+    rows identity, so later rank-1 appends extend it)."""
+    p = shim(model)
+    nv = noise_of(model)
+    mask = jnp.arange(n_max) < count
+    kmat = cov_func(p, x_buf, warp_func=warp_func)
+    pair = mask[:, None] & mask[None, :]
+    eye = jnp.eye(n_max, dtype=kmat.dtype)
+    kmat = jnp.where(pair, kmat, 0.0) + eye * jnp.where(
+        mask, nv + eps, 1.0)
+    return chol_ops.cholesky(kmat)
+
+  def retrain(model, opt_state, x_buf, y_buf, count):
+    def one(_, carry):
+      m, o = carry
+      grads = jax.grad(loss_fn)(m, x_buf, y_buf, count)
+      updates, o = optimizer.update(grads, o)
+      return optax.apply_updates(m, updates), o
+    return jax.lax.fori_loop(0, retrain_steps, one, (model, opt_state))
+
+  def append(model, x_buf, y_buf, chol_buf, count, x_new, y_new):
+    chol_buf = _append_chol(cov_func, shim(model), warp_func,
+                            noise_of(model), eps, x_buf, chol_buf,
+                            count, x_new)
+    x_buf = jax.lax.dynamic_update_slice(x_buf, x_new[None, :],
+                                         (count, 0))
+    y_buf = jax.lax.dynamic_update_slice(y_buf, y_new[None, :],
+                                         (count, 0))
+    return x_buf, y_buf, chol_buf, count + 1
+
+  def step(state, args, cand_x, cand_y):
+    i, k = args
+    x_buf, y_buf, chol_buf, count, model, opt_state = state
+    if retrain_steps > 0:
+      do = jnp.logical_and(i % retrain_every == 0, count > 0)
+      model, opt_state = jax.lax.cond(
+          do,
+          lambda m, o: retrain(m, o, x_buf, y_buf, count),
+          lambda m, o: (m, o), model, opt_state)
+      chol_buf = jax.lax.cond(
+          do,
+          lambda m, xb, c, cb: refactor(m, xb, c),
+          lambda m, xb, c, cb: cb, model, x_buf, count, chol_buf)
+    if acq_param_kind == 'rand':
+      select_idx = jax.random.randint(k, (), 0, cand_x.shape[0])
+    else:
+      mu, var = _masked_posterior(
+          mean_func, cov_func, shim(model), warp_func, noise_of(model),
+          scale, x_buf, y_buf, chol_buf, count, cand_x)
+      mask = jnp.arange(n_max) < count
+      target = _acq_param(acq_param_kind, y_buf, mask, count)
+      select_idx = jnp.argmax(acq_sub(mu, jnp.sqrt(var),
+                                      target).flatten())
+    x_buf, y_buf, chol_buf, count = append(
+        model, x_buf, y_buf, chol_buf, count, cand_x[select_idx],
+        cand_y[select_idx])
+    return (x_buf, y_buf, chol_buf, count, model, opt_state), select_idx
+
+  @jax.jit
+  def run(model, x0, y0, cand_x, cand_y, key):
+    x_buf = jnp.zeros((n_max, d), jnp.float32)
+    y_buf = jnp.zeros((n_max, 1), jnp.float32)
+    chol_buf = chol_ops.init_chol_buffer(n_max)
+    opt_state = optimizer.init(model)
+    state = (x_buf, y_buf, chol_buf, jnp.array(0, jnp.int32), model,
+             opt_state)
+
+    def seed_one(i, st):
+      x_buf, y_buf, chol_buf, count, model, opt_state = st
+      x_buf, y_buf, chol_buf, count = append(
+          model, x_buf, y_buf, chol_buf, count, x0[i], y0[i])
+      return (x_buf, y_buf, chol_buf, count, model, opt_state)
+
+    if n_init > 0:
+      state = jax.lax.fori_loop(0, n_init, seed_one, state)
+    state, select_idx = jax.lax.scan(
+        lambda st, a: step(st, a, cand_x, cand_y), state,
+        (jnp.arange(iters), jax.random.split(key, iters)))
+    return state[0], state[1], select_idx, state[4]
+
+  x0 = (init_obs[0].astype(jnp.float32) if init_obs is not None
+        else jnp.zeros((0, d), jnp.float32))
+  y0 = (init_obs[1].astype(jnp.float32) if init_obs is not None
+        else jnp.zeros((0, 1), jnp.float32))
+  model0 = jax.tree.map(lambda v: jnp.asarray(v, jnp.float32),
+                        dict(model_params))
+  x_out, y_out, select_idx, model_out = run(
+      model0, x0, y0, queried_sub_dataset.x.astype(jnp.float32),
+      queried_sub_dataset.y.astype(jnp.float32), key)
+  total = n_init + iters
+  return x_out[:total], y_out[:total], select_idx, model_out

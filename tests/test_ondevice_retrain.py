@@ -1,0 +1,105 @@
+"""On-device BO with in-scan retraining (bo/ondevice.py).
+
+The host loop retrains the GP between BO iterations (reference
+hyperbo/bo_utils/bayesopt.py:46-72 via simulated_bayesopt); the
+on-device variant carries model params + Adam state through the scan.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hyperbo_tpu.core import defs
+from hyperbo_tpu.models import kernel, mean
+from hyperbo_tpu.models import packed as packed_lib
+from hyperbo_tpu.bo import ondevice
+from hyperbo_tpu.data import synthetic
+
+GPParams = defs.GPParams
+
+
+def _setup(key):
+  params = GPParams(
+      model={'constant': 5., 'lengthscale': jnp.array([.1, .1]),
+             'signal_variance': 1.0, 'noise_variance': 0.01},
+      config={'method': 'adam', 'learning_rate': 1e-2,
+              'max_training_step': 2, 'batch_size': 10,
+              'objective': 'nll', 'retrain': 0})
+  dataset, sdk, queried = synthetic.random(
+      key, mean.constant, kernel.squared_exponential, params, dim=2,
+      n_observed=4, n_queries=15, n_func_historical=3,
+      m_points_historical=6)
+  return params, dataset, sdk, queried
+
+
+def test_retrain_zero_steps_matches_plain_loop():
+  params, dataset, sdk, queried = _setup(jax.random.PRNGKey(0))
+  iters = 5
+  xo, yo, sel = ondevice.simulated_bayesopt_ondevice(
+      mean.constant, kernel.squared_exponential, dict(params.model),
+      dict(params.config), None, queried, iters=iters, acquisition='ei',
+      num_train_tasks=len(dataset))
+  xr, yr, selr, model_out = ondevice.simulated_bayesopt_ondevice_retrain(
+      mean.constant, kernel.squared_exponential, dict(params.model),
+      dict(params.config), None, queried, iters=iters, acquisition='ei',
+      num_train_tasks=len(dataset), retrain_steps=0)
+  np.testing.assert_array_equal(np.asarray(sel), np.asarray(selr))
+  np.testing.assert_allclose(np.asarray(xo), np.asarray(xr), atol=1e-6)
+  # retrain_steps=0: the model comes back unchanged.
+  for k, v in params.model.items():
+    np.testing.assert_allclose(np.asarray(model_out[k]),
+                               np.asarray(v, np.float32), atol=0)
+
+
+def test_retrain_trains_and_improves_nll():
+  params, dataset, sdk, queried = _setup(jax.random.PRNGKey(1))
+  iters = 4
+  pretrain = {k: v for k, v in dataset.items()
+              if k != sdk and v.aligned is None}
+  pp, _ = packed_lib.pack_dataset(pretrain, pad_to_multiple=8)
+  init_obs = (queried.x[:2], queried.y[:2])
+  # Start AWAY from the ground truth that generated the data, so
+  # retraining has something to recover.
+  init_model = {'constant': 0.0, 'lengthscale': jnp.array([1.0, 1.0]),
+                'signal_variance': 0.5, 'noise_variance': 0.05}
+  xr, yr, sel, model_out = ondevice.simulated_bayesopt_ondevice_retrain(
+      mean.constant, kernel.squared_exponential, dict(init_model),
+      dict(params.config), None, queried, iters=iters, acquisition='ei',
+      num_train_tasks=len(pretrain), init_obs=init_obs,
+      pretrain_packed=pp, retrain_every=1, retrain_steps=25,
+      learning_rate=5e-2)
+  assert xr.shape == (2 + iters, 2) and yr.shape == (2 + iters, 1)
+  assert sel.shape == (iters,)
+  # Selected observations really come from the candidate set.
+  for i in range(iters):
+    np.testing.assert_allclose(np.asarray(xr[2 + i]),
+                               np.asarray(queried.x[sel[i]]), atol=1e-6)
+  # The model moved...
+  moved = any(
+      not np.allclose(np.asarray(model_out[k]),
+                      np.asarray(v, np.float32), atol=1e-7)
+      for k, v in init_model.items())
+  assert moved, 'retraining left every parameter unchanged'
+
+  # ...and in the right direction: mean per-task NLL over the
+  # pre-training corpus improves vs the initial parameters.
+  def corpus_nll(model):
+    shim = GPParams(model=model, config={})
+    return float(packed_lib.neg_log_marginal_likelihood_packed(
+        mean.constant, kernel.squared_exponential, shim, pp))
+  assert corpus_nll(model_out) < corpus_nll(
+      {k: jnp.asarray(v, jnp.float32) for k, v in init_model.items()})
+
+
+def test_retrain_stbo_without_pretrain_corpus():
+  """STBO regime: no pre-training tasks; retrain on the test buffer."""
+  params, dataset, sdk, queried = _setup(jax.random.PRNGKey(2))
+  init_obs = (queried.x[:3], queried.y[:3])
+  xr, yr, sel, model_out = ondevice.simulated_bayesopt_ondevice_retrain(
+      mean.constant, kernel.squared_exponential, dict(params.model),
+      dict(params.config), None, queried, iters=3, acquisition='ucb',
+      init_obs=init_obs, retrain_every=2, retrain_steps=10)
+  assert xr.shape == (6, 2)
+  assert np.all(np.isfinite(np.asarray(yr)))
+  for v in model_out.values():
+    assert np.all(np.isfinite(np.asarray(v)))
