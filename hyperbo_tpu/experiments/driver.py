@@ -92,23 +92,26 @@ def _run_ondevice(method, dataset, mean_func, cov_func, init_params,
                   init_model, sub_dataset_key):
   """Pre-train as usual, then run the BO loop as one on-device scan.
 
-  Covers the offline (simulated) path for GP and HGP methods with no
-  per-iteration retraining — the production TPU loop (bo/ondevice.py):
-  rank-1 Cholesky appends, batched candidate scoring, no host sync
-  until the loop ends. Existing observations on the test sub-dataset
-  seed the loop; the rand method maps to the on-device rand baseline.
+  Covers the offline (simulated) path for GP and HGP methods — the
+  production TPU loop (bo/ondevice.py): rank-1 Cholesky appends,
+  batched candidate scoring, no host sync until the loop ends.
+  Existing observations on the test sub-dataset seed the loop; the
+  rand method maps to the on-device rand baseline. config['retrain']
+  > 0 (e.g. method=stbo) routes GP methods to the in-scan retraining
+  variant (model params + Adam state in the scan carry, the host
+  loop's per-iteration retrain_model semantics).
   """
   from hyperbo_tpu.bo import ondevice as ondevice_lib
 
-  if init_params.config.get('retrain', 0) > 0:
-    raise ValueError(
-        'ondevice=True runs the scan loop without per-iteration '
-        "retraining; config['retrain'] > 0 (e.g. method=stbo) needs "
-        'the host loop.')
+  retrain = init_params.config.get('retrain', 0)
   acq = ('rand' if method == const.RAND
          else _ONDEVICE_ACQ.get(ac_func_name, ac_func_name))
   model = bayesopt._build_model(method, dataset, mean_func, cov_func,
                                 init_params, warp_func)
+  if retrain > 0 and isinstance(model, gp.HGP):
+    raise ValueError(
+        'on-device per-iteration retraining supports GP methods; HGP '
+        'retraining needs the host loop.')
   if init_model:
     key, sk = jax.random.split(key)
     model.initialize_params(sk)
@@ -132,6 +135,19 @@ def _run_ondevice(method, dataset, mean_func, cov_func, init_params,
     xo, yo, _ = ondevice_lib.simulated_bayesopt_ondevice_hgp(
         mean_func, cov_func, model.get_model_params_samples(),
         model.params.config, warp_func, **common)
+  elif retrain > 0:
+    from hyperbo_tpu.models import packed as packed_lib
+    pretrain = {k: v for k, v in model.dataset.items()
+                if k != sub_dataset_key and v.aligned is None
+                and v.x.shape[0] > 0 and v.y.shape[1] == 1}
+    pp = (packed_lib.pack_dataset(pretrain, pad_to_multiple=8)[0]
+          if pretrain else None)
+    xo, yo, _, model_out = ondevice_lib.simulated_bayesopt_ondevice_retrain(
+        mean_func, cov_func, model.params.model, model.params.config,
+        warp_func, pretrain_packed=pp, retrain_every=1,
+        retrain_steps=retrain, **common)
+    model.params.model = model_out  # the host loop also ends retrained
+    model.params.cache = {}
   else:
     xo, yo, _ = ondevice_lib.simulated_bayesopt_ondevice(
         mean_func, cov_func, model.params.model, model.params.config,
@@ -283,7 +299,8 @@ def main():
                            'fused Pallas kernel (value + gradient)')
   parser.add_argument('--ondevice', action='store_true',
                       help='run the BO loop as one on-device scan '
-                           '(offline path, no per-iteration retrain)')
+                           '(offline path; config["retrain"]>0 uses '
+                           'the in-scan retraining variant)')
   args = parser.parse_args()
   init_params = None
   if args.fused_mll:

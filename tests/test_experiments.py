@@ -101,3 +101,23 @@ def test_driver_ondevice_path(tmp_path):
   assert y_obs.shape[0] == 4 and x_obs.shape[1] == 2
   assert np.all(np.isfinite(np.asarray(y_obs)))
   assert result['best_query'] is not None
+
+
+def test_driver_ondevice_retrain_path(tmp_path):
+  """--ondevice + config['retrain']>0 (the STBO regime) routes to the
+  in-scan retraining loop instead of raising."""
+  init = driver.default_init_params(const.STBO)
+  init.config['retrain'] = 5  # keep the CPU test cheap
+  result = driver.run_experiment(
+      data_loader_name='random', method=const.STBO,
+      ac_func_name='expected_improvement', iters=3, seed=1,
+      output_dir=str(tmp_path), run_id=4, init_params=init,
+      mean_func_name='constant',
+      cov_func_name='squared_exponential',
+      ondevice=True,
+      dataset_kwargs=dict(n_queries=20, n_func_historical=2,
+                          m_points_historical=8),
+      verbose=False)
+  x_obs, y_obs = result['observations']
+  assert y_obs.shape[0] == 3
+  assert np.all(np.isfinite(np.asarray(y_obs)))
