@@ -40,6 +40,11 @@ _ACQ_SUBS = {
     'ucb3': (acfun.ucb_sub, 'beta3'),
     'ucb4': (acfun.ucb_sub, 'beta4'),
     'rand': (None, 'rand'),
+    # Thompson sampling over the finite candidate set: argmax of one
+    # posterior draw. Sampling is per-candidate (decoupled/diagonal —
+    # the standard large-set approximation; the exact joint draw would
+    # need an O(n_c^3) posterior factorization per iteration).
+    'ts': (None, 'ts'),
 }
 
 
@@ -141,6 +146,10 @@ def build_bo_step(mean_func, cov_func, model_params, config, warp_func,
     x_buf, y_buf, chol_buf, count = state
     if acq_param_kind == 'rand':
       select_idx = jax.random.randint(key, (), 0, cand_x.shape[0])
+    elif acq_param_kind == 'ts':
+      mu, var = posterior(x_buf, y_buf, chol_buf, count, cand_x)
+      draw = mu + jnp.sqrt(var) * jax.random.normal(key, mu.shape)
+      select_idx = jnp.argmax(draw.flatten())
     else:
       mu, var = posterior(x_buf, y_buf, chol_buf, count, cand_x)
       mask = jnp.arange(n_max) < count
@@ -178,7 +187,8 @@ def simulated_bayesopt_ondevice(
     queried_sub_dataset: finite candidate set (x: n_c x d, y: n_c x 1).
     iters: number of sequential selections.
     acquisition: any _ACQ_SUBS key — 'ei', 'pi', 'pi2', 'pi3', 'ucb',
-      'ucb2', 'ucb3', 'ucb4', or the 'rand' baseline.
+      'ucb2', 'ucb3', 'ucb4', 'ts' (Thompson sampling: argmax of one
+      per-candidate posterior draw), or the 'rand' baseline.
     key: PRNG key (drives 'rand'; defaults to PRNGKey(0)).
     num_train_tasks: number of unaligned pre-training tasks (drives the
       unbiased predictive rescale, matching GP.predict).
@@ -322,6 +332,16 @@ def simulated_bayesopt_ondevice_hgp(
     x_buf, y_buf, chols, count = state
     if acq_param_kind == 'rand':
       select_idx = jax.random.randint(k, (), 0, cand_x.shape[0])
+    elif acq_param_kind == 'ts':
+      # HGP Thompson sampling: draw hyperparameters (one posterior
+      # sample uniformly), then one function draw from its posterior.
+      s_key, d_key = jax.random.split(k)
+      s = jax.random.randint(s_key, (), 0, num_samples)
+      model_s = jax.tree.map(lambda leaf: leaf[s], stacked)
+      mu, var = posterior_one(model_s, chols[s], x_buf, y_buf, count,
+                              cand_x)
+      draw = mu + jnp.sqrt(var) * jax.random.normal(d_key, mu.shape)
+      select_idx = jnp.argmax(draw.flatten())
     else:
       mu_s, var_s = jax.vmap(
           lambda m, c: posterior_one(m, c, x_buf, y_buf, count, cand_x)
@@ -446,6 +466,17 @@ def continuous_bayesopt_ondevice(
     if acq_param_kind == 'rand':
       x_new = pool[jax.random.randint(jax.random.fold_in(k, 1), (), 0,
                                       pool_size)]
+      y_new = oracle_fn(x_new[None, :]).reshape(1, 1)
+      state, _ = step(state, k, x_new[None, :], y_new)
+      return state, 0
+    if acq_param_kind == 'ts':
+      # Thompson sampling selects the pool argmax of one posterior
+      # draw; a per-point (decoupled) draw is not a coherent function
+      # to gradient-ascend, so no refinement here.
+      mu, var = posterior_mu_var(state, pool)
+      draw = mu + jnp.sqrt(var) * jax.random.normal(
+          jax.random.fold_in(k, 2), mu.shape)
+      x_new = pool[jnp.argmax(draw.flatten())]
       y_new = oracle_fn(x_new[None, :]).reshape(1, 1)
       state, _ = step(state, k, x_new[None, :], y_new)
       return state, 0
@@ -639,6 +670,12 @@ def simulated_bayesopt_ondevice_retrain(
           lambda m, xb, c, cb: cb, model, x_buf, count, chol_buf)
     if acq_param_kind == 'rand':
       select_idx = jax.random.randint(k, (), 0, cand_x.shape[0])
+    elif acq_param_kind == 'ts':
+      mu, var = _masked_posterior(
+          mean_func, cov_func, shim(model), warp_func, noise_of(model),
+          scale, x_buf, y_buf, chol_buf, count, cand_x)
+      draw = mu + jnp.sqrt(var) * jax.random.normal(k, mu.shape)
+      select_idx = jnp.argmax(draw.flatten())
     else:
       mu, var = _masked_posterior(
           mean_func, cov_func, shim(model), warp_func, noise_of(model),

@@ -103,3 +103,45 @@ def test_retrain_stbo_without_pretrain_corpus():
   assert np.all(np.isfinite(np.asarray(yr)))
   for v in model_out.values():
     assert np.all(np.isfinite(np.asarray(v)))
+
+
+def test_thompson_sampling_all_loops():
+  """'ts' acquisition: valid selections, key-dependent, all variants."""
+  params, dataset, sdk, queried = _setup(jax.random.PRNGKey(3))
+  common = dict(queried_sub_dataset=queried, iters=4,
+                acquisition='ts', num_train_tasks=len(dataset))
+  xo, yo, sel_a = ondevice.simulated_bayesopt_ondevice(
+      mean.constant, kernel.squared_exponential, dict(params.model),
+      dict(params.config), None, key=jax.random.PRNGKey(0), **common)
+  assert xo.shape == (4, 2)
+  assert np.all((np.asarray(sel_a) >= 0)
+                & (np.asarray(sel_a) < queried.x.shape[0]))
+  # Same key reproduces; a different key (very likely) differs.
+  _, _, sel_b = ondevice.simulated_bayesopt_ondevice(
+      mean.constant, kernel.squared_exponential, dict(params.model),
+      dict(params.config), None, key=jax.random.PRNGKey(0), **common)
+  np.testing.assert_array_equal(np.asarray(sel_a), np.asarray(sel_b))
+
+  # Retrain variant accepts ts.
+  xr, yr, sel_r, _ = ondevice.simulated_bayesopt_ondevice_retrain(
+      mean.constant, kernel.squared_exponential, dict(params.model),
+      dict(params.config), None, retrain_every=2, retrain_steps=3,
+      key=jax.random.PRNGKey(1), **common)
+  assert np.all(np.isfinite(np.asarray(yr)))
+
+  # HGP variant: hyperparameter draw + function draw.
+  samples = [dict(params.model),
+             {**params.model, 'signal_variance': 2.0}]
+  xh, yh, sel_h = ondevice.simulated_bayesopt_ondevice_hgp(
+      mean.constant, kernel.squared_exponential, samples,
+      dict(params.config), None, key=jax.random.PRNGKey(2), **common)
+  assert np.all(np.isfinite(np.asarray(yh)))
+
+  # Continuous variant: pool draw, no refinement.
+  def oracle(x):
+    return jnp.sum(jnp.sin(3 * x), axis=1, keepdims=True)
+  xc, yc = ondevice.continuous_bayesopt_ondevice(
+      mean.constant, kernel.squared_exponential, dict(params.model),
+      dict(params.config), None, oracle, input_dim=2, iters=3,
+      acquisition='ts', pool_size=64, key=jax.random.PRNGKey(3))
+  assert xc.shape == (3, 2) and np.all(np.isfinite(np.asarray(yc)))
