@@ -540,6 +540,8 @@ def simulated_bayesopt_ondevice_retrain(
     retrain_steps: int = 10,
     learning_rate: Optional[float] = None,
     eps: float = 1e-6,
+    mesh=None,
+    mesh_axis: str = 'task',
     key: Optional[jax.Array] = None,
 ):
   """On-device BO with PERIODIC IN-SCAN RETRAINING: the full
@@ -565,6 +567,11 @@ def simulated_bayesopt_ondevice_retrain(
     retrain_every / retrain_steps: cadence and per-retrain Adam steps;
       retrain_steps=0 reproduces simulated_bayesopt_ondevice exactly.
     learning_rate: Adam LR (default config['learning_rate'] or 1e-2).
+    mesh: optional jax.sharding.Mesh — candidates AND the pre-training
+      corpus shard over `mesh_axis`: acquisition scoring splits by
+      candidate, the retrain gradient by task (each device owns its
+      tasks' Gram/Cholesky; the mean-NLL gradient psums over ICI via
+      GSPMD). Observation state and model params stay replicated.
 
   Returns:
     (x_observed, y_observed, selected_indices, final_model_params).
@@ -717,8 +724,20 @@ def simulated_bayesopt_ondevice_retrain(
         else jnp.zeros((0, 1), jnp.float32))
   model0 = jax.tree.map(lambda v: jnp.asarray(v, jnp.float32),
                         dict(model_params))
+  cand_x = queried_sub_dataset.x.astype(jnp.float32)
+  cand_y = queried_sub_dataset.y.astype(jnp.float32)
+  if mesh is not None:
+    from jax.sharding import NamedSharding, PartitionSpec
+    cand_sharding = NamedSharding(mesh, PartitionSpec(mesh_axis))
+    replicated = NamedSharding(mesh, PartitionSpec())
+    cand_x = jax.device_put(cand_x, cand_sharding)
+    cand_y = jax.device_put(cand_y, cand_sharding)
+    x0, y0, model0 = jax.device_put((x0, y0, model0), replicated)
+    if pretrain_packed is not None:
+      from hyperbo_tpu.parallel import mesh as mesh_lib
+      pretrain_packed = mesh_lib.shard_packed(pretrain_packed, mesh,
+                                              axis_name=mesh_axis)
   x_out, y_out, select_idx, model_out = run(
-      model0, x0, y0, queried_sub_dataset.x.astype(jnp.float32),
-      queried_sub_dataset.y.astype(jnp.float32), key)
+      model0, x0, y0, cand_x, cand_y, key)
   total = n_init + iters
   return x_out[:total], y_out[:total], select_idx, model_out

@@ -145,3 +145,29 @@ def test_thompson_sampling_all_loops():
       dict(params.config), None, oracle, input_dim=2, iters=3,
       acquisition='ts', pool_size=64, key=jax.random.PRNGKey(3))
   assert xc.shape == (3, 2) and np.all(np.isfinite(np.asarray(yc)))
+
+
+def test_retrain_loop_on_mesh():
+  """Candidates + pre-training corpus sharded over an 8-device mesh."""
+  from hyperbo_tpu.parallel import mesh as mesh_lib
+  params, dataset, sdk, queried = _setup(jax.random.PRNGKey(4))
+  mesh = mesh_lib.create_mesh(8, axis_name='task')
+  pretrain = {k: v for k, v in dataset.items()
+              if k != sdk and v.aligned is None}
+  pp, _ = packed_lib.pack_dataset(pretrain, pad_to_multiple=8,
+                                  num_tasks_multiple=8)
+  # 8 candidates shard evenly over 8 devices.
+  queried16 = defs.SubDataset(queried.x[:8], queried.y[:8])
+  xr, yr, sel, model_out = ondevice.simulated_bayesopt_ondevice_retrain(
+      mean.constant, kernel.squared_exponential, dict(params.model),
+      dict(params.config), None, queried16, iters=3, acquisition='ei',
+      num_train_tasks=len(pretrain), pretrain_packed=pp,
+      retrain_every=1, retrain_steps=5, mesh=mesh)
+  assert np.all(np.isfinite(np.asarray(yr)))
+  # Mesh run selects the same points as the single-device run.
+  _, _, sel_ref, _ = ondevice.simulated_bayesopt_ondevice_retrain(
+      mean.constant, kernel.squared_exponential, dict(params.model),
+      dict(params.config), None, queried16, iters=3, acquisition='ei',
+      num_train_tasks=len(pretrain), pretrain_packed=pp,
+      retrain_every=1, retrain_steps=5)
+  np.testing.assert_array_equal(np.asarray(sel), np.asarray(sel_ref))
