@@ -741,3 +741,125 @@ def simulated_bayesopt_ondevice_retrain(
       model0, x0, y0, cand_x, cand_y, key)
   total = n_init + iters
   return x_out[:total], y_out[:total], select_idx, model_out
+
+
+def simulated_bayesopt_ondevice_qbatch(
+    mean_func,
+    cov_func,
+    model_params,
+    config,
+    warp_func,
+    queried_sub_dataset: SubDataset,
+    iters: int,
+    q: int = 2,
+    acquisition: str = 'ei',
+    num_train_tasks: int = 0,
+    init_obs: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    n_max: Optional[int] = None,
+    eps: float = 1e-6,
+    key: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+  """Batch BO: q points per iteration by greedy hallucination.
+
+  Parallel-suggestion ("q-batch") selection via the kriging-believer
+  strategy: within an iteration the q points are picked sequentially,
+  each conditioning on the previous picks with their posterior MEAN
+  hallucinated as the observation; after the batch, the true values
+  replace the hallucinated ones. The kernel matrix depends only on x,
+  so the reveal costs nothing — the rank-1 Cholesky appends made
+  during hallucination remain exact. q=1 reproduces
+  simulated_bayesopt_ondevice.
+
+  Returns:
+    (x_observed, y_observed, selected_indices (iters, q)).
+  """
+  if key is None:
+    key = jax.random.PRNGKey(0)
+  n_init = 0 if init_obs is None else init_obs[0].shape[0]
+  if n_max is None:
+    n_max = n_init + iters * q
+  d = queried_sub_dataset.x.shape[1]
+  params_shim = defs.GPParams(model=model_params, config=config)
+  acq_sub, acq_param_kind = _ACQ_SUBS[acquisition]
+  noise_variance, = retrieve_params(params_shim, ['noise_variance'],
+                                    warp_func=warp_func)
+  scale = _unbiased_scale(num_train_tasks)
+
+  def posterior(x_buf, y_buf, chol_buf, count, cand_x):
+    return _masked_posterior(mean_func, cov_func, params_shim,
+                             warp_func, noise_variance, scale, x_buf,
+                             y_buf, chol_buf, count, cand_x)
+
+  def append(x_buf, y_buf, chol_buf, count, x_new, y_new):
+    chol_buf = _append_chol(cov_func, params_shim, warp_func,
+                            noise_variance, eps, x_buf, chol_buf,
+                            count, x_new)
+    x_buf = jax.lax.dynamic_update_slice(x_buf, x_new[None, :],
+                                         (count, 0))
+    y_buf = jax.lax.dynamic_update_slice(y_buf, y_new[None, :],
+                                         (count, 0))
+    return x_buf, y_buf, chol_buf, count + 1
+
+  def step(state, k, cand_x, cand_y):
+    def pick_one(j, carry):
+      x_buf, y_buf, chol_buf, count, idxs = carry
+      kj = jax.random.fold_in(k, j)
+      mu, var = posterior(x_buf, y_buf, chol_buf, count, cand_x)
+      if acq_param_kind == 'rand':
+        select_idx = jax.random.randint(kj, (), 0, cand_x.shape[0])
+      elif acq_param_kind == 'ts':
+        draw = mu + jnp.sqrt(var) * jax.random.normal(kj, mu.shape)
+        select_idx = jnp.argmax(draw.flatten())
+      else:
+        mask = jnp.arange(n_max) < count
+        target = _acq_param(acq_param_kind, y_buf, mask, count)
+        select_idx = jnp.argmax(acq_sub(mu, jnp.sqrt(var),
+                                        target).flatten())
+      # Believe the posterior mean until the batch completes.
+      y_hallu = mu[select_idx][None, :] if mu.ndim == 2 else (
+          mu[select_idx].reshape(1, 1))
+      x_buf, y_buf, chol_buf, count = append(
+          x_buf, y_buf, chol_buf, count, cand_x[select_idx],
+          y_hallu.reshape(1,))
+      idxs = idxs.at[j].set(select_idx)
+      return x_buf, y_buf, chol_buf, count, idxs
+
+    x_buf, y_buf, chol_buf, count, idxs = jax.lax.fori_loop(
+        0, q, pick_one,
+        (*state, jnp.zeros((q,), jnp.int32)))
+    # Reveal: overwrite the q hallucinated entries with true values
+    # (the factor depends only on x — no refactorization needed).
+    def reveal(j, y_buf):
+      return jax.lax.dynamic_update_slice(
+          y_buf, cand_y[idxs[j]][None, :], (count - q + j, 0))
+    y_buf = jax.lax.fori_loop(0, q, reveal, y_buf)
+    return (x_buf, y_buf, chol_buf, count), idxs
+
+  @jax.jit
+  def run(x0, y0, cand_x, cand_y, key):
+    x_buf = jnp.zeros((n_max, d), jnp.float32)
+    y_buf = jnp.zeros((n_max, 1), jnp.float32)
+    chol_buf = chol_ops.init_chol_buffer(n_max)
+    state = (x_buf, y_buf, chol_buf, jnp.array(0, jnp.int32))
+
+    def seed_one(i, st):
+      x_buf, y_buf, chol_buf, count = st
+      return append(x_buf, y_buf, chol_buf, count, x0[i],
+                    y0[i].reshape(1,))
+
+    if n_init > 0:
+      state = jax.lax.fori_loop(0, n_init, seed_one, state)
+    state, select_idx = jax.lax.scan(
+        lambda st, k: step(st, k, cand_x, cand_y), state,
+        jax.random.split(key, iters))
+    return state[0], state[1], select_idx
+
+  x0 = (init_obs[0].astype(jnp.float32) if init_obs is not None
+        else jnp.zeros((0, d), jnp.float32))
+  y0 = (init_obs[1].astype(jnp.float32) if init_obs is not None
+        else jnp.zeros((0, 1), jnp.float32))
+  x_out, y_out, select_idx = run(
+      x0, y0, queried_sub_dataset.x.astype(jnp.float32),
+      queried_sub_dataset.y.astype(jnp.float32), key)
+  total = n_init + iters * q
+  return x_out[:total], y_out[:total], select_idx

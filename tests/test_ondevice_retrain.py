@@ -171,3 +171,36 @@ def test_retrain_loop_on_mesh():
       num_train_tasks=len(pretrain), pretrain_packed=pp,
       retrain_every=1, retrain_steps=5)
   np.testing.assert_array_equal(np.asarray(sel), np.asarray(sel_ref))
+
+
+def test_qbatch_q1_matches_plain_loop():
+  params, dataset, sdk, queried = _setup(jax.random.PRNGKey(5))
+  _, _, sel = ondevice.simulated_bayesopt_ondevice(
+      mean.constant, kernel.squared_exponential, dict(params.model),
+      dict(params.config), None, queried, iters=5, acquisition='ei',
+      num_train_tasks=len(dataset))
+  xq, yq, selq = ondevice.simulated_bayesopt_ondevice_qbatch(
+      mean.constant, kernel.squared_exponential, dict(params.model),
+      dict(params.config), None, queried, iters=5, q=1,
+      acquisition='ei', num_train_tasks=len(dataset))
+  np.testing.assert_array_equal(np.asarray(sel),
+                                np.asarray(selq).flatten())
+
+
+def test_qbatch_selects_batches_and_reveals_true_y():
+  params, dataset, sdk, queried = _setup(jax.random.PRNGKey(6))
+  iters, q = 3, 3
+  xq, yq, selq = ondevice.simulated_bayesopt_ondevice_qbatch(
+      mean.constant, kernel.squared_exponential, dict(params.model),
+      dict(params.config), None, queried, iters=iters, q=q,
+      acquisition='ei', num_train_tasks=len(dataset))
+  assert selq.shape == (iters, q)
+  assert xq.shape == (iters * q, 2)
+  sel_flat = np.asarray(selq).flatten()
+  # Every observed y is the TRUE candidate value, not a hallucination.
+  np.testing.assert_allclose(
+      np.asarray(yq).flatten(),
+      np.asarray(queried.y)[sel_flat].flatten(), atol=1e-5)
+  # Within a batch the hallucination diversifies: the q picks of the
+  # first iteration are not all the same point.
+  assert len(set(np.asarray(selq)[0].tolist())) > 1
