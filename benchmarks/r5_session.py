@@ -73,7 +73,13 @@ def phase(name, fn):
     STATUS['phases'][name] = {'state': f'{type(e).__name__}',
                               's': round(time.time() - t0, 1)}
     save_status()
-    log(f'phase {name}: FAILED {type(e).__name__}: {str(e)[:300]}; '
+    msg = str(e)
+    if any(t in msg for t in ('Connection refused', 'Connection Failed',
+                              'UNAVAILABLE')):
+      log(f'phase {name}: TRANSPORT DEAD ({type(e).__name__}: '
+          f'{msg[:200]}) — aborting the session')
+      return False
+    log(f'phase {name}: FAILED {type(e).__name__}: {msg[:300]}; '
         f'continuing')
     return True
   STATUS['phases'][name] = {'state': 'ok',

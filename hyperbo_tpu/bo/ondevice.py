@@ -70,6 +70,22 @@ def _acq_param(kind: str, y_buf, mask, count):
   return 3.0
 
 
+def _ts_index(mu, var_noisy, noise_variance, scale, key):
+  """Thompson-sampling candidate index from ONE posterior draw.
+
+  The SINGLE ts selection used by every loop variant.
+  _masked_posterior returns the noisy predictive variance
+  ((var_f + noise) * scale), but TS must draw the LATENT function f:
+  with observation noise left in, a well-observed candidate's draw std
+  floors at ~sqrt(noise) instead of collapsing, flattening the
+  exploration/exploitation structure toward random selection. Invert
+  the offset/scale here.
+  """
+  var_f = jnp.maximum(var_noisy / scale - noise_variance, 1e-12)
+  draw = mu + jnp.sqrt(var_f) * jax.random.normal(key, mu.shape)
+  return jnp.argmax(draw.flatten())
+
+
 def _unbiased_scale(num_train_tasks: int) -> float:
   """GP.predict's N/(N-1) rescale with N = train tasks + the test task."""
   n_tasks = num_train_tasks + 1
@@ -148,8 +164,7 @@ def build_bo_step(mean_func, cov_func, model_params, config, warp_func,
       select_idx = jax.random.randint(key, (), 0, cand_x.shape[0])
     elif acq_param_kind == 'ts':
       mu, var = posterior(x_buf, y_buf, chol_buf, count, cand_x)
-      draw = mu + jnp.sqrt(var) * jax.random.normal(key, mu.shape)
-      select_idx = jnp.argmax(draw.flatten())
+      select_idx = _ts_index(mu, var, noise_variance, scale, key)
     else:
       mu, var = posterior(x_buf, y_buf, chol_buf, count, cand_x)
       mask = jnp.arange(n_max) < count
@@ -340,8 +355,9 @@ def simulated_bayesopt_ondevice_hgp(
       model_s = jax.tree.map(lambda leaf: leaf[s], stacked)
       mu, var = posterior_one(model_s, chols[s], x_buf, y_buf, count,
                               cand_x)
-      draw = mu + jnp.sqrt(var) * jax.random.normal(d_key, mu.shape)
-      select_idx = jnp.argmax(draw.flatten())
+      nv_s, = retrieve_params(shim(model_s), ['noise_variance'],
+                              warp_func=warp_func)
+      select_idx = _ts_index(mu, var, nv_s, scale, d_key)
     else:
       mu_s, var_s = jax.vmap(
           lambda m, c: posterior_one(m, c, x_buf, y_buf, count, cand_x)
@@ -474,9 +490,8 @@ def continuous_bayesopt_ondevice(
       # draw; a per-point (decoupled) draw is not a coherent function
       # to gradient-ascend, so no refinement here.
       mu, var = posterior_mu_var(state, pool)
-      draw = mu + jnp.sqrt(var) * jax.random.normal(
-          jax.random.fold_in(k, 2), mu.shape)
-      x_new = pool[jnp.argmax(draw.flatten())]
+      x_new = pool[_ts_index(mu, var, noise_variance, scale,
+                             jax.random.fold_in(k, 2))]
       y_new = oracle_fn(x_new[None, :]).reshape(1, 1)
       state, _ = step(state, k, x_new[None, :], y_new)
       return state, 0
@@ -681,8 +696,7 @@ def simulated_bayesopt_ondevice_retrain(
       mu, var = _masked_posterior(
           mean_func, cov_func, shim(model), warp_func, noise_of(model),
           scale, x_buf, y_buf, chol_buf, count, cand_x)
-      draw = mu + jnp.sqrt(var) * jax.random.normal(k, mu.shape)
-      select_idx = jnp.argmax(draw.flatten())
+      select_idx = _ts_index(mu, var, noise_of(model), scale, k)
     else:
       mu, var = _masked_posterior(
           mean_func, cov_func, shim(model), warp_func, noise_of(model),
@@ -803,13 +817,14 @@ def simulated_bayesopt_ondevice_qbatch(
   def step(state, k, cand_x, cand_y):
     def pick_one(j, carry):
       x_buf, y_buf, chol_buf, count, idxs = carry
-      kj = jax.random.fold_in(k, j)
+      # q=1 must reproduce the plain loop exactly, including the PRNG
+      # stream consumed by rand/ts.
+      kj = k if q == 1 else jax.random.fold_in(k, j)
       mu, var = posterior(x_buf, y_buf, chol_buf, count, cand_x)
       if acq_param_kind == 'rand':
         select_idx = jax.random.randint(kj, (), 0, cand_x.shape[0])
       elif acq_param_kind == 'ts':
-        draw = mu + jnp.sqrt(var) * jax.random.normal(kj, mu.shape)
-        select_idx = jnp.argmax(draw.flatten())
+        select_idx = _ts_index(mu, var, noise_variance, scale, kj)
       else:
         mask = jnp.arange(n_max) < count
         target = _acq_param(acq_param_kind, y_buf, mask, count)

@@ -25,6 +25,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import logging
 import os
 import pickle
 import time
@@ -140,6 +141,15 @@ def _run_ondevice(method, dataset, mean_func, cov_func, init_params,
     pretrain = {k: v for k, v in model.dataset.items()
                 if k != sub_dataset_key and v.aligned is None
                 and v.x.shape[0] > 0 and v.y.shape[1] == 1}
+    dropped = [k for k in model.dataset
+               if k != sub_dataset_key and k not in pretrain]
+    if dropped:
+      logging.warning(
+          'on-device retraining corpus excludes %d sub-dataset(s) %s '
+          '(aligned/multi-draw/empty tasks pack into the NLL corpus '
+          'only as single-output unaligned data); the host loop would '
+          'include them via its EKL/NLL combinators.', len(dropped),
+          dropped[:8])
     pp = (packed_lib.pack_dataset(pretrain, pad_to_multiple=8)[0]
           if pretrain else None)
     xo, yo, _, model_out = ondevice_lib.simulated_bayesopt_ondevice_retrain(

@@ -23,7 +23,8 @@ _DEFAULT_KIB = 65536
 
 def vmem_limit_bytes():
   """The scoped-VMEM ceiling to request, or None for toolchain default."""
-  kib = int(os.environ.get('HYPERBO_VMEM_LIMIT_KIB', _DEFAULT_KIB))
+  raw = os.environ.get('HYPERBO_VMEM_LIMIT_KIB', '').strip()
+  kib = int(raw) if raw else _DEFAULT_KIB
   return kib * 1024 if kib > 0 else None
 
 

@@ -175,16 +175,21 @@ def test_retrain_loop_on_mesh():
 
 def test_qbatch_q1_matches_plain_loop():
   params, dataset, sdk, queried = _setup(jax.random.PRNGKey(5))
-  _, _, sel = ondevice.simulated_bayesopt_ondevice(
-      mean.constant, kernel.squared_exponential, dict(params.model),
-      dict(params.config), None, queried, iters=5, acquisition='ei',
-      num_train_tasks=len(dataset))
-  xq, yq, selq = ondevice.simulated_bayesopt_ondevice_qbatch(
-      mean.constant, kernel.squared_exponential, dict(params.model),
-      dict(params.config), None, queried, iters=5, q=1,
-      acquisition='ei', num_train_tasks=len(dataset))
-  np.testing.assert_array_equal(np.asarray(sel),
-                                np.asarray(selq).flatten())
+  # Include the PRNG-consuming acquisitions: q=1 must reproduce the
+  # plain loop's key stream too.
+  for acq in ('ei', 'rand', 'ts'):
+    _, _, sel = ondevice.simulated_bayesopt_ondevice(
+        mean.constant, kernel.squared_exponential, dict(params.model),
+        dict(params.config), None, queried, iters=5, acquisition=acq,
+        num_train_tasks=len(dataset), key=jax.random.PRNGKey(7))
+    xq, yq, selq = ondevice.simulated_bayesopt_ondevice_qbatch(
+        mean.constant, kernel.squared_exponential, dict(params.model),
+        dict(params.config), None, queried, iters=5, q=1,
+        acquisition=acq, num_train_tasks=len(dataset),
+        key=jax.random.PRNGKey(7))
+    np.testing.assert_array_equal(np.asarray(sel),
+                                  np.asarray(selq).flatten(),
+                                  err_msg=f'acquisition={acq}')
 
 
 def test_qbatch_selects_batches_and_reveals_true_y():
