@@ -33,7 +33,11 @@ WATCHDOG_S = float(os.environ.get('BENCH_WATCHDOG_S', 1500))
 MODE = os.environ.get('BENCH_MODE', 'both')
 NOMINAL_FP32_TFLOPS = {'TPU v5 lite': 55.0}
 _RESULT = {'metric': f'{MODE}_bench_incomplete', 'value': 0.0,
-           'unit': 'n/a', 'vs_baseline': 0.0}
+           'unit': 'n/a', 'vs_baseline': 0.0,
+           'note': 'no device op completed — TPU tunnel likely '
+                   'unreachable (registration failed or hung); this is '
+                   'an infrastructure outage, not a perf regression — '
+                   'see PERF.md'}
 _PRINTED = threading.Event()
 
 
@@ -61,6 +65,7 @@ def bank(result, secondary=False):
   `both` mode) the banked headline fields are preserved and the chol
   result nests under "secondary".
   """
+  _RESULT.pop('note', None)  # a real measurement landed
   if secondary:
     _RESULT['secondary'] = dict(result)
   else:
@@ -135,6 +140,7 @@ def bench_pd1():
         warp_func=DEFAULT_WARP_FUNC)
     t_first, l0, l1 = run(3)
   log(f'compile + {steps} steps: {t_first:.1f}s; loss {l0:.2f} -> {l1:.2f}')
+  _RESULT.pop('note', None)  # a real measurement landed
   _RESULT.update({
       'metric': 'pd1_scale_pretrain_seconds',
       'value': round(t_first, 2),
