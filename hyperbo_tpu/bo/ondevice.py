@@ -86,6 +86,13 @@ def _ts_index(mu, var_noisy, noise_variance, scale, key):
   return jnp.argmax(draw.flatten())
 
 
+def _greedy_index(acq_sub, kind, mu, var, y_buf, count):
+  """argmax of the closed-form acquisition (shared by every loop)."""
+  mask = jnp.arange(y_buf.shape[0]) < count
+  target = _acq_param(kind, y_buf, mask, count)
+  return jnp.argmax(acq_sub(mu, jnp.sqrt(var), target).flatten())
+
+
 def _unbiased_scale(num_train_tasks: int) -> float:
   """GP.predict's N/(N-1) rescale with N = train tasks + the test task."""
   n_tasks = num_train_tasks + 1
@@ -167,10 +174,8 @@ def build_bo_step(mean_func, cov_func, model_params, config, warp_func,
       select_idx = _ts_index(mu, var, noise_variance, scale, key)
     else:
       mu, var = posterior(x_buf, y_buf, chol_buf, count, cand_x)
-      mask = jnp.arange(n_max) < count
-      target = _acq_param(acq_param_kind, y_buf, mask, count)
-      scores = acq_sub(mu, jnp.sqrt(var), target)
-      select_idx = jnp.argmax(scores.flatten())
+      select_idx = _greedy_index(acq_sub, acq_param_kind, mu, var,
+                                 y_buf, count)
     x_new = cand_x[select_idx]
     y_new = cand_y[select_idx]
     state = append(x_buf, y_buf, chol_buf, count, x_new, y_new)
@@ -701,10 +706,8 @@ def simulated_bayesopt_ondevice_retrain(
       mu, var = _masked_posterior(
           mean_func, cov_func, shim(model), warp_func, noise_of(model),
           scale, x_buf, y_buf, chol_buf, count, cand_x)
-      mask = jnp.arange(n_max) < count
-      target = _acq_param(acq_param_kind, y_buf, mask, count)
-      select_idx = jnp.argmax(acq_sub(mu, jnp.sqrt(var),
-                                      target).flatten())
+      select_idx = _greedy_index(acq_sub, acq_param_kind, mu, var,
+                                 y_buf, count)
     x_buf, y_buf, chol_buf, count = append(
         model, x_buf, y_buf, chol_buf, count, cand_x[select_idx],
         cand_y[select_idx])
@@ -826,10 +829,8 @@ def simulated_bayesopt_ondevice_qbatch(
       elif acq_param_kind == 'ts':
         select_idx = _ts_index(mu, var, noise_variance, scale, kj)
       else:
-        mask = jnp.arange(n_max) < count
-        target = _acq_param(acq_param_kind, y_buf, mask, count)
-        select_idx = jnp.argmax(acq_sub(mu, jnp.sqrt(var),
-                                        target).flatten())
+        select_idx = _greedy_index(acq_sub, acq_param_kind, mu, var,
+                                   y_buf, count)
       # Believe the posterior mean until the batch completes.
       y_hallu = mu[select_idx][None, :] if mu.ndim == 2 else (
           mu[select_idx].reshape(1, 1))
