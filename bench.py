@@ -29,6 +29,12 @@ import sys
 import threading
 import time
 
+# Persistent compilation cache: through the remote tunnel a single
+# program costs 60-600 s to compile; re-runs of the same bench should
+# not pay it twice. Harmless when the backend can't serialize
+# executables (JAX logs a warning and compiles as usual).
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_cache')
+
 WATCHDOG_S = float(os.environ.get('BENCH_WATCHDOG_S', 1500))
 MODE = os.environ.get('BENCH_MODE', 'both')
 NOMINAL_FP32_TFLOPS = {'TPU v5 lite': 55.0}

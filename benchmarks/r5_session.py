@@ -37,6 +37,10 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 sys.path.insert(0, REPO)
 
+# Tunnel compiles cost 60-600 s each; cache the executables across
+# probes and re-runs (no-op if the backend can't serialize them).
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_cache')
+
 T0 = time.time()
 STATUS_PATH = os.environ.get('R5_STATUS', '/tmp/r5_session_status.json')
 STATUS = {'phases': {}, 'started_unix': T0}
