@@ -49,6 +49,12 @@ def main():
   parser.add_argument('--steps', type=int, default=200)
   parser.add_argument('--bo_iters', type=int, default=25)
   parser.add_argument('--candidates', type=int, default=500)
+  parser.add_argument('--retrain_steps', type=int, default=3,
+                      help='in-scan retraining Adam steps per retrain '
+                           '(0 disables the retraining demo)')
+  parser.add_argument('--q', type=int, default=2,
+                      help='batch size for the q-batch demo (<=1 '
+                           'disables)')
   args = parser.parse_args()
 
   print(f'device: {jax.devices()[0]}')
@@ -115,6 +121,30 @@ def main():
   print(f'on-device BO: {args.bo_iters} iters over {args.candidates} '
         f'candidates in {t_bo:.2f}s (incl. compile); best {best:.4f} '
         f'vs optimum {opt:.4f} (simple regret {opt - best:.4f})')
+
+  # --- 4. variants: in-scan retraining / parallel suggestion ---
+  if args.retrain_steps > 0:
+    t0 = time.perf_counter()
+    _, y_rt, _, _ = ondevice.simulated_bayesopt_ondevice_retrain(
+        mean.linear_mlp, kernel.squared_exponential_mlp, model, config,
+        DEFAULT_WARP_FUNC, cand, iters=args.bo_iters, acquisition='ei',
+        num_train_tasks=args.tasks, pretrain_packed=packed,
+        retrain_every=5, retrain_steps=args.retrain_steps,
+        key=jax.random.PRNGKey(6))
+    print(f'on-device BO + in-scan retraining (every 5 iters x '
+          f'{args.retrain_steps} Adam steps): best '
+          f'{float(jnp.max(y_rt)):.4f} in '
+          f'{time.perf_counter() - t0:.2f}s (incl. compile)')
+  if args.q > 1:
+    t0 = time.perf_counter()
+    _, y_q, _ = ondevice.simulated_bayesopt_ondevice_qbatch(
+        mean.linear_mlp, kernel.squared_exponential_mlp, model, config,
+        DEFAULT_WARP_FUNC, cand, iters=args.bo_iters // args.q,
+        q=args.q, acquisition='ei', num_train_tasks=args.tasks,
+        key=jax.random.PRNGKey(7))
+    print(f'on-device q-batch BO (q={args.q}, kriging believer): best '
+          f'{float(jnp.max(y_q)):.4f} in '
+          f'{time.perf_counter() - t0:.2f}s (incl. compile)')
 
 
 if __name__ == '__main__':
