@@ -556,6 +556,9 @@ def simulated_bayesopt_ondevice_retrain(
     init_obs: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     n_max: Optional[int] = None,
     pretrain_packed=None,
+    aligned_packed=None,
+    ekl_weight: float = 0.0,
+    ekl_partial: bool = True,
     retrain_every: int = 1,
     retrain_steps: int = 10,
     learning_rate: Optional[float] = None,
@@ -584,6 +587,11 @@ def simulated_bayesopt_ondevice_retrain(
     pretrain_packed: optional models.packed.PackedDataset of the
       pre-training tasks (None = retrain on the test task alone, the
       STBO regime).
+    aligned_packed / ekl_weight / ekl_partial: optional
+      models.packed.PackedAlignedDataset of matched-input tasks and
+      the regularizer coefficient — the objective becomes
+      nll + ekl_weight * EKL, the host's `nll_regkl(c)` combinator
+      (objectives.nll_regkl; partial or full SVD-whitened KL).
     retrain_every / retrain_steps: cadence and per-retrain Adam steps;
       retrain_steps=0 reproduces simulated_bayesopt_ondevice exactly.
     learning_rate: Adam LR (default config['learning_rate'] or 1e-2).
@@ -643,6 +651,10 @@ def simulated_bayesopt_ondevice_retrain(
                / jnp.maximum(t_real + w_test, 1.0))
     else:
       total = w_test * nll_test
+    if aligned_packed is not None and ekl_weight:
+      total = total + ekl_weight * packed_lib.multivariate_normal_divergence_packed(
+          mean_func, cov_func, p, aligned_packed, warp_func=warp_func,
+          partial=ekl_partial)
     if 'priors' in config:
       pw = shim(model, with_priors=True)
       for k in model:

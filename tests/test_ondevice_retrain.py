@@ -209,3 +209,36 @@ def test_qbatch_selects_batches_and_reveals_true_y():
   # Within a batch the hallucination diversifies: the q picks of the
   # first iteration are not all the same point.
   assert len(set(np.asarray(selq)[0].tolist())) > 1
+
+
+def test_retrain_with_ekl_regularizer():
+  """nll + c*EKL composite objective (the host's nll_regkl combinator)."""
+  params, dataset, sdk, queried = _setup(jax.random.PRNGKey(8))
+  pretrain = {k: v for k, v in dataset.items()
+              if k != sdk and v.aligned is None}
+  pp, _ = packed_lib.pack_dataset(pretrain, pad_to_multiple=8)
+  # Matched-input task: 6 shared inputs evaluated by 5 function draws.
+  ka, kb = jax.random.split(jax.random.PRNGKey(88))
+  aligned = {'al': defs.SubDataset(
+      jax.random.uniform(ka, (6, 2)),
+      jax.random.normal(kb, (6, 5)), aligned=1)}
+  ap, _ = packed_lib.pack_aligned_dataset(aligned, pad_to_multiple=4)
+  xr, yr, sel, model_out = ondevice.simulated_bayesopt_ondevice_retrain(
+      mean.constant, kernel.squared_exponential, dict(params.model),
+      dict(params.config), None, queried, iters=3, acquisition='ei',
+      num_train_tasks=len(pretrain), pretrain_packed=pp,
+      aligned_packed=ap, ekl_weight=0.1, retrain_every=1,
+      retrain_steps=5)
+  assert np.all(np.isfinite(np.asarray(yr)))
+  for v in model_out.values():
+    assert np.all(np.isfinite(np.asarray(v)))
+  # The regularizer changes the training trajectory.
+  _, _, _, model_plain = ondevice.simulated_bayesopt_ondevice_retrain(
+      mean.constant, kernel.squared_exponential, dict(params.model),
+      dict(params.config), None, queried, iters=3, acquisition='ei',
+      num_train_tasks=len(pretrain), pretrain_packed=pp,
+      retrain_every=1, retrain_steps=5)
+  diff = any(
+      not np.allclose(np.asarray(model_out[k]), np.asarray(model_plain[k]))
+      for k in model_out)
+  assert diff, 'EKL regularizer had no effect on the trajectory'
