@@ -891,3 +891,91 @@ def simulated_bayesopt_ondevice_qbatch(
       queried_sub_dataset.y.astype(jnp.float32), key)
   total = n_init + iters * q
   return x_out[:total], y_out[:total], select_idx
+
+
+def run_bayesopt_ondevice(
+    model,
+    sub_dataset_key,
+    queried_sub_dataset: SubDataset,
+    iters: int,
+    acquisition: str = 'ei',
+    q: int = 1,
+    retrain_every: int = 1,
+    pretrain_packed=None,
+    aligned_packed=None,
+    ekl_weight: float = 0.0,
+    mesh=None,
+    key: Optional[jax.Array] = None,
+):
+  """On-device counterpart of bayesopt.run_bayesopt for a built model.
+
+  Takes a (pre-trained) GP or HGP instance and dispatches to the right
+  scan loop: HGP -> per-sample vmapped loop; config['retrain'] > 0 ->
+  in-scan retraining (GP only; the corpus defaults to the model's
+  single-output unaligned sub-datasets); q > 1 -> kriging-believer
+  batch selection; else the plain loop. Existing observations on
+  `sub_dataset_key` seed the buffers, matching the host loop.
+
+  Returns:
+    ((x_observed, y_observed), best_datapoint_of_queried, params) —
+    the same triple shape as bayesopt.run_bayesopt's return; with
+    retraining the returned params reflect the retrained model.
+  """
+  from hyperbo_tpu.models import gp as gp_lib
+  from hyperbo_tpu.models import packed as packed_lib
+  from hyperbo_tpu.bo import bayesopt as bayesopt_lib
+
+  retrain = (model.params.config or {}).get('retrain', 0)
+  n_unaligned = len(
+      [k for k, v in model.dataset.items() if v.aligned is None])
+  in_dataset = sub_dataset_key in model.dataset
+  num_train_tasks = n_unaligned - 1 if in_dataset else n_unaligned
+  init_obs = None
+  if in_dataset and model.dataset[sub_dataset_key].x.shape[0] > 0:
+    sub = model.dataset[sub_dataset_key]
+    init_obs = (sub.x, sub.y)
+  if key is None:
+    key = jax.random.PRNGKey(0)
+  common = dict(queried_sub_dataset=queried_sub_dataset, iters=iters,
+                acquisition=acquisition,
+                num_train_tasks=num_train_tasks, init_obs=init_obs,
+                key=key)
+
+  if isinstance(model, gp_lib.HGP):
+    if retrain > 0 or q > 1:
+      raise ValueError('HGP on-device BO supports neither in-scan '
+                       'retraining nor q-batch selection; use the '
+                       'host loop for those.')
+    xo, yo, _ = simulated_bayesopt_ondevice_hgp(
+        model.mean_func, model.cov_func,
+        model.get_model_params_samples(), model.params.config,
+        model.warp_func, **common)
+  elif retrain > 0:
+    if q > 1:
+      raise ValueError('q-batch selection does not compose with '
+                       'in-scan retraining yet.')
+    if pretrain_packed is None:
+      corpus = {k: v for k, v in model.dataset.items()
+                if k != sub_dataset_key and v.aligned is None
+                and v.x.shape[0] > 0 and v.y.shape[1] == 1}
+      pretrain_packed = (
+          packed_lib.pack_dataset(corpus, pad_to_multiple=8)[0]
+          if corpus else None)
+    xo, yo, _, model_out = simulated_bayesopt_ondevice_retrain(
+        model.mean_func, model.cov_func, model.params.model,
+        model.params.config, model.warp_func,
+        pretrain_packed=pretrain_packed, aligned_packed=aligned_packed,
+        ekl_weight=ekl_weight, retrain_every=retrain_every,
+        retrain_steps=retrain, mesh=mesh, **common)
+    model.params.model = model_out
+    model.params.cache = {}
+  elif q > 1:
+    xo, yo, _ = simulated_bayesopt_ondevice_qbatch(
+        model.mean_func, model.cov_func, model.params.model,
+        model.params.config, model.warp_func, q=q, **common)
+  else:
+    xo, yo, _ = simulated_bayesopt_ondevice(
+        model.mean_func, model.cov_func, model.params.model,
+        model.params.config, model.warp_func, mesh=mesh, **common)
+  return ((xo, yo), bayesopt_lib.get_best_datapoint(queried_sub_dataset),
+          model.params)

@@ -3,7 +3,8 @@ from hyperbo_tpu.bo.bayesopt import (  # noqa: F401
     bayesopt, get_best_datapoint, retrain_model, run_bayesopt,
     simulated_bayesopt)
 from hyperbo_tpu.bo.ondevice import (  # noqa: F401
-    simulated_bayesopt_ondevice, simulated_bayesopt_ondevice_qbatch,
+    run_bayesopt_ondevice, simulated_bayesopt_ondevice,
+    simulated_bayesopt_ondevice_qbatch,
     simulated_bayesopt_ondevice_retrain)
 from hyperbo_tpu.core.defs import SubDataset  # noqa: F401
 from hyperbo_tpu.bo.input_samplers import INPUT_SAMPLERS  # noqa: F401

@@ -118,31 +118,11 @@ def _run_ondevice(method, dataset, mean_func, cov_func, init_params,
     model.initialize_params(sk)
     key, sk = jax.random.split(key)
     model.train(sk)
-  # Match GP.predict's unbiased rescale DURING the BO run: N counts the
-  # unaligned sub-datasets including the (growing) test one, so
-  # num_train_tasks = N - 1 when the test key already exists, else N.
-  n_unaligned = len(
-      [k for k, v in model.dataset.items() if v.aligned is None])
-  in_dataset = sub_dataset_key in model.dataset
-  num_train_tasks = n_unaligned - 1 if in_dataset else n_unaligned
-  init_obs = None
-  if in_dataset and model.dataset[sub_dataset_key].x.shape[0] > 0:
-    sub = model.dataset[sub_dataset_key]
-    init_obs = (sub.x, sub.y)
-  common = dict(queried_sub_dataset=queried, iters=iters,
-                acquisition=acq, num_train_tasks=num_train_tasks,
-                init_obs=init_obs, key=key)
-  if isinstance(model, gp.HGP):
-    xo, yo, _ = ondevice_lib.simulated_bayesopt_ondevice_hgp(
-        mean_func, cov_func, model.get_model_params_samples(),
-        model.params.config, warp_func, **common)
-  elif retrain > 0:
-    from hyperbo_tpu.models import packed as packed_lib
-    pretrain = {k: v for k, v in model.dataset.items()
-                if k != sub_dataset_key and v.aligned is None
-                and v.x.shape[0] > 0 and v.y.shape[1] == 1}
-    dropped = [k for k in model.dataset
-               if k != sub_dataset_key and k not in pretrain]
+  if retrain > 0:
+    dropped = [k for k, v in model.dataset.items()
+               if k != sub_dataset_key
+               and (v.aligned is not None or v.x.shape[0] == 0
+                    or v.y.shape[1] != 1)]
     if dropped:
       logging.warning(
           'on-device retraining corpus excludes %d sub-dataset(s) %s '
@@ -150,19 +130,8 @@ def _run_ondevice(method, dataset, mean_func, cov_func, init_params,
           'only as single-output unaligned data); the host loop would '
           'include them via its EKL/NLL combinators.', len(dropped),
           dropped[:8])
-    pp = (packed_lib.pack_dataset(pretrain, pad_to_multiple=8)[0]
-          if pretrain else None)
-    xo, yo, _, model_out = ondevice_lib.simulated_bayesopt_ondevice_retrain(
-        mean_func, cov_func, model.params.model, model.params.config,
-        warp_func, pretrain_packed=pp, retrain_every=1,
-        retrain_steps=retrain, **common)
-    model.params.model = model_out  # the host loop also ends retrained
-    model.params.cache = {}
-  else:
-    xo, yo, _ = ondevice_lib.simulated_bayesopt_ondevice(
-        mean_func, cov_func, model.params.model, model.params.config,
-        warp_func, **common)
-  return ((xo, yo), bayesopt.get_best_datapoint(queried), model.params)
+  return ondevice_lib.run_bayesopt_ondevice(
+      model, sub_dataset_key, queried, iters, acquisition=acq, key=key)
 
 
 def run_experiment(

@@ -242,3 +242,27 @@ def test_retrain_with_ekl_regularizer():
       not np.allclose(np.asarray(model_out[k]), np.asarray(model_plain[k]))
       for k in model_out)
   assert diff, 'EKL regularizer had no effect on the trajectory'
+
+
+def test_run_bayesopt_ondevice_entry():
+  """Library entry dispatch: plain / retrain / qbatch from a GP."""
+  from hyperbo_tpu.models import gp as gp_lib
+  params, dataset, sdk, queried = _setup(jax.random.PRNGKey(9))
+  model = gp_lib.GP(dict(dataset), mean.constant,
+                    kernel.squared_exponential,
+                    GPParams(model=dict(params.model),
+                             config=dict(params.config)), None)
+  obs, best, out_params = ondevice.run_bayesopt_ondevice(
+      model, 'test', queried, iters=4)
+  assert obs[0].shape[1] == 2 and np.all(np.isfinite(np.asarray(obs[1])))
+  np.testing.assert_allclose(best[1], jnp.max(queried.y))
+  # retrain dispatch (config-driven, like run_bayesopt).
+  model.params.config['retrain'] = 3
+  obs_r, _, params_r = ondevice.run_bayesopt_ondevice(
+      model, 'test', queried, iters=3)
+  assert np.all(np.isfinite(np.asarray(obs_r[1])))
+  # qbatch dispatch.
+  model.params.config['retrain'] = 0
+  obs_q, _, _ = ondevice.run_bayesopt_ondevice(
+      model, 'test', queried, iters=2, q=3)
+  assert np.all(np.isfinite(np.asarray(obs_q[1])))
