@@ -128,6 +128,70 @@ def _masked_posterior(mean_func, cov_func, shim, warp_func,
   return mu, (var + noise_variance) * scale
 
 
+def _make_corpus_loss(mean_func, cov_func, config, warp_func, n_max,
+                      pretrain_packed=None, aligned_packed=None,
+                      ekl_weight: float = 0.0, ekl_partial: bool = True,
+                      eps: float = 1e-6):
+  """Build loss(model, x_buf, y_buf, count): the host training
+  objective over the full dataset dict in preallocated-buffer form —
+  mean per-task NLL over the pre-training corpus plus the masked test
+  buffer, plus an optional c*EKL regularizer over aligned tasks, minus
+  hyperprior log-probs. Shared by the in-scan retraining (Adam) and
+  HGP re-sampling (slice sampler) BO loops."""
+  from hyperbo_tpu.models import packed as packed_lib
+  config = dict(config or {})
+  config_nopriors = {k: v for k, v in config.items() if k != 'priors'}
+  if pretrain_packed is not None:
+    t_real = jnp.sum(pretrain_packed.task_mask).astype(jnp.float32)
+
+  def loss(model, x_buf, y_buf, count):
+    p = defs.GPParams(model=model, config=config_nopriors)
+    mask = jnp.arange(n_max) < count
+    nll_test = packed_lib.nll_one_task(
+        mean_func, cov_func, p, x_buf, y_buf, mask, count,
+        warp_func=warp_func, eps=eps)
+    w_test = (count > 0).astype(jnp.float32)
+    if pretrain_packed is not None:
+      # Mean over the packed tasks (reuses fused/batched routing), then
+      # recombined with the test task at reference averaging semantics.
+      mean_pre = packed_lib.neg_log_marginal_likelihood_packed(
+          mean_func, cov_func, p, pretrain_packed, warp_func=warp_func,
+          eps=eps)
+      total = ((mean_pre * t_real + w_test * nll_test)
+               / jnp.maximum(t_real + w_test, 1.0))
+    else:
+      total = w_test * nll_test
+    if aligned_packed is not None and ekl_weight:
+      total = total + ekl_weight * packed_lib.multivariate_normal_divergence_packed(
+          mean_func, cov_func, p, aligned_packed, warp_func=warp_func,
+          partial=ekl_partial)
+    if 'priors' in config:
+      pw = defs.GPParams(model=model, config=config)
+      for k in model:
+        if k in config['priors']:
+          val, = retrieve_params(pw, [k], warp_func)
+          total -= config['priors'][k](val)
+    return total
+
+  return loss
+
+
+def _masked_refactor(mean_func, cov_func, config, warp_func, model,
+                     x_buf, count, eps: float = 1e-6):
+  """Masked from-scratch Cholesky of the test-task system (padded rows
+  identity, so later rank-1 appends extend it)."""
+  p = defs.GPParams(model=model, config=config)
+  nv, = retrieve_params(p, ['noise_variance'], warp_func=warp_func)
+  n_max = x_buf.shape[0]
+  mask = jnp.arange(n_max) < count
+  kmat = cov_func(p, x_buf, warp_func=warp_func)
+  pair = mask[:, None] & mask[None, :]
+  eye = jnp.eye(n_max, dtype=kmat.dtype)
+  kmat = jnp.where(pair, kmat, 0.0) + eye * jnp.where(
+      mask, nv + eps, 1.0)
+  return chol_ops.cholesky(kmat)
+
+
 def _append_chol(cov_func, shim, warp_func, noise_variance, eps, x_buf,
                  chol_buf, count, x_new):
   """Rank-1 Cholesky append for one new observation (shared algebra)."""
@@ -605,7 +669,6 @@ def simulated_bayesopt_ondevice_retrain(
     (x_observed, y_observed, selected_indices, final_model_params).
   """
   import optax
-  from hyperbo_tpu.models import packed as packed_lib
 
   if key is None:
     key = jax.random.PRNGKey(0)
@@ -630,51 +693,14 @@ def simulated_bayesopt_ondevice_retrain(
                           warp_func=warp_func)
     return nv
 
-  if pretrain_packed is not None:
-    t_real = jnp.sum(pretrain_packed.task_mask).astype(jnp.float32)
-
-  def loss_fn(model, x_buf, y_buf, count):
-    """Mean per-task NLL over pretrain tasks + the masked test buffer."""
-    p = shim(model)
-    mask = jnp.arange(n_max) < count
-    nll_test = packed_lib.nll_one_task(
-        mean_func, cov_func, p, x_buf, y_buf, mask, count,
-        warp_func=warp_func, eps=eps)
-    w_test = (count > 0).astype(jnp.float32)
-    if pretrain_packed is not None:
-      # Mean over the packed tasks (reuses fused/batched routing), then
-      # recombined with the test task at reference averaging semantics.
-      mean_pre = packed_lib.neg_log_marginal_likelihood_packed(
-          mean_func, cov_func, p, pretrain_packed, warp_func=warp_func,
-          eps=eps)
-      total = ((mean_pre * t_real + w_test * nll_test)
-               / jnp.maximum(t_real + w_test, 1.0))
-    else:
-      total = w_test * nll_test
-    if aligned_packed is not None and ekl_weight:
-      total = total + ekl_weight * packed_lib.multivariate_normal_divergence_packed(
-          mean_func, cov_func, p, aligned_packed, warp_func=warp_func,
-          partial=ekl_partial)
-    if 'priors' in config:
-      pw = shim(model, with_priors=True)
-      for k in model:
-        if k in config['priors']:
-          val, = retrieve_params(pw, [k], warp_func)
-          total -= config['priors'][k](val)
-    return total
+  loss_fn = _make_corpus_loss(
+      mean_func, cov_func, config, warp_func, n_max,
+      pretrain_packed=pretrain_packed, aligned_packed=aligned_packed,
+      ekl_weight=ekl_weight, ekl_partial=ekl_partial, eps=eps)
 
   def refactor(model, x_buf, count):
-    """Masked from-scratch Cholesky of the test-task system (padded
-    rows identity, so later rank-1 appends extend it)."""
-    p = shim(model)
-    nv = noise_of(model)
-    mask = jnp.arange(n_max) < count
-    kmat = cov_func(p, x_buf, warp_func=warp_func)
-    pair = mask[:, None] & mask[None, :]
-    eye = jnp.eye(n_max, dtype=kmat.dtype)
-    kmat = jnp.where(pair, kmat, 0.0) + eye * jnp.where(
-        mask, nv + eps, 1.0)
-    return chol_ops.cholesky(kmat)
+    return _masked_refactor(mean_func, cov_func, config_nopriors,
+                            warp_func, model, x_buf, count, eps=eps)
 
   def retrain(model, opt_state, x_buf, y_buf, count):
     def one(_, carry):
@@ -942,14 +968,33 @@ def run_bayesopt_ondevice(
                 key=key)
 
   if isinstance(model, gp_lib.HGP):
-    if retrain > 0 or q > 1:
-      raise ValueError('HGP on-device BO supports neither in-scan '
-                       'retraining nor q-batch selection; use the '
-                       'host loop for those.')
-    xo, yo, _ = simulated_bayesopt_ondevice_hgp(
-        model.mean_func, model.cov_func,
-        model.get_model_params_samples(), model.params.config,
-        model.warp_func, **common)
+    if q > 1:
+      raise ValueError('HGP on-device BO does not support q-batch '
+                       'selection; use the host loop.')
+    if retrain > 0:
+      # In-scan posterior refresh: chains start from the HGP's current
+      # samples and advance slice-sampling sweeps between selections.
+      if pretrain_packed is None:
+        corpus = {k: v for k, v in model.dataset.items()
+                  if k != sub_dataset_key and v.aligned is None
+                  and v.x.shape[0] > 0 and v.y.shape[1] == 1}
+        pretrain_packed = (
+            packed_lib.pack_dataset(corpus, pad_to_multiple=8)[0]
+            if corpus else None)
+      xo, yo, _, samples = simulated_bayesopt_ondevice_hgp_resample(
+          model.mean_func, model.cov_func, model.params.model,
+          model.params.config, model.warp_func,
+          pretrain_packed=pretrain_packed,
+          aligned_packed=aligned_packed, ekl_weight=ekl_weight,
+          resample_every=retrain_every,
+          init_samples=model.get_model_params_samples(), **common)
+      model.params.samples = samples
+      model.params.cache = {}
+    else:
+      xo, yo, _ = simulated_bayesopt_ondevice_hgp(
+          model.mean_func, model.cov_func,
+          model.get_model_params_samples(), model.params.config,
+          model.warp_func, **common)
   elif retrain > 0:
     if q > 1:
       raise ValueError('q-batch selection does not compose with '
@@ -979,3 +1024,209 @@ def run_bayesopt_ondevice(
         model.params.config, model.warp_func, mesh=mesh, **common)
   return ((xo, yo), bayesopt_lib.get_best_datapoint(queried_sub_dataset),
           model.params)
+
+
+def simulated_bayesopt_ondevice_hgp_resample(
+    mean_func,
+    cov_func,
+    model_params,
+    config,
+    warp_func,
+    queried_sub_dataset: SubDataset,
+    iters: int,
+    acquisition: str = 'ei',
+    num_samples: int = 8,
+    num_train_tasks: int = 0,
+    init_obs: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    n_max: Optional[int] = None,
+    pretrain_packed=None,
+    aligned_packed=None,
+    ekl_weight: float = 0.0,
+    resample_every: int = 1,
+    sweeps: int = 2,
+    width: float = 1.0,
+    max_steps_out: int = 10,
+    max_shrink: int = 100,
+    init_jitter: float = 0.1,
+    init_samples=None,
+    eps: float = 1e-6,
+    key: Optional[jax.Array] = None,
+):
+  """On-device HGP BO with IN-SCAN posterior re-sampling.
+
+  The host HGP path re-runs the slice sampler between BO iterations
+  (run_bayesopt forces method='slice_sample', reference
+  hyperbo/bo_utils/bayesopt.py:247-255, and retrain_model re-infers).
+  Here the S hyperparameter samples ride the scan carry in
+  unconstrained (flattened) space: every `resample_every` iterations
+  each sample advances `sweeps` Neal-2003 slice-sampling sweeps
+  (train/slice_sampler's stepping-out + shrinkage chain) targeting the
+  posterior given the pre-training corpus PLUS the current test
+  buffer, then all S test-task Cholesky factors are rebuilt from the
+  fresh hyperparameters. Selection averages the per-sample
+  acquisitions ('ts' draws hyperparameters then the function). The
+  whole resample->select->append experiment is ONE compiled program.
+
+  Args:
+    model_params: starting model dict (sample 0 starts here; samples
+      s>0 add N(0, init_jitter^2) noise in unconstrained space).
+    num_samples: S parallel hyperparameter chains/samples.
+    init_samples: optional list of S model dicts (e.g. an HGP's
+      params.samples) the chains start from, overriding the
+      jitter-around-model_params initialization.
+    pretrain_packed / aligned_packed / ekl_weight: the sampling
+      target's corpus, as simulated_bayesopt_ondevice_retrain.
+    resample_every / sweeps: cadence and per-resample sweeps (sweeps=0
+      disables re-sampling: fixed-sample HGP like the plain HGP loop).
+
+  Returns:
+    (x_observed, y_observed, selected_indices, samples) — samples is
+    the final list of S model dicts (the HGP params.samples contract).
+  """
+  from jax import flatten_util
+  from hyperbo_tpu.train import slice_sampler as ss
+
+  if key is None:
+    key = jax.random.PRNGKey(0)
+  n_init = 0 if init_obs is None else init_obs[0].shape[0]
+  if n_max is None:
+    n_max = n_init + iters
+  d = queried_sub_dataset.x.shape[1]
+  config = dict(config or {})
+  config_nopriors = {k: v for k, v in config.items() if k != 'priors'}
+  acq_sub, acq_param_kind = _ACQ_SUBS[acquisition]
+  scale = _unbiased_scale(num_train_tasks)
+
+  # The unravel template must match the chains' pytree structure: when
+  # chains start from explicit samples, take it from the first sample.
+  template = (init_samples[0] if init_samples is not None
+              else model_params)
+  model0 = jax.tree.map(lambda v: jnp.asarray(v, jnp.float32),
+                        dict(template))
+  x0, unravel = flatten_util.ravel_pytree(model0)
+  loss_fn = _make_corpus_loss(
+      mean_func, cov_func, config, warp_func, n_max,
+      pretrain_packed=pretrain_packed, aligned_packed=aligned_packed,
+      ekl_weight=ekl_weight, eps=eps)
+
+  def shim(v):
+    return defs.GPParams(model=unravel(v), config=config_nopriors)
+
+  def noise_of(v):
+    nv, = retrieve_params(shim(v), ['noise_variance'],
+                          warp_func=warp_func)
+    return nv
+
+  def resample(xs, x_buf, y_buf, count, k):
+    def lp(v):
+      return -loss_fn(unravel(v), x_buf, y_buf, count)
+    def one(x, kk):
+      draws, _ = ss._run_chain(lp, x, kk, sweeps, width, max_steps_out,
+                               max_shrink)
+      return draws[-1]
+    return jax.vmap(one)(xs, jax.random.split(k, num_samples))
+
+  def refactor_all(xs, x_buf, count):
+    return jax.vmap(lambda v: _masked_refactor(
+        mean_func, cov_func, config_nopriors, warp_func, unravel(v),
+        x_buf, count, eps=eps))(xs)
+
+  def posterior_one(v, chol_buf, x_buf, y_buf, count, cand_x):
+    return _masked_posterior(mean_func, cov_func, shim(v), warp_func,
+                             noise_of(v), scale, x_buf, y_buf,
+                             chol_buf, count, cand_x)
+
+  def append_all(xs, chols, x_buf, count, x_new):
+    return jax.vmap(lambda v, c: _append_chol(
+        cov_func, shim(v), warp_func, noise_of(v), eps, x_buf, c,
+        count, x_new))(xs, chols)
+
+  def step(state, args, cand_x, cand_y):
+    i, k = args
+    x_buf, y_buf, chols, xs, count = state
+    rk, sk = jax.random.split(k)
+    if sweeps > 0:
+      do = (i % resample_every) == 0
+      xs = jax.lax.cond(
+          do, lambda xs: resample(xs, x_buf, y_buf, count, rk),
+          lambda xs: xs, xs)
+      chols = jax.lax.cond(
+          do, lambda a, b: refactor_all(a, b, count),
+          lambda a, b: chols, xs, x_buf)
+    if acq_param_kind == 'rand':
+      select_idx = jax.random.randint(sk, (), 0, cand_x.shape[0])
+    elif acq_param_kind == 'ts':
+      s_key, d_key = jax.random.split(sk)
+      s = jax.random.randint(s_key, (), 0, num_samples)
+      mu, var = posterior_one(xs[s], chols[s], x_buf, y_buf, count,
+                              cand_x)
+      select_idx = _ts_index(mu, var, noise_of(xs[s]), scale, d_key)
+    else:
+      mu_s, var_s = jax.vmap(
+          lambda v, c: posterior_one(v, c, x_buf, y_buf, count, cand_x)
+      )(xs, chols)
+      mask = jnp.arange(n_max) < count
+      target = _acq_param(acq_param_kind, y_buf, mask, count)
+      scores = jnp.mean(acq_sub(mu_s, jnp.sqrt(var_s), target), axis=0)
+      select_idx = jnp.argmax(scores.flatten())
+    x_new = cand_x[select_idx]
+    y_new = cand_y[select_idx]
+    chols = append_all(xs, chols, x_buf, count, x_new)
+    x_buf = jax.lax.dynamic_update_slice(x_buf, x_new[None, :],
+                                         (count, 0))
+    y_buf = jax.lax.dynamic_update_slice(y_buf, y_new[None, :],
+                                         (count, 0))
+    return (x_buf, y_buf, chols, xs, count + 1), select_idx
+
+  if init_samples is not None:
+    num_samples = len(init_samples)
+    xs_init = jnp.stack([
+        flatten_util.ravel_pytree(jax.tree.map(
+            lambda v: jnp.asarray(v, jnp.float32), dict(s)))[0]
+        for s in init_samples])
+  else:
+    xs_init = None
+
+  @jax.jit
+  def run(x0v, x0_obs, y0_obs, cand_x, cand_y, key):
+    ik, rk = jax.random.split(key)
+    if xs_init is not None:
+      xs = xs_init
+    else:
+      jit_keys = jax.random.split(ik, num_samples)
+      xs = jax.vmap(
+          lambda kk, c: x0v + jnp.where(c > 0, init_jitter, 0.0)
+          * jax.random.normal(kk, x0v.shape))(
+              jit_keys, jnp.arange(num_samples))
+    x_buf = jnp.zeros((n_max, d), jnp.float32)
+    y_buf = jnp.zeros((n_max, 1), jnp.float32)
+    chols = jnp.broadcast_to(chol_ops.init_chol_buffer(n_max),
+                             (num_samples, n_max, n_max))
+    state = (x_buf, y_buf, chols, xs, jnp.array(0, jnp.int32))
+
+    def seed_one(i, st):
+      x_buf, y_buf, chols, xs, count = st
+      chols = append_all(xs, chols, x_buf, count, x0_obs[i])
+      x_buf = jax.lax.dynamic_update_slice(x_buf, x0_obs[i][None, :],
+                                           (count, 0))
+      y_buf = jax.lax.dynamic_update_slice(y_buf, y0_obs[i][None, :],
+                                           (count, 0))
+      return (x_buf, y_buf, chols, xs, count + 1)
+
+    if n_init > 0:
+      state = jax.lax.fori_loop(0, n_init, seed_one, state)
+    state, select_idx = jax.lax.scan(
+        lambda st, a: step(st, a, cand_x, cand_y), state,
+        (jnp.arange(iters), jax.random.split(rk, iters)))
+    return state[0], state[1], select_idx, state[3]
+
+  x0_obs = (init_obs[0].astype(jnp.float32) if init_obs is not None
+            else jnp.zeros((0, d), jnp.float32))
+  y0_obs = (init_obs[1].astype(jnp.float32) if init_obs is not None
+            else jnp.zeros((0, 1), jnp.float32))
+  x_out, y_out, select_idx, xs = run(
+      x0, x0_obs, y0_obs, queried_sub_dataset.x.astype(jnp.float32),
+      queried_sub_dataset.y.astype(jnp.float32), key)
+  total = n_init + iters
+  samples = [unravel(row) for row in xs]
+  return x_out[:total], y_out[:total], select_idx, samples

@@ -4,6 +4,7 @@ from hyperbo_tpu.bo.bayesopt import (  # noqa: F401
     simulated_bayesopt)
 from hyperbo_tpu.bo.ondevice import (  # noqa: F401
     run_bayesopt_ondevice, simulated_bayesopt_ondevice,
+    simulated_bayesopt_ondevice_hgp_resample,
     simulated_bayesopt_ondevice_qbatch,
     simulated_bayesopt_ondevice_retrain)
 from hyperbo_tpu.core.defs import SubDataset  # noqa: F401

@@ -266,3 +266,70 @@ def test_run_bayesopt_ondevice_entry():
   obs_q, _, _ = ondevice.run_bayesopt_ondevice(
       model, 'test', queried, iters=2, q=3)
   assert np.all(np.isfinite(np.asarray(obs_q[1])))
+
+
+def test_hgp_resample_loop():
+  """In-scan HGP re-sampling: finite results, samples move, and the
+  degenerate configuration (no sweeps, no jitter, deterministic EI)
+  reproduces the plain GP loop."""
+  params, dataset, sdk, queried = _setup(jax.random.PRNGKey(10))
+  pretrain = {k: v for k, v in dataset.items()
+              if k != sdk and v.aligned is None}
+  pp, _ = packed_lib.pack_dataset(pretrain, pad_to_multiple=8)
+
+  # Degenerate parity: S identical frozen samples == one GP.
+  _, _, sel_ref = ondevice.simulated_bayesopt_ondevice(
+      mean.constant, kernel.squared_exponential, dict(params.model),
+      dict(params.config), None, queried, iters=4, acquisition='ei',
+      num_train_tasks=len(pretrain))
+  xo, yo, sel, samples = ondevice.simulated_bayesopt_ondevice_hgp_resample(
+      mean.constant, kernel.squared_exponential, dict(params.model),
+      dict(params.config), None, queried, iters=4, acquisition='ei',
+      num_samples=3, num_train_tasks=len(pretrain), sweeps=0,
+      init_jitter=0.0)
+  np.testing.assert_array_equal(np.asarray(sel), np.asarray(sel_ref))
+  assert len(samples) == 3
+
+  # Live re-sampling: chains move and stay finite.
+  xo, yo, sel, samples = ondevice.simulated_bayesopt_ondevice_hgp_resample(
+      mean.constant, kernel.squared_exponential, dict(params.model),
+      dict(params.config), None, queried, iters=3, acquisition='ei',
+      num_samples=3, num_train_tasks=len(pretrain),
+      pretrain_packed=pp, resample_every=1, sweeps=1,
+      init_jitter=0.05, key=jax.random.PRNGKey(11))
+  assert np.all(np.isfinite(np.asarray(yo)))
+  flat = [np.concatenate([np.ravel(v) for v in s.values()])
+          for s in samples]
+  assert not np.allclose(flat[0], flat[1]), 'chains did not move apart'
+  for s in samples:
+    for v in s.values():
+      assert np.all(np.isfinite(np.asarray(v)))
+
+
+def test_run_bayesopt_ondevice_hgp_resample_dispatch():
+  """HGP + config['retrain']>0 dispatches to in-scan re-sampling."""
+  from hyperbo_tpu.models import gp as gp_lib
+  params, dataset, sdk, queried = _setup(jax.random.PRNGKey(12))
+  cfg = dict(params.config)
+  cfg.update({'retrain': 1, 'method': 'slice_sample'})
+  model = gp_lib.HGP(dict(dataset), mean.constant,
+                     kernel.squared_exponential,
+                     GPParams(model=dict(params.model), config=cfg),
+                     None)
+  # Seed the HGP with two explicit samples.
+  model.params.samples = [dict(params.model),
+                          {**params.model, 'signal_variance': 1.5}]
+  obs, best, out_params = ondevice.run_bayesopt_ondevice(
+      model, 'test', queried, iters=2)
+  assert np.all(np.isfinite(np.asarray(obs[1])))
+  assert len(out_params.samples) == 2
+  # The chains advanced: at least one sample moved.
+  moved = any(
+      not np.allclose(
+          np.concatenate([np.ravel(v) for v in s.values()]),
+          np.concatenate([np.ravel(np.asarray(v, np.float32))
+                          for v in ref.values()]))
+      for s, ref in zip(out_params.samples,
+                        [dict(params.model),
+                         {**params.model, 'signal_variance': 1.5}]))
+  assert moved
