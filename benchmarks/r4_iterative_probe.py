@@ -105,6 +105,52 @@ def main():
   # Beyond the Gram wall.
   run(65536, row_chunk=4096, probes=8, steps=24, tag='[beyond-HBM]')
   run(131072, row_chunk=4096, probes=8, steps=24, tag='[beyond-HBM]')
+
+  # Matrix-free posterior at beyond-HBM n: mean for 4096 candidates
+  # (one batched CG) + variance for one 256-query chunk.
+  def run_predict(n, nq=4096, d=8):
+    x = jax.random.uniform(jax.random.PRNGKey(1), (n, d), jnp.float32)
+    y = jax.random.normal(jax.random.PRNGKey(2), (n, 1), jnp.float32)
+    xq = jax.random.uniform(jax.random.PRNGKey(3), (nq, d), jnp.float32)
+    params = defs.GPParams(model={
+        'constant': 0.0, 'lengthscale': jnp.ones(d) * 0.5,
+        'signal_variance': 0.0, 'noise_variance': -2.0})
+
+    @jax.jit
+    def f_mu(x, y, xq):
+      mu, _ = iterative.predict_iterative(
+          mean.zero, params, x, y, xq, warp_func=DEFAULT_WARP_FUNC,
+          cov_func=kernel.squared_exponential, row_chunk=4096,
+          compute_var=False)
+      return mu
+
+    @jax.jit
+    def f_var(x, y, xq):
+      _, var = iterative.predict_iterative(
+          mean.zero, params, x, y, xq[:256],
+          warp_func=DEFAULT_WARP_FUNC,
+          cov_func=kernel.squared_exponential, row_chunk=4096,
+          query_chunk=256)
+      return var
+
+    try:
+      t0 = time.perf_counter()
+      mu = f_mu(x, y, xq)
+      s = float(jnp.sum(mu))
+      t_first = time.perf_counter() - t0
+      t0 = time.perf_counter()
+      float(jnp.sum(f_mu(x, y, xq)))
+      log(f'[predict] n={n} mu({nq} queries): {time.perf_counter()-t0:.2f}s '
+          f'cached ({t_first:.1f}s first), sum={s:.3f}')
+      t0 = time.perf_counter()
+      v = float(jnp.sum(f_var(x, y, xq)))
+      log(f'[predict] n={n} var(256 queries): '
+          f'{time.perf_counter()-t0:.2f}s first, sum={v:.3f}')
+    except Exception as e:  # noqa: BLE001
+      log(f'[predict] n={n}: FAILED: {type(e).__name__}: {str(e)[:300]}')
+      _abort_if_terminal_down(e, f'predict n={n}')
+
+  run_predict(65536)
   log('DONE')
 
 

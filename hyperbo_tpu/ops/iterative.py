@@ -353,3 +353,135 @@ def mll_iterative(mean_func, params, x, y, warp_func=None, eps: float = 1e-6,
   if return_info:
     return nll, {'cg_iters': cg_iters, 'cg_residual': cg_res}
   return nll
+
+
+def _cross_kernel(xq: jnp.ndarray, xo: jnp.ndarray, sv, kfam: str,
+                  precision=jax.lax.Precision.HIGH) -> jnp.ndarray:
+  """K(xq, xo) materialized as one (nq, n) block (callers chunk nq)."""
+  sq = jnp.sum(xq * xq, axis=1, keepdims=True)
+  so = jnp.sum(xo * xo, axis=1, keepdims=True)
+  r2 = jnp.maximum(
+      sq + so.T - 2.0 * jnp.matmul(xq, xo.T, precision=precision), 0.0)
+  km, _ = _km_nm(r2, sv, kfam)
+  return km
+
+
+def predict_iterative(mean_func, params, x_obs, y_obs, x_query,
+                      warp_func=None, cov_func=None, eps: float = 1e-6,
+                      row_chunk: int = 1024, query_chunk: int = 256,
+                      cg_tol: float = 1e-5, cg_maxiter: int = 1000,
+                      precond_rank: int = 0,
+                      compute_var: bool = True,
+                      return_info: bool = False):
+  """Matrix-free GP posterior for n beyond the O(n^2) memory wall.
+
+  The direct posterior (models/gp.predict) factorizes the n x n system;
+  at n ≳ 40k the Gram matrix no longer fits one chip's HBM. This
+  computes the same posterior mean and (diagonal) variance with O(n)
+  state:
+
+    mu  = K_qo (K + da I)^{-1} delta + m(x_q)       one batched CG
+    var = k(0) - diag(K_qo (K + da I)^{-1} K_oq)    one batched CG per
+                                                    query chunk
+
+  Same parameterization as mll_iterative (warped params, stationary
+  SE/Matern families incl. MLP/Kumar embeddings; latent variance — add
+  warped noise and any task rescale at the caller, as gp.predict's
+  class wrapper does). mu is differentiable w.r.t. x_query (alpha is
+  constant under stop_gradient); var is not differentiable (its CG
+  solves depend on the query).
+
+  Args:
+    query_chunk: queries per variance CG batch; each chunk costs one
+      (n, query_chunk) batched CG solve. compute_var=False skips the
+      variance entirely (mu-only is ONE solve total).
+
+  Returns:
+    (mu (nq, 1), var (nq, 1)) [var = None when compute_var=False];
+    with return_info=True also {'cg_iters', 'cg_residual'} of the mean
+    solve.
+  """
+  from hyperbo_tpu.core.warp import retrieve_params
+  from hyperbo_tpu.ops import pallas_mll as pm
+
+  lengthscale, signal_variance, noise_variance = retrieve_params(
+      params, ['lengthscale', 'signal_variance', 'noise_variance'],
+      warp_func=warp_func)
+  n = x_obs.shape[0]
+  nq = x_query.shape[0]
+  mu_obs = mean_func(params, x_obs, warp_func=warp_func)
+  mu_query = mean_func(params, x_query, warp_func=warp_func)
+  delta = (jnp.asarray(y_obs, jnp.float32).reshape(n, -1)
+           - jnp.atleast_2d(mu_obs)).astype(jnp.float32)
+  assert delta.shape[1] == 1, 'predict_iterative expects a single task'
+  emb_o = pm._se_embed(params, x_obs, cov_func, warp_func)
+  emb_q = pm._se_embed(params, x_query, cov_func, warp_func)
+  xo = (emb_o / lengthscale).astype(jnp.float32)
+  xq = (emb_q / lengthscale).astype(jnp.float32)
+  # One shared shift (translation-invariant distances, smaller norms).
+  shift = jax.lax.stop_gradient(jnp.mean(xo, axis=0, keepdims=True))
+  xo = xo - shift
+  xq = xq - shift
+  kfam = pm.kernel_family(cov_func) if cov_func is not None else 'se'
+  sv = jnp.squeeze(signal_variance)
+  da = jnp.squeeze(noise_variance) + eps
+
+  pad = (-n) % row_chunk
+  if pad:
+    base = jax.lax.stop_gradient(
+        jnp.maximum(jnp.max(jnp.abs(xo)), jnp.max(jnp.abs(xq))))
+    far = (base + 30.0 * (1.0 + jnp.arange(pad, dtype=jnp.float32))
+           ).reshape(-1, 1)
+    far = jnp.broadcast_to(far, (pad, xo.shape[1]))
+    xo = jnp.concatenate([xo, far], axis=0)
+    delta = jnp.concatenate(
+        [delta, jnp.zeros((pad, 1), jnp.float32)], axis=0)
+  ntot = xo.shape[0]
+
+  sg = jax.lax.stop_gradient
+  xo_sg, sv_sg, da_sg = sg(xo), sg(sv), sg(da)
+
+  def mv(v):
+    return kernel_matvec(xo_sg, v, sv_sg, da_sg, kfam=kfam,
+                         row_chunk=row_chunk)
+
+  precond = None
+  if precond_rank > 0:
+    lmat = partial_pivoted_cholesky(xo_sg, sv_sg, kfam, precond_rank)
+    precond = woodbury_inverse_apply(lmat, da_sg)
+
+  alpha, cg_iters, cg_res = cg_batched(mv, sg(delta), tol=cg_tol,
+                                       maxiter=cg_maxiter,
+                                       precond=precond)
+  alpha = sg(alpha)
+
+  # Mean: chunked cross-kernel against alpha (differentiable in xq).
+  padq = (-nq) % query_chunk
+  xq_p = (jnp.concatenate(
+      [xq, jnp.zeros((padq, xq.shape[1]), jnp.float32)], axis=0)
+          if padq else xq)
+  nq_tot = xq_p.shape[0]
+  qblocks = xq_p.reshape(nq_tot // query_chunk, query_chunk, -1)
+
+  def mu_chunk(_, qb):
+    return _, jnp.matmul(_cross_kernel(qb, xo, sv, kfam), alpha,
+                         precision=jax.lax.Precision.HIGH)
+
+  _, mu_parts = jax.lax.scan(mu_chunk, 0, qblocks)
+  mu = (mu_parts.reshape(nq_tot, 1)[:nq]
+        + jnp.atleast_2d(mu_query).reshape(nq, -1))
+
+  var = None
+  if compute_var:
+    def var_chunk(_, qb):
+      kxq = sg(_cross_kernel(qb, xo, sv, kfam)).T      # (ntot, qc)
+      sol, _, _ = cg_batched(mv, kxq, tol=cg_tol, maxiter=cg_maxiter,
+                             precond=precond)
+      return _, jnp.maximum(sv_sg - jnp.sum(kxq * sol, axis=0), 1e-12)
+
+    _, var_parts = jax.lax.scan(var_chunk, 0, qblocks)
+    var = var_parts.reshape(nq_tot, 1)[:nq]
+
+  if return_info:
+    return mu, var, {'cg_iters': cg_iters, 'cg_residual': cg_res}
+  return mu, var

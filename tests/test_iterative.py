@@ -230,3 +230,38 @@ def test_mll_iterative_with_preconditioner():
       key=jax.random.PRNGKey(2), return_info=True)
   assert abs(float(got) - want) / abs(want) < 0.05, (float(got), want)
   assert float(info['cg_residual']) < 1e-3
+
+
+def test_predict_iterative_matches_dense_posterior():
+  """Matrix-free posterior == dense gp.predict (latent mu/var)."""
+  import numpy as np
+  from hyperbo_tpu.models import gp as gp_lib
+  key = jax.random.PRNGKey(3)
+  n, nq, d = 300, 40, 3
+  x = jax.random.uniform(key, (n, d))
+  y = jnp.sin(2 * x.sum(axis=1, keepdims=True)) + 0.05 * (
+      jax.random.normal(jax.random.fold_in(key, 1), (n, 1)))
+  xq = jax.random.uniform(jax.random.fold_in(key, 2), (nq, d))
+  params = defs.GPParams(model={
+      'constant': 0.2, 'lengthscale': jnp.ones(d) * 0.4,
+      'signal_variance': 0.0, 'noise_variance': -3.0})
+  mu_d, var_d = gp_lib.predict(
+      mean.constant, kernel.squared_exponential, params, x, y, xq,
+      warp_func=DEFAULT_WARP_FUNC)
+  mu_i, var_i, info = iterative.predict_iterative(
+      mean.constant, params, x, y, xq, warp_func=DEFAULT_WARP_FUNC,
+      cov_func=kernel.squared_exponential, row_chunk=128,
+      query_chunk=16, cg_tol=1e-7, return_info=True)
+  np.testing.assert_allclose(np.asarray(mu_i), np.asarray(mu_d),
+                             atol=2e-3, rtol=1e-3)
+  np.testing.assert_allclose(np.asarray(var_i).flatten(),
+                             np.asarray(var_d).flatten(),
+                             atol=2e-3, rtol=2e-2)
+  # mu-only path skips the variance solves.
+  mu_o, var_o = iterative.predict_iterative(
+      mean.constant, params, x, y, xq, warp_func=DEFAULT_WARP_FUNC,
+      cov_func=kernel.squared_exponential, row_chunk=128,
+      compute_var=False)
+  assert var_o is None
+  np.testing.assert_allclose(np.asarray(mu_o), np.asarray(mu_i),
+                             atol=1e-5)
