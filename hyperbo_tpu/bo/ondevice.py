@@ -99,6 +99,24 @@ def _unbiased_scale(num_train_tasks: int) -> float:
   return n_tasks / (n_tasks - 1.0) if n_tasks > 1 else 1.0
 
 
+def _shard_candidates(mesh, mesh_axis, cand_x, cand_y, replicated_args):
+  """Shard the candidate axis over the mesh; replicate everything else.
+
+  No-op when mesh is None. GSPMD propagates the shardings through the
+  loop body: per-iteration cross-Gram/solve/acquisition split by
+  candidate, the argmax becomes a global collective.
+  """
+  if mesh is None:
+    return cand_x, cand_y, replicated_args
+  from jax.sharding import NamedSharding, PartitionSpec
+  cand_sharding = NamedSharding(mesh, PartitionSpec(mesh_axis))
+  replicated = NamedSharding(mesh, PartitionSpec())
+  cand_x = jax.device_put(cand_x, cand_sharding)
+  cand_y = jax.device_put(cand_y, cand_sharding)
+  replicated_args = jax.device_put(replicated_args, replicated)
+  return cand_x, cand_y, replicated_args
+
+
 def _masked_posterior(mean_func, cov_func, shim, warp_func,
                       noise_variance, scale, x_buf, y_buf, chol_buf,
                       count, cand_x):
@@ -361,6 +379,8 @@ def simulated_bayesopt_ondevice_hgp(
     num_train_tasks: int = 0,
     init_obs: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     n_max: Optional[int] = None,
+    mesh=None,
+    mesh_axis: str = 'task',
     key: Optional[jax.Array] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
   """On-device BO under an HGP: S posterior samples, one scan.
@@ -475,9 +495,11 @@ def simulated_bayesopt_ondevice_hgp(
         else jnp.zeros((0, d), jnp.float32))
   y0 = (init_obs[1].astype(jnp.float32) if init_obs is not None
         else jnp.zeros((0, 1), jnp.float32))
-  x_out, y_out, select_idx = run(
-      x0, y0, queried_sub_dataset.x.astype(jnp.float32),
-      queried_sub_dataset.y.astype(jnp.float32), key)
+  cand_x = queried_sub_dataset.x.astype(jnp.float32)
+  cand_y = queried_sub_dataset.y.astype(jnp.float32)
+  cand_x, cand_y, (x0, y0, stacked) = _shard_candidates(
+      mesh, mesh_axis, cand_x, cand_y, (x0, y0, stacked))
+  x_out, y_out, select_idx = run(x0, y0, cand_x, cand_y, key)
   total = n_init + iters
   return x_out[:total], y_out[:total], select_idx
 
@@ -812,6 +834,8 @@ def simulated_bayesopt_ondevice_qbatch(
     init_obs: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     n_max: Optional[int] = None,
     eps: float = 1e-6,
+    mesh=None,
+    mesh_axis: str = 'task',
     key: Optional[jax.Array] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
   """Batch BO: q points per iteration by greedy hallucination.
@@ -912,11 +936,26 @@ def simulated_bayesopt_ondevice_qbatch(
         else jnp.zeros((0, d), jnp.float32))
   y0 = (init_obs[1].astype(jnp.float32) if init_obs is not None
         else jnp.zeros((0, 1), jnp.float32))
-  x_out, y_out, select_idx = run(
-      x0, y0, queried_sub_dataset.x.astype(jnp.float32),
-      queried_sub_dataset.y.astype(jnp.float32), key)
+  cand_x = queried_sub_dataset.x.astype(jnp.float32)
+  cand_y = queried_sub_dataset.y.astype(jnp.float32)
+  cand_x, cand_y, (x0, y0) = _shard_candidates(
+      mesh, mesh_axis, cand_x, cand_y, (x0, y0))
+  x_out, y_out, select_idx = run(x0, y0, cand_x, cand_y, key)
   total = n_init + iters * q
   return x_out[:total], y_out[:total], select_idx
+
+
+def default_retrain_corpus(dataset, sub_dataset_key):
+  """(corpus, dropped_keys): the sub-datasets the in-scan retraining
+  objective can pack — single-output, unaligned, non-empty — and the
+  keys it must exclude. Shared by run_bayesopt_ondevice and the
+  experiments driver (which warns about the exclusions)."""
+  corpus = {k: v for k, v in dataset.items()
+            if k != sub_dataset_key and v.aligned is None
+            and v.x.shape[0] > 0 and v.y.shape[1] == 1}
+  dropped = [k for k in dataset
+             if k != sub_dataset_key and k not in corpus]
+  return corpus, dropped
 
 
 def run_bayesopt_ondevice(
@@ -975,9 +1014,8 @@ def run_bayesopt_ondevice(
       # In-scan posterior refresh: chains start from the HGP's current
       # samples and advance slice-sampling sweeps between selections.
       if pretrain_packed is None:
-        corpus = {k: v for k, v in model.dataset.items()
-                  if k != sub_dataset_key and v.aligned is None
-                  and v.x.shape[0] > 0 and v.y.shape[1] == 1}
+        corpus, _ = default_retrain_corpus(model.dataset,
+                                           sub_dataset_key)
         pretrain_packed = (
             packed_lib.pack_dataset(corpus, pad_to_multiple=8)[0]
             if corpus else None)
@@ -986,7 +1024,7 @@ def run_bayesopt_ondevice(
           model.params.config, model.warp_func,
           pretrain_packed=pretrain_packed,
           aligned_packed=aligned_packed, ekl_weight=ekl_weight,
-          resample_every=retrain_every,
+          resample_every=retrain_every, sweeps=retrain, mesh=mesh,
           init_samples=model.get_model_params_samples(), **common)
       model.params.samples = samples
       model.params.cache = {}
@@ -994,15 +1032,14 @@ def run_bayesopt_ondevice(
       xo, yo, _ = simulated_bayesopt_ondevice_hgp(
           model.mean_func, model.cov_func,
           model.get_model_params_samples(), model.params.config,
-          model.warp_func, **common)
+          model.warp_func, mesh=mesh, **common)
   elif retrain > 0:
     if q > 1:
       raise ValueError('q-batch selection does not compose with '
                        'in-scan retraining yet.')
     if pretrain_packed is None:
-      corpus = {k: v for k, v in model.dataset.items()
-                if k != sub_dataset_key and v.aligned is None
-                and v.x.shape[0] > 0 and v.y.shape[1] == 1}
+      corpus, _ = default_retrain_corpus(model.dataset,
+                                         sub_dataset_key)
       pretrain_packed = (
           packed_lib.pack_dataset(corpus, pad_to_multiple=8)[0]
           if corpus else None)
@@ -1015,9 +1052,15 @@ def run_bayesopt_ondevice(
     model.params.model = model_out
     model.params.cache = {}
   elif q > 1:
+    # Budget parity with run_bayesopt: iters counts total oracle
+    # evaluations, so q-batch runs iters/q batches of q.
+    if iters % q:
+      raise ValueError(f'iters={iters} must divide by q={q} (iters '
+                       'counts total evaluations, as run_bayesopt).')
+    common['iters'] = iters // q
     xo, yo, _ = simulated_bayesopt_ondevice_qbatch(
         model.mean_func, model.cov_func, model.params.model,
-        model.params.config, model.warp_func, q=q, **common)
+        model.params.config, model.warp_func, q=q, mesh=mesh, **common)
   else:
     xo, yo, _ = simulated_bayesopt_ondevice(
         model.mean_func, model.cov_func, model.params.model,
@@ -1050,6 +1093,8 @@ def simulated_bayesopt_ondevice_hgp_resample(
     init_jitter: float = 0.1,
     init_samples=None,
     eps: float = 1e-6,
+    mesh=None,
+    mesh_axis: str = 'task',
     key: Optional[jax.Array] = None,
 ):
   """On-device HGP BO with IN-SCAN posterior re-sampling.
@@ -1141,12 +1186,22 @@ def simulated_bayesopt_ondevice_hgp_resample(
         cov_func, shim(v), warp_func, noise_of(v), eps, x_buf, c,
         count, x_new))(xs, chols)
 
+  # With no corpus, no priors and an empty test buffer the sampling
+  # target is CONSTANT: stepping-out always succeeds on a flat
+  # log-prob and every chain would jump uniformly within the slice
+  # width bound. Gate re-sampling on a non-flat target existing.
+  has_static_target = (pretrain_packed is not None
+                       or (aligned_packed is not None and ekl_weight)
+                       or 'priors' in config)
+
   def step(state, args, cand_x, cand_y):
     i, k = args
     x_buf, y_buf, chols, xs, count = state
     rk, sk = jax.random.split(k)
     if sweeps > 0:
       do = (i % resample_every) == 0
+      if not has_static_target:
+        do = jnp.logical_and(do, count > 0)
       xs = jax.lax.cond(
           do, lambda xs: resample(xs, x_buf, y_buf, count, rk),
           lambda xs: xs, xs)
@@ -1224,9 +1279,12 @@ def simulated_bayesopt_ondevice_hgp_resample(
             else jnp.zeros((0, d), jnp.float32))
   y0_obs = (init_obs[1].astype(jnp.float32) if init_obs is not None
             else jnp.zeros((0, 1), jnp.float32))
+  cand_x = queried_sub_dataset.x.astype(jnp.float32)
+  cand_y = queried_sub_dataset.y.astype(jnp.float32)
+  cand_x, cand_y, (x0_obs, y0_obs) = _shard_candidates(
+      mesh, mesh_axis, cand_x, cand_y, (x0_obs, y0_obs))
   x_out, y_out, select_idx, xs = run(
-      x0, x0_obs, y0_obs, queried_sub_dataset.x.astype(jnp.float32),
-      queried_sub_dataset.y.astype(jnp.float32), key)
+      x0, x0_obs, y0_obs, cand_x, cand_y, key)
   total = n_init + iters
   samples = [unravel(row) for row in xs]
   return x_out[:total], y_out[:total], select_idx, samples

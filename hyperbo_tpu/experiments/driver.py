@@ -109,20 +109,14 @@ def _run_ondevice(method, dataset, mean_func, cov_func, init_params,
          else _ONDEVICE_ACQ.get(ac_func_name, ac_func_name))
   model = bayesopt._build_model(method, dataset, mean_func, cov_func,
                                 init_params, warp_func)
-  if retrain > 0 and isinstance(model, gp.HGP):
-    raise ValueError(
-        'on-device per-iteration retraining supports GP methods; HGP '
-        'retraining needs the host loop.')
   if init_model:
     key, sk = jax.random.split(key)
     model.initialize_params(sk)
     key, sk = jax.random.split(key)
     model.train(sk)
   if retrain > 0:
-    dropped = [k for k, v in model.dataset.items()
-               if k != sub_dataset_key
-               and (v.aligned is not None or v.x.shape[0] == 0
-                    or v.y.shape[1] != 1)]
+    _, dropped = ondevice_lib.default_retrain_corpus(
+        model.dataset, sub_dataset_key)
     if dropped:
       logging.warning(
           'on-device retraining corpus excludes %d sub-dataset(s) %s '

@@ -463,24 +463,23 @@ def predict_iterative(mean_func, params, x_obs, y_obs, x_query,
   nq_tot = xq_p.shape[0]
   qblocks = xq_p.reshape(nq_tot // query_chunk, query_chunk, -1)
 
-  def mu_chunk(_, qb):
-    return _, jnp.matmul(_cross_kernel(qb, xo, sv, kfam), alpha,
-                         precision=jax.lax.Precision.HIGH)
+  # ONE cross-kernel build per chunk serves both the mean term and
+  # (under stop_gradient) the variance solves.
+  def chunk(_, qb):
+    kq = _cross_kernel(qb, xo, sv, kfam)               # (qc, ntot)
+    mu_part = jnp.matmul(kq, alpha, precision=jax.lax.Precision.HIGH)
+    if not compute_var:
+      return _, (mu_part, jnp.zeros((qb.shape[0],), jnp.float32))
+    kxq = sg(kq).T                                     # (ntot, qc)
+    sol, _, _ = cg_batched(mv, kxq, tol=cg_tol, maxiter=cg_maxiter,
+                           precond=precond)
+    var_part = jnp.maximum(sv_sg - jnp.sum(kxq * sol, axis=0), 1e-12)
+    return _, (mu_part, var_part)
 
-  _, mu_parts = jax.lax.scan(mu_chunk, 0, qblocks)
+  _, (mu_parts, var_parts) = jax.lax.scan(chunk, 0, qblocks)
   mu = (mu_parts.reshape(nq_tot, 1)[:nq]
         + jnp.atleast_2d(mu_query).reshape(nq, -1))
-
-  var = None
-  if compute_var:
-    def var_chunk(_, qb):
-      kxq = sg(_cross_kernel(qb, xo, sv, kfam)).T      # (ntot, qc)
-      sol, _, _ = cg_batched(mv, kxq, tol=cg_tol, maxiter=cg_maxiter,
-                             precond=precond)
-      return _, jnp.maximum(sv_sg - jnp.sum(kxq * sol, axis=0), 1e-12)
-
-    _, var_parts = jax.lax.scan(var_chunk, 0, qblocks)
-    var = var_parts.reshape(nq_tot, 1)[:nq]
+  var = var_parts.reshape(nq_tot, 1)[:nq] if compute_var else None
 
   if return_info:
     return mu, var, {'cg_iters': cg_iters, 'cg_residual': cg_res}

@@ -261,7 +261,7 @@ def test_predict_iterative_matches_dense_posterior():
   mu_o, var_o = iterative.predict_iterative(
       mean.constant, params, x, y, xq, warp_func=DEFAULT_WARP_FUNC,
       cov_func=kernel.squared_exponential, row_chunk=128,
-      compute_var=False)
+      cg_tol=1e-7, compute_var=False)
   assert var_o is None
   np.testing.assert_allclose(np.asarray(mu_o), np.asarray(mu_i),
                              atol=1e-5)

@@ -261,11 +261,15 @@ def test_run_bayesopt_ondevice_entry():
   obs_r, _, params_r = ondevice.run_bayesopt_ondevice(
       model, 'test', queried, iters=3)
   assert np.all(np.isfinite(np.asarray(obs_r[1])))
-  # qbatch dispatch.
+  # qbatch dispatch: iters counts TOTAL evaluations (budget parity
+  # with run_bayesopt), so iters=6 & q=3 runs 2 batches.
   model.params.config['retrain'] = 0
   obs_q, _, _ = ondevice.run_bayesopt_ondevice(
-      model, 'test', queried, iters=2, q=3)
+      model, 'test', queried, iters=6, q=3)
   assert np.all(np.isfinite(np.asarray(obs_q[1])))
+  import pytest as _pytest
+  with _pytest.raises(ValueError):
+    ondevice.run_bayesopt_ondevice(model, 'test', queried, iters=5, q=3)
 
 
 def test_hgp_resample_loop():
