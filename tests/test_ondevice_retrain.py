@@ -337,3 +337,41 @@ def test_run_bayesopt_ondevice_hgp_resample_dispatch():
                         [dict(params.model),
                          {**params.model, 'signal_variance': 1.5}]))
   assert moved
+
+
+def test_qbatch_and_hgp_loops_on_mesh():
+  """_shard_candidates paths: mesh selections match single-device."""
+  from hyperbo_tpu.parallel import mesh as mesh_lib
+  params, dataset, sdk, queried = _setup(jax.random.PRNGKey(13))
+  mesh = mesh_lib.create_mesh(8, axis_name='task')
+  q8 = defs.SubDataset(queried.x[:8], queried.y[:8])
+  common = dict(queried_sub_dataset=q8, iters=2,
+                acquisition='ei', num_train_tasks=len(dataset))
+
+  _, _, sel_q = ondevice.simulated_bayesopt_ondevice_qbatch(
+      mean.constant, kernel.squared_exponential, dict(params.model),
+      dict(params.config), None, q=2, mesh=mesh, **common)
+  _, _, sel_q1 = ondevice.simulated_bayesopt_ondevice_qbatch(
+      mean.constant, kernel.squared_exponential, dict(params.model),
+      dict(params.config), None, q=2, **common)
+  np.testing.assert_array_equal(np.asarray(sel_q), np.asarray(sel_q1))
+
+  samples = [dict(params.model),
+             {**params.model, 'signal_variance': 1.5}]
+  _, _, sel_h = ondevice.simulated_bayesopt_ondevice_hgp(
+      mean.constant, kernel.squared_exponential, samples,
+      dict(params.config), None, mesh=mesh, **common)
+  _, _, sel_h1 = ondevice.simulated_bayesopt_ondevice_hgp(
+      mean.constant, kernel.squared_exponential, samples,
+      dict(params.config), None, **common)
+  np.testing.assert_array_equal(np.asarray(sel_h), np.asarray(sel_h1))
+
+  _, _, sel_r, _ = ondevice.simulated_bayesopt_ondevice_hgp_resample(
+      mean.constant, kernel.squared_exponential, dict(params.model),
+      dict(params.config), None, num_samples=2, sweeps=0,
+      init_jitter=0.0, mesh=mesh, **common)
+  _, _, sel_r1, _ = ondevice.simulated_bayesopt_ondevice_hgp_resample(
+      mean.constant, kernel.squared_exponential, dict(params.model),
+      dict(params.config), None, num_samples=2, sweeps=0,
+      init_jitter=0.0, **common)
+  np.testing.assert_array_equal(np.asarray(sel_r), np.asarray(sel_r1))
