@@ -17,8 +17,11 @@ Phases (in value order — earlier results survive a later death):
   3. bwd         — r4_bwd_probe: train-leg dissection + A/B of all
                    backward variants (syrk/default-prec/fused-pallas)
   4. iterative   — r4_iterative_probe: beyond-HBM matrix-free MLL at
-                   n=65536 / 131072 + n=8192 crosscheck
-  5. bench       — bench.py (BENCH_MODE=both) as a subprocess, so the
+                   n=65536 / 131072 + n=8192 crosscheck + matrix-free
+                   posterior leg
+  5. bo_variants — r5_bo_probe: plain/retrain/qbatch/hgp-resample
+                   on-device BO at 100 x 10k production scale
+  6. bench       — bench.py (BENCH_MODE=both) as a subprocess, so the
                    driver-visible artifact numbers are refreshed on a
                    known-healthy tunnel (skip with R5_BENCH=0)
 
@@ -131,6 +134,7 @@ def main():
       ('vmemfix', lambda: run_probe('r4_vmemfix2_probe.py')),
       ('bwd', lambda: run_probe('r4_bwd_probe.py')),
       ('iterative', lambda: run_probe('r4_iterative_probe.py')),
+      ('bo_variants', lambda: run_probe('r5_bo_probe.py')),
       ('bench', run_bench),
   ):
     if not phase(name, fn):
