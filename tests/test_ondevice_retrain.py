@@ -375,3 +375,46 @@ def test_qbatch_and_hgp_loops_on_mesh():
       dict(params.config), None, num_samples=2, sweeps=0,
       init_jitter=0.0, **common)
   np.testing.assert_array_equal(np.asarray(sel_r), np.asarray(sel_r1))
+
+
+def test_corpus_loss_matches_host_nll_regkl():
+  """_make_corpus_loss == the host nll_regkl(c) objective on an
+  equivalent dataset dict (pretrain + test + aligned tasks)."""
+  from hyperbo_tpu.models import objectives as obj
+  from hyperbo_tpu.core.warp import DEFAULT_WARP_FUNC
+  key = jax.random.PRNGKey(14)
+  d = 2
+  model = {'constant': 0.3, 'lengthscale': jnp.array([-0.5, -0.2]),
+           'signal_variance': 0.1, 'noise_variance': -2.0}
+  params = GPParams(model=dict(model), config={})
+
+  def task(k, n, m=1):
+    kx, ky = jax.random.split(jax.random.fold_in(key, k))
+    return defs.SubDataset(jax.random.uniform(kx, (n, d)),
+                           jax.random.normal(ky, (n, m)),
+                           aligned=1 if m > 1 else None)
+
+  pre = {0: task(0, 7), 1: task(1, 5)}
+  test_task = task(2, 4)
+  aligned = {'a': task(3, 6, m=5)}
+  dataset = dict(pre)
+  dataset['test'] = test_task
+  dataset.update(aligned)
+
+  c = 0.3
+  host = float(obj.nll_regkl(c)(
+      mean.constant, kernel.squared_exponential, params, dataset,
+      warp_func=DEFAULT_WARP_FUNC))
+
+  pp, _ = packed_lib.pack_dataset(pre, pad_to_multiple=8)
+  ap, _ = packed_lib.pack_aligned_dataset(aligned, pad_to_multiple=4)
+  n_max = 8
+  x_buf = jnp.zeros((n_max, d), jnp.float32).at[:4].set(test_task.x)
+  y_buf = jnp.zeros((n_max, 1), jnp.float32).at[:4].set(test_task.y)
+  loss = ondevice._make_corpus_loss(
+      mean.constant, kernel.squared_exponential, {}, DEFAULT_WARP_FUNC,
+      n_max, pretrain_packed=pp, aligned_packed=ap, ekl_weight=c)
+  mine = float(loss({k: jnp.asarray(v, jnp.float32)
+                     for k, v in model.items()},
+                    x_buf, y_buf, jnp.array(4, jnp.int32)))
+  np.testing.assert_allclose(mine, host, rtol=1e-5, atol=1e-4)
