@@ -272,6 +272,7 @@ def bench_chol():
               ({}, 'default+vmem17M', vmem_copts),
               ({'force_zero_init': True}, 'zero-pass on', None),
               ({'sweep_unroll': 16}, 'unroll=16', None),
+              ({'mb': 16}, 'mb=16', None),
               ({'pivot_mode': 'quadv'}, 'quadv', None),
               ({'sweep_unroll': 16, 'pivot_mode': 'quadv'},
                'unroll=16+quadv', None),
