@@ -418,3 +418,38 @@ def test_corpus_loss_matches_host_nll_regkl():
                      for k, v in model.items()},
                     x_buf, y_buf, jnp.array(4, jnp.int32)))
   np.testing.assert_allclose(mine, host, rtol=1e-5, atol=1e-4)
+
+
+def test_retrain_trains_mlp_warped_kernel_in_scan():
+  """The flagship config (SE-over-MLP + linear-MLP mean): the Flax
+  parameter pytrees ride the scan carry and train in-scan."""
+  from flax import linen as nn
+  from hyperbo_tpu.core.warp import DEFAULT_WARP_FUNC
+  from hyperbo_tpu.models import basis as bf
+  params, dataset, sdk, queried = _setup(jax.random.PRNGKey(15))
+  pretrain = {k: v for k, v in dataset.items()
+              if k != sdk and v.aligned is None}
+  pp, _ = packed_lib.pack_dataset(pretrain, pad_to_multiple=8)
+
+  gp_params = GPParams(
+      model={'constant': 0.0, 'lengthscale': jnp.zeros(4),
+             'signal_variance': 0.0, 'noise_variance': -3.0},
+      config={'mlp_features': (4, 4), 'learning_rate': 5e-2})
+  bf.init_mlp_with_shape(jax.random.PRNGKey(1), gp_params, (0, 2))
+  gp_params.model['linear_mean'] = nn.Dense(1).init(
+      jax.random.PRNGKey(2), jnp.empty((0, 4)))['params']
+
+  xr, yr, sel, model_out = ondevice.simulated_bayesopt_ondevice_retrain(
+      mean.linear_mlp, kernel.squared_exponential_mlp,
+      dict(gp_params.model), dict(gp_params.config), DEFAULT_WARP_FUNC,
+      queried, iters=3, acquisition='ei',
+      num_train_tasks=len(pretrain), init_obs=(queried.x[:2],
+                                               queried.y[:2]),
+      pretrain_packed=pp, retrain_every=1, retrain_steps=10)
+  assert np.all(np.isfinite(np.asarray(yr)))
+  # The MLP weights moved.
+  w0 = np.asarray(jax.tree.leaves(gp_params.model['mlp_params'])[0])
+  w1 = np.asarray(jax.tree.leaves(model_out['mlp_params'])[0])
+  assert w0.shape == w1.shape and not np.allclose(w0, w1)
+  for leaf in jax.tree.leaves(model_out):
+    assert np.all(np.isfinite(np.asarray(leaf)))
