@@ -453,3 +453,36 @@ def test_retrain_trains_mlp_warped_kernel_in_scan():
   assert w0.shape == w1.shape and not np.allclose(w0, w1)
   for leaf in jax.tree.leaves(model_out):
     assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_refactor_then_append_equals_fresh_factorization():
+  """The retrain loop's linchpin: a masked refactor at count=k followed
+  by rank-1 appends equals the from-scratch factor of the grown
+  system under the same (new) hyperparameters."""
+  from hyperbo_tpu.ops import chol as chol_ops
+  key = jax.random.PRNGKey(16)
+  n_max, k, d = 12, 5, 2
+  x_all = jax.random.uniform(key, (k + 2, d))
+  x_buf = jnp.zeros((n_max, d), jnp.float32).at[:k].set(x_all[:k])
+  new_model = {'constant': 0.1, 'lengthscale': jnp.array([-0.3, 0.2]),
+               'signal_variance': 0.4, 'noise_variance': -2.5}
+  from hyperbo_tpu.core.warp import DEFAULT_WARP_FUNC, retrieve_params
+  eps = 1e-6
+  chol_buf = ondevice._masked_refactor(
+      mean.constant, kernel.squared_exponential, {}, DEFAULT_WARP_FUNC,
+      new_model, x_buf, jnp.array(k, jnp.int32), eps=eps)
+  shim = GPParams(model=new_model, config={})
+  nv, = retrieve_params(shim, ['noise_variance'],
+                        warp_func=DEFAULT_WARP_FUNC)
+  count = jnp.array(k, jnp.int32)
+  for j in range(2):
+    chol_buf = ondevice._append_chol(
+        kernel.squared_exponential, shim, DEFAULT_WARP_FUNC, nv, eps,
+        x_buf, chol_buf, count, x_all[k + j])
+    x_buf = x_buf.at[k + j].set(x_all[k + j])
+    count = count + 1
+  kmat = kernel.squared_exponential(shim, x_all,
+                                    warp_func=DEFAULT_WARP_FUNC)
+  fresh = jnp.linalg.cholesky(kmat + (nv + eps) * jnp.eye(k + 2))
+  np.testing.assert_allclose(np.asarray(chol_buf[:k + 2, :k + 2]),
+                             np.asarray(fresh), atol=1e-5)
