@@ -129,6 +129,16 @@ def run_bench():
 
 
 def main():
+  # Two watchers can race to launch the session on recovery; the TPU
+  # is exclusive-access, so only one session may run.
+  lock = os.environ.get('R5_LOCK', '/tmp/r5_session.lock')
+  try:
+    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.write(fd, str(os.getpid()).encode())
+    os.close(fd)
+  except FileExistsError:
+    log(f'another session holds {lock}; exiting')
+    return
   for name, fn in (
       ('health', health),
       ('vmemfix', lambda: run_probe('r4_vmemfix2_probe.py')),
