@@ -21,20 +21,9 @@ T0 = time.time()
 def log(*a):
   print(f'[{time.time() - T0:7.1f}s]', *a, file=sys.stderr, flush=True)
 
-_TRANSPORT_DEAD = ('Connection refused', 'Connection Failed',
-                   'UNAVAILABLE')
+from benchmarks._transport import make_abort
 
-
-def _abort_if_terminal_down(exc, tag):
-  """A compile against a dead helper burns ~50 min of retries before
-  connection-refused surfaces (round-4 record, PERF.md); once one leg
-  dies on transport, every further attempt likely costs the same —
-  stop the run instead of queueing more."""
-  msg = str(exc)
-  if any(t in msg for t in _TRANSPORT_DEAD):
-    log(f'TERMINAL DOWN (transport failure at {tag}) — aborting the '
-        f'remaining legs; re-run when the tunnel heals')
-    sys.exit(2)
+_abort_if_terminal_down = make_abort(log)
 
 
 def main():

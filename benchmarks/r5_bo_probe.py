@@ -24,15 +24,9 @@ T0 = time.time()
 def log(*a):
   print(f'[{time.time() - T0:7.1f}s]', *a, file=sys.stderr, flush=True)
 
-_TRANSPORT_DEAD = ('Connection refused', 'Connection Failed',
-                   'UNAVAILABLE')
+from benchmarks._transport import make_abort
 
-
-def _abort_if_terminal_down(exc, tag):
-  msg = str(exc)
-  if any(t in msg for t in _TRANSPORT_DEAD):
-    log(f'TERMINAL DOWN (transport failure at {tag}) — aborting')
-    sys.exit(2)
+_abort_if_terminal_down = make_abort(log)
 
 
 def main():

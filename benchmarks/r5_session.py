@@ -81,8 +81,8 @@ def phase(name, fn):
                               's': round(time.time() - t0, 1)}
     save_status()
     msg = str(e)
-    if any(t in msg for t in ('Connection refused', 'Connection Failed',
-                              'UNAVAILABLE')):
+    from benchmarks._transport import is_transport_dead
+    if is_transport_dead(e):
       log(f'phase {name}: TRANSPORT DEAD ({type(e).__name__}: '
           f'{msg[:200]}) — aborting the session')
       return False
@@ -128,29 +128,68 @@ def run_bench():
   save_status()
 
 
+def _acquire_lock(lock):
+  """O_EXCL lock with stale-holder detection.
+
+  A session that aborted (transport death) or crashed must not block
+  the next healthy-window launch forever: if the recorded pid is no
+  longer alive, steal the lock. Returns True when held.
+  """
+  while True:
+    try:
+      fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+      os.write(fd, str(os.getpid()).encode())
+      os.close(fd)
+      return True
+    except FileExistsError:
+      try:
+        with open(lock) as f:
+          pid = int(f.read().strip() or '0')
+      except (OSError, ValueError):
+        pid = 0
+      alive = False
+      if pid > 0:
+        try:
+          os.kill(pid, 0)
+          alive = True
+        except ProcessLookupError:
+          alive = False
+        except PermissionError:
+          alive = True
+      if alive:
+        log(f'another session (pid {pid}) holds {lock}; exiting')
+        return False
+      log(f'stale lock from dead pid {pid}; stealing {lock}')
+      try:
+        os.unlink(lock)
+      except FileNotFoundError:
+        pass
+
+
 def main():
   # Two watchers can race to launch the session on recovery; the TPU
   # is exclusive-access, so only one session may run.
   lock = os.environ.get('R5_LOCK', '/tmp/r5_session.lock')
-  try:
-    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    os.write(fd, str(os.getpid()).encode())
-    os.close(fd)
-  except FileExistsError:
-    log(f'another session holds {lock}; exiting')
+  if not _acquire_lock(lock):
     return
-  for name, fn in (
-      ('health', health),
-      ('vmemfix', lambda: run_probe('r4_vmemfix2_probe.py')),
-      ('bwd', lambda: run_probe('r4_bwd_probe.py')),
-      ('iterative', lambda: run_probe('r4_iterative_probe.py')),
-      ('bo_variants', lambda: run_probe('r5_bo_probe.py')),
-      ('bench', run_bench),
-  ):
-    if not phase(name, fn):
-      break
-  log('SESSION COMPLETE; status at', STATUS_PATH)
-  save_status()
+  try:
+    for name, fn in (
+        ('health', health),
+        ('vmemfix', lambda: run_probe('r4_vmemfix2_probe.py')),
+        ('bwd', lambda: run_probe('r4_bwd_probe.py')),
+        ('iterative', lambda: run_probe('r4_iterative_probe.py')),
+        ('bo_variants', lambda: run_probe('r5_bo_probe.py')),
+        ('bench', run_bench),
+    ):
+      if not phase(name, fn):
+        break
+    log('SESSION COMPLETE; status at', STATUS_PATH)
+    save_status()
+  finally:
+    try:
+      os.unlink(lock)
+    except FileNotFoundError:
+      pass
 
 
 if __name__ == '__main__':

@@ -715,6 +715,13 @@ def simulated_bayesopt_ondevice_retrain(
                           warp_func=warp_func)
     return nv
 
+  # Shard the retrain corpus BEFORE the loss closure captures it —
+  # loss_fn closes over pretrain_packed, so a later rebind of the
+  # local name would leave the jitted scan holding the unsharded copy.
+  if mesh is not None and pretrain_packed is not None:
+    from hyperbo_tpu.parallel import mesh as mesh_lib
+    pretrain_packed = mesh_lib.shard_packed(pretrain_packed, mesh,
+                                            axis_name=mesh_axis)
   loss_fn = _make_corpus_loss(
       mean_func, cov_func, config, warp_func, n_max,
       pretrain_packed=pretrain_packed, aligned_packed=aligned_packed,
@@ -803,17 +810,8 @@ def simulated_bayesopt_ondevice_retrain(
                         dict(model_params))
   cand_x = queried_sub_dataset.x.astype(jnp.float32)
   cand_y = queried_sub_dataset.y.astype(jnp.float32)
-  if mesh is not None:
-    from jax.sharding import NamedSharding, PartitionSpec
-    cand_sharding = NamedSharding(mesh, PartitionSpec(mesh_axis))
-    replicated = NamedSharding(mesh, PartitionSpec())
-    cand_x = jax.device_put(cand_x, cand_sharding)
-    cand_y = jax.device_put(cand_y, cand_sharding)
-    x0, y0, model0 = jax.device_put((x0, y0, model0), replicated)
-    if pretrain_packed is not None:
-      from hyperbo_tpu.parallel import mesh as mesh_lib
-      pretrain_packed = mesh_lib.shard_packed(pretrain_packed, mesh,
-                                              axis_name=mesh_axis)
+  cand_x, cand_y, (x0, y0, model0) = _shard_candidates(
+      mesh, mesh_axis, cand_x, cand_y, (x0, y0, model0))
   x_out, y_out, select_idx, model_out = run(
       model0, x0, y0, cand_x, cand_y, key)
   total = n_init + iters
@@ -1005,6 +1003,11 @@ def run_bayesopt_ondevice(
                 acquisition=acquisition,
                 num_train_tasks=num_train_tasks, init_obs=init_obs,
                 key=key)
+  if retrain > 0 and pretrain_packed is None:
+    corpus, _ = default_retrain_corpus(model.dataset, sub_dataset_key)
+    pretrain_packed = (
+        packed_lib.pack_dataset(corpus, pad_to_multiple=8)[0]
+        if corpus else None)
 
   if isinstance(model, gp_lib.HGP):
     if q > 1:
@@ -1013,12 +1016,6 @@ def run_bayesopt_ondevice(
     if retrain > 0:
       # In-scan posterior refresh: chains start from the HGP's current
       # samples and advance slice-sampling sweeps between selections.
-      if pretrain_packed is None:
-        corpus, _ = default_retrain_corpus(model.dataset,
-                                           sub_dataset_key)
-        pretrain_packed = (
-            packed_lib.pack_dataset(corpus, pad_to_multiple=8)[0]
-            if corpus else None)
       xo, yo, _, samples = simulated_bayesopt_ondevice_hgp_resample(
           model.mean_func, model.cov_func, model.params.model,
           model.params.config, model.warp_func,
@@ -1037,12 +1034,6 @@ def run_bayesopt_ondevice(
     if q > 1:
       raise ValueError('q-batch selection does not compose with '
                        'in-scan retraining yet.')
-    if pretrain_packed is None:
-      corpus, _ = default_retrain_corpus(model.dataset,
-                                         sub_dataset_key)
-      pretrain_packed = (
-          packed_lib.pack_dataset(corpus, pad_to_multiple=8)[0]
-          if corpus else None)
     xo, yo, _, model_out = simulated_bayesopt_ondevice_retrain(
         model.mean_func, model.cov_func, model.params.model,
         model.params.config, model.warp_func,
@@ -1149,6 +1140,13 @@ def simulated_bayesopt_ondevice_hgp_resample(
   model0 = jax.tree.map(lambda v: jnp.asarray(v, jnp.float32),
                         dict(template))
   x0, unravel = flatten_util.ravel_pytree(model0)
+  # Shard the sampling-target corpus BEFORE the closure captures it
+  # (the chains' per-sweep corpus NLL then splits by task over the
+  # mesh); rebinding the local name later would be dead code.
+  if mesh is not None and pretrain_packed is not None:
+    from hyperbo_tpu.parallel import mesh as mesh_lib
+    pretrain_packed = mesh_lib.shard_packed(pretrain_packed, mesh,
+                                            axis_name=mesh_axis)
   loss_fn = _make_corpus_loss(
       mean_func, cov_func, config, warp_func, n_max,
       pretrain_packed=pretrain_packed, aligned_packed=aligned_packed,

@@ -486,3 +486,43 @@ def test_refactor_then_append_equals_fresh_factorization():
   fresh = jnp.linalg.cholesky(kmat + (nv + eps) * jnp.eye(k + 2))
   np.testing.assert_allclose(np.asarray(chol_buf[:k + 2, :k + 2]),
                              np.asarray(fresh), atol=1e-5)
+
+
+def test_mesh_loss_closure_captures_sharded_corpus(monkeypatch):
+  """Regression: the retrain/resample loss closures must capture the
+  SHARDED corpus. Rebinding the local name after _make_corpus_loss is
+  dead code — selections still match (so parity tests can't catch it)
+  but every device would hold the full corpus Gram workload."""
+  from hyperbo_tpu.parallel import mesh as mesh_lib
+  params, dataset, sdk, queried = _setup(jax.random.PRNGKey(21))
+  pretrain = {k: v for k, v in dataset.items()
+              if k != sdk and v.aligned is None}
+  pp, _ = packed_lib.pack_dataset(pretrain, pad_to_multiple=8,
+                                  num_tasks_multiple=8)
+  mesh = mesh_lib.create_mesh(8, axis_name='task')
+  q8 = defs.SubDataset(queried.x[:8], queried.y[:8])
+  seen = []
+  real = ondevice._make_corpus_loss
+
+  def spy(*args, **kwargs):
+    seen.append(kwargs['pretrain_packed'])
+    return real(*args, **kwargs)
+
+  monkeypatch.setattr(ondevice, '_make_corpus_loss', spy)
+  ondevice.simulated_bayesopt_ondevice_retrain(
+      mean.constant, kernel.squared_exponential, dict(params.model),
+      dict(params.config), None, q8, iters=2, acquisition='ei',
+      num_train_tasks=len(pretrain), pretrain_packed=pp,
+      retrain_every=1, retrain_steps=1, mesh=mesh)
+  ondevice.simulated_bayesopt_ondevice_hgp_resample(
+      mean.constant, kernel.squared_exponential, dict(params.model),
+      dict(params.config), None, q8, iters=2, acquisition='ei',
+      num_samples=2, num_train_tasks=len(pretrain), pretrain_packed=pp,
+      resample_every=1, sweeps=1, init_jitter=0.0, mesh=mesh)
+  assert len(seen) == 2
+  for packed in seen:
+    for leaf in jax.tree.leaves(packed):
+      sh = leaf.sharding
+      assert getattr(sh, 'mesh', None) is not None and not sh.is_fully_replicated, (
+          'loss closure captured an unsharded corpus leaf '
+          f'(sharding={sh})')
