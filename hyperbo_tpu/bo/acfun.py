@@ -3,7 +3,9 @@
 API parity with reference hyperbo/bo_utils/acfun.py:28-187: the same
 wrapper pattern (scalar sub-function over posterior (mu, sigma) + a
 callback providing the acquisition parameter), the same exported names
-(ei / pi / pi2 / pi3 / ucb / ucb2 / ucb3 / ucb4 / rand) and HGP averaging.
+(ei / pi / pi2 / pi3 / ucb / ucb2 / ucb3 / ucb4 / rand) and HGP
+averaging, plus 'ts' (Thompson sampling — absent from the reference,
+matching the on-device loops' method table).
 
 All sub-functions are pure elementwise maps over (mu, std) — scoring n
 candidates is one fused VPU pass after the batched posterior, and the
@@ -32,6 +34,45 @@ def random_search(model, x_queries, **unused_kwargs):
   key, subkey = jrd.split(model.rng)
   model.rng = key
   return jrd.uniform(subkey, (x_queries.shape[0], 1))
+
+
+def thompson_sampling(*, model, sub_dataset_key, x_queries,
+                      **unused_kwargs):
+  """Thompson-sampling scores: ONE posterior draw of the latent f.
+
+  The BO loop's argmax of these scores IS Thompson sampling. Mirrors
+  bo.ondevice's 'ts' semantics — GP: a latent-function draw (no
+  observation noise, no unbiased rescale: with noise left in, a
+  well-observed candidate's draw std floors at ~sqrt(noise) instead of
+  collapsing); HGP: draw hyperparameters (one posterior sample,
+  uniformly) and then the function from that sample's posterior.
+  Consumes model.rng like random_search. The draw is decoupled per
+  candidate (diagonal covariance), so it is not a coherent function to
+  gradient-ascend — the continuous loop skips L-BFGS-B refinement for
+  'ts' (see bayesopt). Absent from the reference (added alongside the
+  on-device loops' 'ts').
+  """
+  assert model.rng is not None, 'Thompson sampling requires random key.'
+  key, subkey = jrd.split(model.rng)
+  model.rng = key
+  if isinstance(model, gp.HGP):
+    s_key, d_key = jrd.split(subkey)
+    mu_s, var_s = model.predict_stacked(
+        x_queries, sub_dataset_key=sub_dataset_key, with_noise=False)
+    # predict_stacked applies the N/(N-1) unbiased rescale; invert it
+    # to draw the latent function (matching ondevice._ts_index).
+    n_unaligned = len(
+        [k for k, v in model.dataset.items() if v.aligned is None])
+    scale = (n_unaligned / (n_unaligned - 1.)
+             if n_unaligned > 1 else 1.0)
+    s = jrd.randint(s_key, (), 0, mu_s.shape[0])
+    mu, var_f = mu_s[s], jnp.maximum(var_s[s] / scale, 1e-12)
+    return mu + jnp.sqrt(var_f) * jrd.normal(d_key, mu.shape)
+  mu, var_f = model.predict(
+      x_queries, sub_dataset_key=sub_dataset_key, full_cov=False,
+      with_noise=False, unbiased=False)
+  return mu + jnp.sqrt(jnp.maximum(var_f, 1e-12)) * jrd.normal(
+      subkey, mu.shape)
 
 
 def expected_improvement_sub(mu, std, target):
@@ -127,3 +168,4 @@ ucb2 = acfun_wrapper(acfun_sub=ucb_sub, acfun_callback_default=lambda a, b: 2.)
 ucb = ucb3
 
 rand = random_search
+ts = thompson_sampling

@@ -84,6 +84,15 @@ def _is_random_search(ac_func) -> bool:
   return getattr(ac_func, '__name__', '') in ('rand', 'random_search')
 
 
+def _skips_refinement(ac_func) -> bool:
+  """Acquisitions whose scores are not a smooth surrogate to ascend:
+  random search (a refined random baseline is no longer random) and
+  Thompson sampling (a decoupled per-point draw is not a coherent
+  function; matches bo.ondevice's continuous-loop 'ts')."""
+  return (_is_random_search(ac_func) or
+          getattr(ac_func, '__name__', '') in ('ts', 'thompson_sampling'))
+
+
 def _bo_iterations(model: gp.GP,
                    sub_dataset_key: Union[int, str],
                    iters: int,
@@ -177,7 +186,7 @@ def bayesopt(
           model=model, sub_dataset_key=sub_dataset_key,
           x_queries=x[None, :]).flatten()[0]
 
-    x_opt = (x_init if _is_random_search(ac_func)
+    x_opt = (x_init if _skips_refinement(ac_func)
              else _lbfgsb_refine(neg_ac, x_init, input_dim))
     datapoint = (x_opt, query_oracle(x_opt[None, :]))
     logging.info('%d-th iter, x_init=%s, eval_datapoint=%s, elapsed=%f',

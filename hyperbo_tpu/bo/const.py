@@ -39,6 +39,7 @@ ACFUN = {
     'random_search': acfun.random_search,
     'ucb2': acfun.ucb2,
     'ucb': acfun.ucb,
+    'thompson_sampling': acfun.thompson_sampling,
 }
 
 ACFUN_SUB = {

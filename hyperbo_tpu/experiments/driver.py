@@ -85,6 +85,7 @@ _ONDEVICE_ACQ = {
     'expected_improvement': 'ei',
     'probability_of_improvement': 'pi',
     'random_search': 'rand',
+    'thompson_sampling': 'ts',
 }
 
 

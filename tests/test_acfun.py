@@ -175,3 +175,52 @@ def test_random_search_consumes_rng():
   vals = acfun.random_search(model, jnp.zeros((5, 2)))
   assert vals.shape == (5, 1)
   assert not jnp.array_equal(r0, model.rng)
+
+
+def test_thompson_sampling_semantics():
+  """ts = mu + sqrt(latent var) * z with the key split from model.rng
+  (no observation noise, no unbiased rescale — ondevice._ts_index
+  semantics), reproducible under the same rng, and rng-advancing."""
+  model = _model(jax.random.PRNGKey(0))
+  qx = jax.random.normal(jax.random.PRNGKey(2), (9, 2))
+  rng0 = jax.random.PRNGKey(7)
+  model.rng = rng0
+  vals = acfun.thompson_sampling(model=model, sub_dataset_key=0,
+                                 x_queries=qx)
+  assert vals.shape == (9, 1)
+  assert not np.array_equal(np.asarray(model.rng), np.asarray(rng0))
+  _, subkey = jax.random.split(rng0)
+  mu, var_f = model.predict(qx, sub_dataset_key=0, full_cov=False,
+                            with_noise=False, unbiased=False)
+  expected = mu + jnp.sqrt(jnp.maximum(var_f, 1e-12)) * jax.random.normal(
+      subkey, mu.shape)
+  np.testing.assert_allclose(np.asarray(vals), np.asarray(expected),
+                             rtol=1e-6)
+  model.rng = rng0
+  vals2 = acfun.thompson_sampling(model=model, sub_dataset_key=0,
+                                  x_queries=qx)
+  np.testing.assert_array_equal(np.asarray(vals), np.asarray(vals2))
+
+
+def test_thompson_sampling_hgp():
+  """HGP ts: one sample's posterior (hyperparameter draw) then a
+  latent-f draw; finite, reproducible, rng-advancing."""
+  base = _model(jax.random.PRNGKey(5))
+  hgp = gp.HGP(dict(base.dataset), mean.constant,
+               kernel.squared_exponential,
+               GPParams(model=dict(base.params.model),
+                        config=dict(base.params.config)), WF)
+  hgp.params.samples = [dict(base.params.model),
+                        {**base.params.model, 'signal_variance': 1.5}]
+  rng0 = jax.random.PRNGKey(9)
+  hgp.rng = rng0
+  qx = jax.random.normal(jax.random.PRNGKey(6), (7, 2))
+  vals = acfun.thompson_sampling(model=hgp, sub_dataset_key=0,
+                                 x_queries=qx)
+  assert vals.shape == (7, 1)
+  assert np.all(np.isfinite(np.asarray(vals)))
+  assert not np.array_equal(np.asarray(hgp.rng), np.asarray(rng0))
+  hgp.rng = rng0
+  vals2 = acfun.thompson_sampling(model=hgp, sub_dataset_key=0,
+                                  x_queries=qx)
+  np.testing.assert_array_equal(np.asarray(vals), np.asarray(vals2))

@@ -224,3 +224,31 @@ def test_ondevice_hgp_matches_host_loop():
   np.testing.assert_allclose(np.asarray(host.y).flatten(),
                              np.asarray(yo).flatten(), atol=1e-4)
   assert sel.shape == (iters,)
+
+
+def test_ts_continuous_skips_refinement():
+  """The continuous loop must NOT L-BFGS-B-refine a Thompson draw (a
+  decoupled per-point sample is not a coherent function): every
+  proposed point is exactly a member of that iteration's pool."""
+  params, dataset, sdk, queried = _setup(jax.random.PRNGKey(30))
+  pools = []
+
+  def sampler(key, input_dim):
+    p = jax.random.uniform(key, (32, input_dim))
+    pools.append(np.asarray(p))
+    return p
+
+  model = gp.GP(dict(dataset), mean.constant,
+                kernel.squared_exponential,
+                GPParams(model=dict(params.model),
+                         config=dict(params.config)), None)
+  model.rng = jax.random.PRNGKey(31)
+  n_init = dataset[sdk].x.shape[0]
+  oracle = lambda x: jnp.sin(5 * x[:, :1])
+  obs = bayesopt.bayesopt(jax.random.PRNGKey(32), model, sdk, oracle,
+                          const.ACFUN['thompson_sampling'], 2, sampler)
+  xs = np.asarray(obs.x)[n_init:]
+  assert xs.shape[0] == 2 and len(pools) == 2
+  for x_new, pool in zip(xs, pools):
+    dist = np.abs(pool - x_new[None, :]).sum(axis=1).min()
+    assert dist == 0.0, f'proposed point was refined off-pool ({dist})'
