@@ -38,10 +38,22 @@ except AttributeError:  # older JAX
   _PRECISION = lax.Precision.HIGHEST
 
 
+def _invalidate_compiled_routes():
+  """Routing/precision globals are read at TRACE time: a jitted caller
+  compiled before a set_* call would silently keep the old route on a
+  cache hit. Setters drop the compilation caches so the next call
+  re-traces with the new configuration (setters are bench/experiment
+  knobs — recompilation cost is acceptable there)."""
+  jax.clear_caches()
+
+
 def set_schur_precision(precision):
   """Override the dot precision/algorithm used by Schur updates."""
   global _PRECISION
   _PRECISION = precision
+  _invalidate_compiled_routes()
+
+
 # Use the Pallas VMEM-resident panel kernel for base cases on TPU
 # (ops/pallas_chol.py). Toggled by set_use_pallas_base; default off until
 # profiled faster than the XLA expander on the target chip.
@@ -52,6 +64,7 @@ def set_use_pallas_base(value: bool):
   """Route base-case factorizations through the Pallas panel kernel."""
   global _USE_PALLAS_BASE
   _USE_PALLAS_BASE = bool(value)
+  _invalidate_compiled_routes()
 
 
 def _xla_cholesky(a):
@@ -110,12 +123,14 @@ def set_use_recursive(value: bool):
   """Route large factorizations through the explicit blocked recursion."""
   global _USE_RECURSIVE
   _USE_RECURSIVE = bool(value)
+  _invalidate_compiled_routes()
 
 
 def set_use_hbm_kernel(value: bool):
   """Route large factorizations through the Pallas HBM-streaming kernel."""
   global _USE_HBM_KERNEL
   _USE_HBM_KERNEL = bool(value)
+  _invalidate_compiled_routes()
 
 
 def cholesky(a: jnp.ndarray, base_block: int = _BASE_BLOCK) -> jnp.ndarray:
@@ -200,9 +215,8 @@ def chol_append_padded(chol_buf: jnp.ndarray, num_obs: jnp.ndarray,
   # Solve over the full buffer: rows >= num_obs have identity diagonal and
   # zero RHS, so they contribute zeros.
   w = solve_triangular(chol_buf, k_masked, lower=True, trans=0)
-  w = jnp.where(valid, w, 0.0)
-  d = jnp.sqrt(jnp.maximum(kappa - jnp.dot(w, w), 1e-12))
   new_row = jnp.where(valid, w, 0.0)
+  d = jnp.sqrt(jnp.maximum(kappa - jnp.dot(new_row, new_row), 1e-12))
   new_row = new_row.at[num_obs].set(d) if isinstance(num_obs, int) else (
       jnp.where(idx == num_obs, d, new_row))
   buf = lax.dynamic_update_slice(chol_buf, new_row[None, :],

@@ -32,6 +32,10 @@ def set_matmul_precision(precision):
   """Set the lax.Precision used by Gram-matrix matmuls."""
   global _MATMUL_PRECISION
   _MATMUL_PRECISION = precision
+  # Trace-time global: invalidate compiled callers (see
+  # chol._invalidate_compiled_routes for the rationale).
+  from hyperbo_tpu.ops import chol as _chol
+  _chol._invalidate_compiled_routes()
 
 
 def get_matmul_precision():

@@ -456,10 +456,22 @@ def predict_iterative(mean_func, params, x_obs, y_obs, x_query,
   alpha = sg(alpha)
 
   # Mean: chunked cross-kernel against alpha (differentiable in xq).
+  # Cap the chunk at nq rounded up to a lane-friendly 8: a single-query
+  # call must not pay a (ntot, 256) variance CG for 255 discarded
+  # columns. Pad with FAR sentinels (as the observation rows above),
+  # not zeros — a zero row is the centered mean, an in-distribution
+  # point whose padded CG column would have to genuinely converge.
+  query_chunk = min(query_chunk, max(8, -(-nq // 8) * 8))
   padq = (-nq) % query_chunk
-  xq_p = (jnp.concatenate(
-      [xq, jnp.zeros((padq, xq.shape[1]), jnp.float32)], axis=0)
-          if padq else xq)
+  if padq:
+    baseq = jax.lax.stop_gradient(
+        jnp.maximum(jnp.max(jnp.abs(xo)), jnp.max(jnp.abs(xq))))
+    farq = (baseq + 90.0 * (1.0 + jnp.arange(padq, dtype=jnp.float32))
+            ).reshape(-1, 1)
+    xq_p = jnp.concatenate(
+        [xq, jnp.broadcast_to(farq, (padq, xq.shape[1]))], axis=0)
+  else:
+    xq_p = xq
   nq_tot = xq_p.shape[0]
   qblocks = xq_p.reshape(nq_tot // query_chunk, query_chunk, -1)
 

@@ -105,12 +105,14 @@ def inverse_spdmatrix_vector_product(spd_matrix, x, cached_cholesky=None):
 def _inverse_spdmatrix_vector_product_fwd(spd_matrix, x, cached_cholesky=None):
   chol_factor = cholesky_cache(spd_matrix, cached_cholesky)
   out = chol_ops.cho_solve(chol_factor, x)
-  return out, (chol_factor, x)
+  # Save the RESULT as the residual: the backward needs K^{-1}x, which
+  # the forward already computed — saving x instead would re-pay two
+  # triangular solves per VJP.
+  return out, (chol_factor, out)
 
 
 def _inverse_spdmatrix_vector_product_bwd(res, g):
-  chol_factor, x = res
-  inv_spd_matrix_x = chol_ops.cho_solve(chol_factor, x)
+  chol_factor, inv_spd_matrix_x = res
   inv_spd_matrix_g = chol_ops.cho_solve(chol_factor, g)
   # d(K^{-1}x) = -K^{-1} dK K^{-1} x, so the cotangent pullback to K is
   # -(K^{-1} g)(K^{-1} x)^T. Shape-aware: covers both n-vector and n x m

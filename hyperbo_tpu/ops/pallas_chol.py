@@ -98,6 +98,13 @@ def cholesky_panel_blocked(a: jnp.ndarray, interpret: bool = False,
                            block_width: int = 128) -> jnp.ndarray:
   """Lower Cholesky of an SPD panel via the static left-looking kernel."""
   n = a.shape[-1]
+  if n % block_width:
+    # The blocked sweep iterates n // block_width full panels; a ragged
+    # tail would be silently left as zeros in the factor.
+    raise ValueError(
+        f'cholesky_panel_blocked needs n % block_width == 0, got '
+        f'n={n}, block_width={block_width}; pad the input (see '
+        f'cholesky_panel_padded) or use cholesky_panel.')
   kernel = functools.partial(_chol_panel_blocked_kernel, block_width)
   return pl.pallas_call(
       kernel,

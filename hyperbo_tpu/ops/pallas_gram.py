@@ -29,21 +29,15 @@ except ImportError:  # pragma: no cover
   pltpu = None
   _HAS_PLTPU = False
 
-_SQRT3 = 1.7320508075688772
-_SQRT5 = 2.23606797749979
-
-
 def _transform(kind: str, r2, sv):
-  """Kernel transform of squared distances (VPU elementwise)."""
-  if kind == 'se':
-    return sv * jnp.exp(-r2 / 2.0)
-  if kind == 'matern32':
-    r = _SQRT3 * jnp.sqrt(r2)
-    return sv * (1.0 + r) * jnp.exp(-r)
-  if kind == 'matern52':
-    r = _SQRT5 * jnp.sqrt(r2)
-    return sv * (1.0 + r + r * r / 3.0) * jnp.exp(-r)
-  raise ValueError(f'unknown kernel kind {kind}')
+  """Kernel transform of squared distances (VPU elementwise).
+
+  Single source: pallas_mll._gram_transform serves every fused kernel
+  (this Gram kernel, the fused MLL, and — via pallas_mll_bwd._km_nm —
+  the iterative matvecs), so the family forms cannot drift apart.
+  """
+  from hyperbo_tpu.ops.pallas_mll import _gram_transform
+  return _gram_transform(r2, sv, kind)
 
 
 def _gram_kernel(kind, add_ridge, x1_ref, x2_ref, scalars_ref, out_ref):

@@ -982,6 +982,27 @@ def mll_fused_g(x_scaled: jnp.ndarray, y: jnp.ndarray,
   return quad[0, 0], ld[0, 0]
 
 
+def _poison_non_pd(l, nll):
+  """NaN-propagate a failed factorization (wrapper-side, kernel-free).
+
+  The in-kernel sweeps clamp non-positive pivots
+  (rsqrt(max(akk, 1e-30))) and floor the logdet terms, so an
+  indefinite K — hyperparameter drift to tiny noise/lengthscale at
+  f32 — would otherwise come back as large-but-finite garbage NLL and
+  gradients that Adam happily applies. A clamped pivot leaves
+  diag(L) = akk * rsqrt(1e-30) <= 0 in the exported factor, so
+  min(diag) <= 0 detects the event with plain XLA ops (no Mosaic
+  change). Poison L too: every backward product then propagates NaN,
+  matching the dense lax.linalg.cholesky path whose NaN triggers the
+  trainers' isfinite-freeze (same contract as pallas_batch_chol).
+  Value-only evaluation (the no-grad primal) skips return_l and keeps
+  the clamp semantics — only training paths pay the n^2 select.
+  """
+  bad = jnp.min(jnp.diagonal(l)) <= 0.0
+  nanf = jnp.float32(jnp.nan)
+  return jnp.where(bad, nanf, l), jnp.where(bad, nanf, nll)
+
+
 @functools.lru_cache(maxsize=None)
 def _se_nll_core_fn(block: int, half: int, group: int, interpret: bool,
                     sweep_unroll: int = 32, kfam: str = 'se',
@@ -1027,7 +1048,8 @@ def _se_nll_core_fn(block: int, half: int, group: int, interpret: bool,
                               sweep_unroll=sweep_unroll, return_l=True,
                               kfam=kfam, pivot_mode=pivot_mode,
                               interpret=interpret)
-    return 0.5 * quad + ld, (l, x_scaled, delta, sv, da)
+    l, nll = _poison_non_pd(l, 0.5 * quad + ld)
+    return nll, (l, x_scaled, delta, sv, da)
 
   def bwd(res, g):
     l, x_scaled, delta, sv, da = res
@@ -1334,7 +1356,10 @@ def _se_nll_core_masked_fn(block: int, half: int, group: int,
                               return_l=True, kfam=kfam,
                               pivot_mode=pivot_mode,
                               interpret=interpret)
-    return 0.5 * quad + ld, (l, x_scaled, delta, sv, da, valid)
+    # Padded rows keep diag(L) = sqrt(da) > 0, so the non-PD check
+    # only ever fires on real rows.
+    l, nll = _poison_non_pd(l, 0.5 * quad + ld)
+    return nll, (l, x_scaled, delta, sv, da, valid)
 
   def bwd(res, g):
     l, x_scaled, delta, sv, da, valid = res

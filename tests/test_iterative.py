@@ -265,3 +265,32 @@ def test_predict_iterative_matches_dense_posterior():
   assert var_o is None
   np.testing.assert_allclose(np.asarray(mu_o), np.asarray(mu_i),
                              atol=1e-5)
+
+
+def test_predict_iterative_single_query_chunk_capped():
+  """nq=1 must not pay a full default query_chunk of discarded
+  variance solves: the chunk caps to the rounded-up query count and
+  the padded sentinel queries stay off-distribution (far), while the
+  result still matches the dense posterior."""
+  import numpy as np
+  from hyperbo_tpu.models import gp as gp_lib
+  key = jax.random.PRNGKey(9)
+  n, d = 200, 3
+  x = jax.random.uniform(key, (n, d))
+  y = jnp.sin(2 * x.sum(axis=1, keepdims=True))
+  xq = jax.random.uniform(jax.random.fold_in(key, 1), (1, d))
+  params = defs.GPParams(model={
+      'constant': 0.2, 'lengthscale': jnp.ones(d) * 0.4,
+      'signal_variance': 0.0, 'noise_variance': -3.0})
+  mu_d, var_d = gp_lib.predict(
+      mean.constant, kernel.squared_exponential, params, x, y, xq,
+      warp_func=DEFAULT_WARP_FUNC)
+  mu_i, var_i = iterative.predict_iterative(
+      mean.constant, params, x, y, xq, warp_func=DEFAULT_WARP_FUNC,
+      cov_func=kernel.squared_exponential, row_chunk=128,
+      query_chunk=256, cg_tol=1e-7)
+  assert mu_i.shape == (1, 1) and var_i.shape == (1, 1)
+  np.testing.assert_allclose(np.asarray(mu_i), np.asarray(mu_d),
+                             atol=2e-3, rtol=1e-3)
+  np.testing.assert_allclose(np.asarray(var_i), np.asarray(var_d),
+                             atol=2e-3, rtol=2e-2)

@@ -208,3 +208,33 @@ def test_fused_mll_pivot_modes_match_dense():
         interpret=True)
     np.testing.assert_allclose(l, lref, atol=5e-4,
                                err_msg=f'pivot_mode={pm}')
+
+
+def test_fused_core_non_pd_propagates_nan():
+  """An indefinite K through the differentiable fused core must come
+  back NaN (value AND gradients), matching the dense
+  lax.linalg.cholesky path — NOT large-but-finite garbage from the
+  kernel's pivot clamp (the trainers' isfinite-freeze keys on NaN)."""
+  from hyperbo_tpu.ops import pallas_mll
+  n, d = 256, 4
+  x = jax.random.uniform(jax.random.PRNGKey(35), (n, d)) * 2.0
+  y = jax.random.normal(jax.random.PRNGKey(36), (n, 1))
+  core = pallas_mll._se_nll_core_fn(128, 256, 2, True)
+
+  # Sanity: PD inputs stay finite through value_and_grad.
+  val, grads = jax.value_and_grad(core, argnums=(0, 1, 2, 3))(
+      x, y, 1.3, 0.11)
+  assert np.isfinite(float(val))
+  assert all(np.all(np.isfinite(np.asarray(g))) for g in grads)
+
+  # da < 0 makes K = sv*k + da*I indefinite; the dense factorization
+  # NaNs, and the fused core must agree.
+  da_bad = -0.5
+  sq = jnp.sum((x[:, None, :] - x[None, :, :]) ** 2, -1)
+  kmat = 1.3 * jnp.exp(-0.5 * sq) + da_bad * jnp.eye(n)
+  assert not np.all(np.isfinite(np.asarray(jnp.linalg.cholesky(kmat))))
+  val, grads = jax.value_and_grad(core, argnums=(0, 1, 2, 3))(
+      x, y, 1.3, da_bad)
+  assert np.isnan(float(val))
+  for g in grads:
+    assert np.all(np.isnan(np.asarray(g)) | (np.asarray(g) == 0.0)), g
