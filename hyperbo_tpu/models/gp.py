@@ -175,7 +175,11 @@ def infer_parameters(mean_func,
           callback(step, model, loss)
 
       if num_restarts > 1 and pure_nll:
-        packed, _ = packed_lib.pack_dataset(dataset)
+        # Reuse the packed buffers built above (config-controlled
+        # pad_to_multiple) — a second pack_dataset with default padding
+        # would duplicate the host packing AND produce differently-
+        # shaped buffers, defeating the bucket-rollover amortization.
+        packed = data[0]
         model, final_loss, _ = adam_lib.fit_adam_packed_multistart(
             mean_func, cov_func, params.model, packed, params.config,
             warp_func=warp_func, key=subkey, num_restarts=num_restarts,
@@ -488,6 +492,13 @@ class GP:
       self.dataset[sub_dataset_key] = SubDataset(x=new_x, y=new_y)
     else:
       self.dataset[sub_dataset_key] = sub_dataset
+      # Replacement invalidates the factor entirely: the incremental
+      # path in setup_predictor extends a cached Cholesky prefix, which
+      # is only valid when the old rows are a PREFIX of the new data
+      # (appends). Keeping the entry would rank-1-extend a factor of
+      # the old x and silently corrupt every posterior.
+      self.params.cache.pop(sub_dataset_key, None)
+      return
     if sub_dataset_key in self.params.cache:
       self.params.cache[sub_dataset_key].needs_update = True
 
@@ -718,7 +729,9 @@ def _incremental_cache_fn(mean_func, cov_func, warp_items, config):
     return buf, kinvy
 
   if len(_INCR_CACHE) > 64:
-    _INCR_CACHE.clear()
+    # Evict the OLDEST entry (insertion order), not the whole dict —
+    # clearing would also drop programs of GPs in active BO loops.
+    _INCR_CACHE.pop(next(iter(_INCR_CACHE)))
   _INCR_CACHE[key] = (append_many, config)
   return append_many
 
@@ -748,7 +761,7 @@ def _stacked_predict_fn(mean_func, cov_func, warp_items, with_noise,
     return jax.vmap(one)(stacked)
 
   if len(_STACKED_PREDICT_CACHE) > 64:
-    _STACKED_PREDICT_CACHE.clear()
+    _STACKED_PREDICT_CACHE.pop(next(iter(_STACKED_PREDICT_CACHE)))
   _STACKED_PREDICT_CACHE[key] = (batched, config)
   return batched
 

@@ -73,6 +73,12 @@ def mll_distributed(mean_func, cov_func, params, x, y, mesh: Mesh,
                                                axis_name=axis_name)
   delta = y - jnp.atleast_2d(mean_func(params, x, warp_func=warp_func))
   kinvy = chol_ops.cho_solve(chol, delta)
-  return jnp.sum(0.5 * jnp.dot(delta.T, kinvy) +
-                 jnp.sum(jnp.log(jnp.diagonal(chol))) +
-                 0.5 * n * jnp.log(2 * jnp.pi))
+  # Joint NLL of m independent draws: trace(delta^T K^{-1} delta), with
+  # the logdet and 2pi terms counted once per draw. (The host per-task
+  # path keeps the reference's sum-over-(m, m) form for parity — for
+  # m = 1 the two coincide; this new entry point uses the correct
+  # multi-draw form.)
+  m = delta.shape[1]
+  quad = jnp.sum(delta * kinvy)
+  logdet_half = jnp.sum(jnp.log(jnp.diagonal(chol)))
+  return 0.5 * quad + m * (logdet_half + 0.5 * n * jnp.log(2 * jnp.pi))

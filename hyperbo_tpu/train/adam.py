@@ -82,6 +82,7 @@ def fit_adam(loss_fn: Callable[[Dict[str, Any], Any], jnp.ndarray],
   current = model_params
   batch = None
   loss = jnp.nan
+  unstable = False
   for i in range(max_training_step):
     batch = next(dataset_iter)
     loss, next_model, next_opt_state = fused_step(current, opt_state, batch)
@@ -93,12 +94,18 @@ def fit_adam(loss_fn: Callable[[Dict[str, Any], Any], jnp.ndarray],
       kept_params = current
     else:
       logging.info('adam stopped at step %d due to instability.', i)
+      unstable = True
       break
     current, opt_state = next_model, next_opt_state
     if callback:
       callback(i, kept_params, loss)
-  if batch is not None:
-    final_loss = loss_fn(current, batch)
+  if batch is not None and not unstable:
+    # Evaluate the final params through the already-compiled step
+    # (update discarded) — a bare loss_fn call here would dispatch the
+    # whole multi-task objective op-by-op on the host path. After an
+    # instability break the value at `current` is known non-finite, so
+    # skip the re-evaluation entirely.
+    final_loss, _, _ = fused_step(current, opt_state, batch)
     if jnp.isfinite(float(final_loss)):
       kept_params = current
     return kept_params, final_loss

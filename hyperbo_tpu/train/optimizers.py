@@ -41,8 +41,10 @@ def _line_search(val_and_grad, f0, x, g, direction, alpha,
     return None, None, 0.
   t = c1 * gd
   f_new, g_new = None, None
+  last_alpha = 0.
   for i in range(max_steps):
     f_new, g_new = val_and_grad(x + alpha * direction)
+    last_alpha = alpha
     f_val = float(f_new)
     if np.isfinite(f_val) and f_val <= float(f0) + alpha * t:
       if float(jnp.vdot(g_new, direction)) >= c2 * gd:
@@ -51,7 +53,10 @@ def _line_search(val_and_grad, f0, x, g, direction, alpha,
     else:
       alpha *= tau
   if f_new is not None and np.isfinite(float(f_new)):
-    return f_new, g_new, alpha
+    # Max-steps fallback: return the alpha the last (f_new, g_new) was
+    # EVALUATED at — alpha itself was already expanded/shrunk for a
+    # next iteration that never ran, i.e. a never-evaluated point.
+    return f_new, g_new, last_alpha
   return None, None, 0.
 
 
@@ -125,20 +130,25 @@ def lbfgs(fn: Callable[[Dict[str, Any]], jnp.ndarray],
     if gnorm <= tol:
       logging.info('L-BFGS converged in %d steps.', i)
       break
-    s_hist.append(x - x_prev)
-    y_hist.append(g - g_prev)
-    if len(s_hist) > memory:
-      s_hist = s_hist[-memory:]
-      y_hist = y_hist[-memory:]
-    x_prev, g_prev = x, g
-
-    curvature = float(jnp.vdot(y_hist[-1], s_hist[-1]))
+    s_new = x - x_prev
+    y_new = g - g_prev
+    curvature = float(jnp.vdot(y_new, s_new))
     logging.info('L-BFGS step %d val: %f', i, float(f))
     if callback is not None:
       callback(step=i, model_params=unravel(x), loss=f)
     if not np.isfinite(curvature) or curvature < tol:
+      # Do NOT keep the curvature-violating pair: it would ride the
+      # returned warm-start state into _two_loop, where
+      # rho = 1/(y.s) is huge/negative and poisons the first resumed
+      # direction.
       logging.info('L-BFGS terminating: curvature condition failed.')
       break
+    s_hist.append(s_new)
+    y_hist.append(y_new)
+    if len(s_hist) > memory:
+      s_hist = s_hist[-memory:]
+      y_hist = y_hist[-memory:]
+    x_prev, g_prev = x, g
     direction = _two_loop(g, s_hist, y_hist)
     f_new, g_new, step_size = _line_search(
         vg, f, x, g, direction, alpha, tau=ls_tau, max_steps=ls_steps)
@@ -193,16 +203,20 @@ def backtracking_linesearch(val_and_grad_fn, cur_val, params, grads,
   d_flat, _ = flatten_util.ravel_pytree(direction)
   gd = float(jnp.vdot(g_flat, d_flat))
   if gd > 0.:
+    # Contract: (starting value, alpha=0) — a non-descent direction
+    # must not hand the caller a full-length ascent step.
     logging.info('Not a descent direction; exiting linesearch.')
-    return params, alpha
+    return cur_val, 0.
   t = c1 * gd
   new_val = None
+  last_alpha = 0.
   for _ in range(max_steps):
     new_params = jax.tree.map(lambda a, b: a + b * alpha, params,
                               direction)
     new_val, new_grads = val_and_grad_fn(new_params, *args)
     if has_aux:
       new_val = new_val[0]
+    last_alpha = alpha
     f_val = float(new_val)
     if np.isfinite(f_val) and f_val <= float(cur_val) + alpha * t:
       ng_flat, _ = flatten_util.ravel_pytree(new_grads)
@@ -212,5 +226,7 @@ def backtracking_linesearch(val_and_grad_fn, cur_val, params, grads,
     else:
       alpha *= tau
   if new_val is not None and np.isfinite(float(new_val)):
-    return new_val, alpha
+    # Pair the value with the alpha it was evaluated at (see
+    # _line_search's max-steps fallback).
+    return new_val, last_alpha
   return cur_val, 0.

@@ -137,3 +137,38 @@ def test_mll_distributed_n1024():
       mean_func=mean.constant, cov_func=kernel.squared_exponential,
       params=params, dataset={0: defs.SubDataset(x, y)}, warp_func=wf))
   np.testing.assert_allclose(got, want, rtol=2e-4)
+
+
+def test_mll_distributed_multi_draw():
+  """m > 1 draws: the joint NLL counts the logdet / 2pi terms once per
+  draw and uses trace(delta^T K^{-1} delta) — not the broadcast
+  sum-over-(m, m) of the reference's per-task form, which would add
+  cross terms and m^2-count the constants."""
+  from hyperbo_tpu.core import defs
+  from hyperbo_tpu.core.warp import DEFAULT_WARP_FUNC
+  from hyperbo_tpu.models import kernel, mean
+  from hyperbo_tpu.core.warp import retrieve_params
+  from hyperbo_tpu.parallel import large
+
+  key = jax.random.PRNGKey(5)
+  n, d, m = 256, 3, 2
+  x = jax.random.uniform(key, (n, d))
+  y = jax.random.normal(jax.random.PRNGKey(6), (n, m))
+  params = defs.GPParams(model={
+      'constant': 0.3, 'lengthscale': jnp.ones(d) * 0.4,
+      'signal_variance': 0.2, 'noise_variance': -2.0})
+  wf = DEFAULT_WARP_FUNC
+  mesh = mesh_lib.create_mesh(8)
+  got = float(large.mll_distributed(
+      mean.constant, kernel.squared_exponential, params, x, y, mesh,
+      warp_func=wf, block=32))
+
+  nv, = retrieve_params(params, ['noise_variance'], warp_func=wf)
+  kmat = kernel.squared_exponential(params, x, warp_func=wf) + (
+      nv + 1e-6) * jnp.eye(n)
+  delta = y - mean.constant(params, x, warp_func=wf)
+  lref = jnp.linalg.cholesky(kmat)
+  quad = float(jnp.sum(delta * jnp.linalg.solve(kmat, delta)))
+  logdet_half = float(jnp.sum(jnp.log(jnp.diagonal(lref))))
+  want = 0.5 * quad + m * (logdet_half + 0.5 * n * np.log(2 * np.pi))
+  np.testing.assert_allclose(got, want, rtol=1e-4)

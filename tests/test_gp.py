@@ -233,3 +233,35 @@ def test_trainer_cache_bypassed_when_periodic():
   model.train(callback=lambda step, m, loss: seen.append(step))
   assert seen, 'callback did not fire'
   assert not model._trainer_cache
+
+
+def test_replacement_invalidates_incremental_cache():
+  """Replacing a sub-dataset (is_append=False) must drop its cache:
+  the incremental path extends a factor of the OLD rows, which is only
+  valid for appends — a kept entry would silently corrupt posteriors."""
+  model = _make_model(jax.random.PRNGKey(70))
+  qx = jax.random.normal(jax.random.PRNGKey(71), (5, 2))
+  model.predict(qx, 0)  # warm cache on the original data
+  n0 = model.dataset[0].x.shape[0]
+
+  # Replacement: DIFFERENT x values, longer than before (the shape
+  # pattern that previously slipped into the rank-1 append branch).
+  key = jax.random.PRNGKey(72)
+  new_x = jax.random.normal(key, (n0 + 3, 2))
+  new_y = jax.random.normal(jax.random.fold_in(key, 1), (n0 + 3, 1))
+  model.update_sub_dataset((new_x, new_y), 0, is_append=False)
+  assert 0 not in model.params.cache
+  mu_r, var_r = model.predict(qx, 0)
+
+  # Fresh model on the same (replaced) dataset gives the truth — the
+  # full dict, so the unbiased N/(N-1) rescale matches.
+  fresh = gp.GP(dict(model.dataset), model.mean_func,
+                model.cov_func,
+                GPParams(model=dict(model.params.model),
+                         config=dict(model.params.config)),
+                model.warp_func)
+  mu_f, var_f = fresh.predict(qx, 0)
+  np.testing.assert_allclose(np.asarray(mu_r), np.asarray(mu_f),
+                             rtol=1e-5, atol=1e-6)
+  np.testing.assert_allclose(np.asarray(var_r), np.asarray(var_f),
+                             rtol=1e-5, atol=1e-6)
