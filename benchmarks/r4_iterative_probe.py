@@ -91,9 +91,14 @@ def main():
       log(f'[crosscheck] fused failed: {type(e).__name__}: '
           f'{str(e)[:200]}')
 
-  # Beyond the Gram wall.
+  # Beyond the Gram wall. 2026-08-18 hardware session: n=65536 works
+  # (nll in 14.9 s cached, cg_iters=280) but n=131072 CRASHES the TPU
+  # worker process ("kernel fault") and takes the tunnel down with it —
+  # gated behind an env opt-in until the fault (int32 index overflow at
+  # n^2 > 2^31? HBM exhaustion in the chunked matvec?) is isolated.
   run(65536, row_chunk=4096, probes=8, steps=24, tag='[beyond-HBM]')
-  run(131072, row_chunk=4096, probes=8, steps=24, tag='[beyond-HBM]')
+  if os.environ.get('R4_ITER_131072', '0') == '1':
+    run(131072, row_chunk=4096, probes=8, steps=24, tag='[beyond-HBM]')
 
   # Matrix-free posterior at beyond-HBM n: mean for 4096 candidates
   # (one batched CG) + variance for one 256-query chunk.
