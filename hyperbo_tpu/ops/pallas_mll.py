@@ -1064,14 +1064,17 @@ def _se_nll_core_fn(block: int, half: int, group: int, interpret: bool,
 
 
 def _tri_inv(l, blocked=False):
-  """L^{-1} for the VJP backward: XLA solve (default) or blocked GEMMs.
+  """L^{-1} for the VJP backward: XLA solve or blocked GEMMs.
 
   Measured round 3 (n=8192): isolated, tri_inv_blocked beats the XLA
   n-RHS solve (4.5 vs 5.4 ms) — but INSIDE the full value_and_grad
-  graph the recursive concatenate tree interacts badly with XLA's
-  scheduling/rematerialization and the whole step balloons 67 -> 111 ms.
-  The solve keeps the step at 67 ms = 1.93x the dense pipeline.
-  HYPERBO_BWD_TRIINV=1 opts back into the blocked inverse.
+  graph the recursive concatenate tree interacted badly with XLA's
+  scheduling/rematerialization and the whole step ballooned
+  67 -> 111 ms, so the solve was the default. The 2026-08-18 toolchain
+  reversed this: the XLA n-RHS solve regressed 5.4 -> 37.7 ms while
+  the blocked inverse runs 14.7 ms isolated and 32.35 ms for the full
+  value_and_grad (benchmarks/r5_retune_probe.py), so blocked is now
+  the TPU default (HYPERBO_BWD_TRIINV=0 opts back into the solve).
   """
   if blocked:
     from hyperbo_tpu.ops import linalg as linalg_mod
@@ -1098,12 +1101,25 @@ def _bwd_env_config():
   custom-VJP core factories' lru_cache keys, so flipping a knob after
   a first gradient call takes effect (a trace-time env read inside the
   cached core would silently keep the old backward).
+
+  Defaults are platform-aware. On TPU the fused backward kernel plus
+  the blocked triangular inverse are ON: measured on the 2026-08-18
+  toolchain (benchmarks/r5_retune_probe.py, n=8192 full
+  value_and_grad) fused+triinv runs 32.35 ms vs 52.7 ms for the old
+  default (lax trisolve had regressed 5.4 -> 37.7 ms in that build)
+  and 141 ms dense — gradient agreement 6e-3 relative, the expected
+  f32 reordering class at n=8192. On CPU both stay OFF: the interpret
+  -mode kernel is test-only and the XLA solve is the fast path there.
   """
   import os
-  return (os.environ.get('HYPERBO_BWD_FUSED', '0') == '1',
+  import jax
+  on_tpu = jax.default_backend() not in ('cpu',)
+  return (os.environ.get('HYPERBO_BWD_FUSED',
+                         '1' if on_tpu else '0') == '1',
           os.environ.get('HYPERBO_BWD_KINV', 'gemm'),
           os.environ.get('HYPERBO_BWD_PREC', 'high'),
-          os.environ.get('HYPERBO_BWD_TRIINV', '0') == '1')
+          os.environ.get('HYPERBO_BWD_TRIINV',
+                         '1' if on_tpu else '0') == '1')
 
 
 def _kinv_from_linv(linv, precision, mode='gemm'):
