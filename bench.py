@@ -277,7 +277,17 @@ def bench_chol():
               ({'sweep_unroll': 16, 'pivot_mode': 'quadv'},
                'unroll=16+quadv', None),
               ({'sweep_unroll': 16, 'pivot_mode': 'quadv',
-                'force_zero_init': True}, 'unroll=16+quadv+zero', None)]
+                'force_zero_init': True}, 'unroll=16+quadv+zero', None),
+              # 2026-08-18 helper clamps scoped vmem at a hard 17.00M
+              # and the octv stack grew to 17.72M — rungs below shrink
+              # Mosaic's live-temporary stack further before giving up
+              # on the kernel entirely.
+              ({'mb': 16, 'sweep_unroll': 16, 'pivot_mode': 'quadv'},
+               'mb=16+unroll=16+quadv', None),
+              ({'sweep_unroll': 16, 'pivot_mode': 'pairv'},
+               'unroll=16+pairv', None),
+              ({'sweep_unroll': 8, 'pivot_mode': 'vector'},
+               'unroll=8+vector', None)]
     mll_k = None
     fused_copts = None
     for cfg, tag, copts in ladder:
