@@ -159,19 +159,31 @@ def safe_l2norm(x):
 
 
 def tri_inv_blocked(l: jnp.ndarray, block: int = 512) -> jnp.ndarray:
-  """L^{-1} for lower-triangular L via recursive blocking on MXU GEMMs.
+  """L^{-1} for lower-triangular L via blocking on MXU GEMMs.
 
   [[A, 0], [B, C]]^{-1} = [[A^{-1}, 0], [-C^{-1} B A^{-1}, C^{-1}]]:
-  the off-diagonal work — 2/3 of the FLOPs — becomes two X3-precision
-  matmuls per level instead of the substitution chain inside
+  the off-diagonal work — 2/3 of the FLOPs — becomes X3-precision
+  matmuls instead of the substitution chain inside
   lax.triangular_solve with an n-wide RHS. Used by the fused-MLL
   backward pass (ops/pallas_mll) where K^{-1} = L^{-T} L^{-1} needs the
-  full inverse; base case falls back to the XLA solve.
+  full inverse.
+
+  When n/block is a power of two the work runs BOTTOM-UP and BATCHED
+  (recursive doubling): ONE batched triangular solve inverts all n/block
+  diagonal blocks at once, then log2(n/block) levels each combine all
+  adjacent pairs with two batched GEMMs — every level is a single
+  large MXU op, vs the top-down recursion's 2^k sequential small GEMMs
+  and n/block sequential base-case solves (which were the measured
+  cost: 14.7 ms isolated at n=8192 on v5e, ~5x the GEMM roofline).
+  Ragged sizes fall back to the top-down recursion.
   """
   n = l.shape[-1]
   if n <= block:
     return jax.lax.linalg.triangular_solve(
         l, jnp.eye(n, dtype=l.dtype), left_side=True, lower=True)
+  nb = n // block
+  if n % block == 0 and nb & (nb - 1) == 0:
+    return _tri_inv_doubling(l, block)
   m = (n // 2 + block - 1) // block * block
   if m >= n:
     m = n // 2
@@ -184,3 +196,29 @@ def tri_inv_blocked(l: jnp.ndarray, block: int = 512) -> jnp.ndarray:
       [a_inv, jnp.zeros((m, n - m), l.dtype)], axis=1)
   bot = jnp.concatenate([off, c_inv], axis=1)
   return jnp.concatenate([top, bot], axis=0)
+
+
+def _tri_inv_doubling(l: jnp.ndarray, block: int) -> jnp.ndarray:
+  """Bottom-up batched triangular inverse (n/block a power of two)."""
+  n = l.shape[-1]
+  nb = n // block
+  idx = jnp.arange(nb)
+  diag = l.reshape(nb, block, nb, block)[idx, :, idx, :]
+  eye = jnp.broadcast_to(jnp.eye(block, dtype=l.dtype), diag.shape)
+  inv = jax.lax.linalg.triangular_solve(
+      diag, eye, left_side=True, lower=True)
+  hi = jax.lax.Precision.HIGH
+  s = block
+  while s < n:
+    np2 = n // (2 * s)
+    pidx = jnp.arange(np2)
+    pairs = l.reshape(np2, 2 * s, np2, 2 * s)[pidx, :, pidx, :]
+    b_blk = pairs[:, s:, :s]
+    a_inv, c_inv = inv[0::2], inv[1::2]
+    off = -jnp.matmul(c_inv, jnp.matmul(b_blk, a_inv, precision=hi),
+                      precision=hi)
+    top = jnp.concatenate([a_inv, jnp.zeros_like(a_inv)], axis=2)
+    bot = jnp.concatenate([off, c_inv], axis=2)
+    inv = jnp.concatenate([top, bot], axis=1)
+    s *= 2
+  return inv[0]
