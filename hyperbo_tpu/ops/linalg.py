@@ -10,6 +10,8 @@ right-hand sides; reference hyperbo/basics/linalg.py:139-171).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jspla
@@ -168,21 +170,25 @@ def tri_inv_blocked(l: jnp.ndarray, block: int = 512) -> jnp.ndarray:
   backward pass (ops/pallas_mll) where K^{-1} = L^{-T} L^{-1} needs the
   full inverse.
 
-  When n/block is a power of two the work runs BOTTOM-UP and BATCHED
-  (recursive doubling): ONE batched triangular solve inverts all n/block
-  diagonal blocks at once, then log2(n/block) levels each combine all
-  adjacent pairs with two batched GEMMs — every level is a single
-  large MXU op, vs the top-down recursion's 2^k sequential small GEMMs
-  and n/block sequential base-case solves (which were the measured
-  cost: 14.7 ms isolated at n=8192 on v5e, ~5x the GEMM roofline).
-  Ragged sizes fall back to the top-down recursion.
+  A bottom-up BATCHED variant (_tri_inv_doubling: one batched
+  triangular solve for all diagonal blocks + log2(n/block) levels of
+  batched pair-combining GEMMs) was measured on v5e (2026-08-19,
+  benchmarks/r6_triinv_probe.py): 19.0 ms isolated at n=8192/b=512 vs
+  14.7 ms for this top-down recursion, and 39.4 vs 32.3 ms for the
+  full fused value_and_grad — the per-level (n/2s, 2s, 2s) concatenate
+  materialization costs more HBM traffic than the recursion's
+  sequential small ops (b=1024 with one fewer level was fastest of the
+  batched runs, confirming the level-traffic attribution). The batched
+  path stays available via HYPERBO_TRIINV_DOUBLING=1 for future
+  toolchains; the recursion is the default.
   """
   n = l.shape[-1]
   if n <= block:
     return jax.lax.linalg.triangular_solve(
         l, jnp.eye(n, dtype=l.dtype), left_side=True, lower=True)
   nb = n // block
-  if n % block == 0 and nb & (nb - 1) == 0:
+  if (n % block == 0 and nb & (nb - 1) == 0 and
+      os.environ.get('HYPERBO_TRIINV_DOUBLING', '0') == '1'):
     return _tri_inv_doubling(l, block)
   m = (n // 2 + block - 1) // block * block
   if m >= n:

@@ -4,6 +4,8 @@ Cholesky correctness, rank-1 appends, safe-sqrt gradient clamping.
 Mirrors the assertions of reference hyperbo/basics/linalg_test.py:30-110.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -161,3 +163,28 @@ def test_tri_inv_blocked_matches_solve():
         l, jnp.eye(n), left_side=True, lower=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4)
+
+
+def test_tri_inv_doubling_matches_solve():
+  """Bottom-up batched path (n/block a power of two), multiple levels."""
+  import jax
+  from hyperbo_tpu.ops import linalg as linalg_mod
+  for n, block in ((512, 64), (384, 96), (256, 256)):
+    key = jax.random.PRNGKey(n)
+    a = jax.random.normal(key, (n, n)) / jnp.sqrt(jnp.float32(n))
+    l = jnp.linalg.cholesky(a @ a.T + 2.0 * jnp.eye(n))
+    got = linalg_mod._tri_inv_doubling(l, block)
+    want = jax.lax.linalg.triangular_solve(
+        l, jnp.eye(n), left_side=True, lower=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4)
+    # HYPERBO_TRIINV_DOUBLING=1 routes power-of-two nb through the
+    # doubling path (off by default: slower on the 2026-08-19 v5e
+    # toolchain, see benchmarks/r6_triinv_probe.py).
+    os.environ['HYPERBO_TRIINV_DOUBLING'] = '1'
+    try:
+      via_router = linalg_mod.tri_inv_blocked(l, block=block)
+    finally:
+      del os.environ['HYPERBO_TRIINV_DOUBLING']
+    np.testing.assert_allclose(np.asarray(via_router), np.asarray(got),
+                               atol=1e-6)
