@@ -1,13 +1,16 @@
 """Round-6: batched recursive-doubling triangular inverse on hardware.
 
-ops/linalg.tri_inv_blocked was rewritten bottom-up: ONE batched
+HISTORICAL RESULT — the doubling hypothesis was REFUTED on v5e
+(2026-08-19, PERF.md): the batched bottom-up inverse (ONE batched
 triangular solve for all n/block diagonal blocks + log2(n/block)
-levels of batched GEMMs, replacing the top-down recursion whose
-sequential base-case solves and small GEMMs measured 14.7 ms isolated
-at n=8192 (r5_retune_probe) against a ~3 ms GEMM roofline. This probe
-measures (a) the isolated inverse and (b) the full fused value_and_grad
-step that consumes it (r5b default: fused bwd kernel + blocked
-tri-inv, 32.35 ms/step baseline).
+levels of batched GEMMs) measured 19.0 ms isolated vs 14.7 ms for the
+top-down recursion, and 39.4 vs 32.3 ms for the full value_and_grad —
+so the library default REVERTED to the recursion (commit 43fb554) and
+the doubling path is opt-in via HYPERBO_TRIINV_DOUBLING=1. This probe
+sets that env var itself (before any jit trace) so its legs still
+exercise the doubling path on a re-run: (a) the isolated inverse and
+(b) the full fused value_and_grad step that consumes it (baseline
+32.35 ms/step = fused bwd kernel + recursion tri-inv).
 
 Run: nohup python benchmarks/r6_triinv_probe.py > /tmp/r6triinv.log 2>&1 &
 """
@@ -82,8 +85,12 @@ def main():
              l, jnp.eye(n, dtype=l.dtype), left_side=True, lower=True)),
          lmat)
 
-  # Full value_and_grad step through the fused path (TPU defaults:
-  # fused bwd kernel + blocked tri-inv, which now routes to doubling).
+  # Full value_and_grad step through the fused path. The library
+  # default reverted to the recursion (commit 43fb554), so force the
+  # doubling route here to keep the leg label true; tri_inv_blocked
+  # reads the env var at trace time and this is the first trace of the
+  # core in this process.
+  os.environ['HYPERBO_TRIINV_DOUBLING'] = '1'
   from hyperbo_tpu.ops import pallas_mll as pm
   d = 8
   x = jax.random.uniform(jax.random.PRNGKey(1), (n, d), jnp.float32)
@@ -102,7 +109,8 @@ def main():
     tot, _ = lax.scan(one, 0.0, jnp.linspace(0., 1e-6, 4))
     return tot
 
-  timeit('full VG step (fused bwd + doubling tri-inv)', vg_k, xs, y, k=4)
+  timeit('full VG step (fused bwd + doubling tri-inv, env-forced)',
+         vg_k, xs, y, k=4)
 
 
 if __name__ == '__main__':

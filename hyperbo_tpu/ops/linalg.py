@@ -181,6 +181,11 @@ def tri_inv_blocked(l: jnp.ndarray, block: int = 512) -> jnp.ndarray:
   batched runs, confirming the level-traffic attribution). The batched
   path stays available via HYPERBO_TRIINV_DOUBLING=1 for future
   toolchains; the recursion is the default.
+
+  NOTE: the env var is read at TRACE time. A consumer jitted before the
+  flag flips keeps the old branch baked into its cached executable —
+  set the flag before the first jit trace of anything that calls this
+  (the probes do), or restart the process.
   """
   n = l.shape[-1]
   if n <= block:

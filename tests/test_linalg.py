@@ -181,10 +181,14 @@ def test_tri_inv_doubling_matches_solve():
     # HYPERBO_TRIINV_DOUBLING=1 routes power-of-two nb through the
     # doubling path (off by default: slower on the 2026-08-19 v5e
     # toolchain, see benchmarks/r6_triinv_probe.py).
+    prior = os.environ.get('HYPERBO_TRIINV_DOUBLING')
     os.environ['HYPERBO_TRIINV_DOUBLING'] = '1'
     try:
       via_router = linalg_mod.tri_inv_blocked(l, block=block)
     finally:
-      del os.environ['HYPERBO_TRIINV_DOUBLING']
+      if prior is None:
+        del os.environ['HYPERBO_TRIINV_DOUBLING']
+      else:
+        os.environ['HYPERBO_TRIINV_DOUBLING'] = prior
     np.testing.assert_allclose(np.asarray(via_router), np.asarray(got),
                                atol=1e-6)
