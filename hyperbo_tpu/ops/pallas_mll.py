@@ -31,6 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from hyperbo_tpu.ops import pallas_params
+from hyperbo_tpu.ops import pallas_triinv
 
 from hyperbo_tpu.ops.pallas_chol_hbm import (_INV_BASE, _dekker_split,
                                              _pdot, _stacked_sweep,
@@ -1094,8 +1095,12 @@ def _bwd_env_config():
       (n^3 FLOPs instead of 2n^3; the classic LAUUM trick);
     HYPERBO_BWD_PREC=default — single-pass bf16 backward products
       (2x MXU rate; ~1e-3 gradient class instead of ~1e-4);
-    HYPERBO_BWD_TRIINV=1 — blocked-GEMM triangular inverse instead of
-      the XLA solve.
+    HYPERBO_BWD_TRIINV — how L^{-1} is produced for the backward:
+      '0' = XLA n-RHS triangular solve, '1' = blocked-GEMM recursion
+      (ops/linalg.tri_inv_blocked), 'pallas' = the panel-major Pallas
+      kernel (ops/pallas_triinv; only reachable on the fused-bwd route,
+      where it also skips the dense->panel transpose pass; falls back
+      to the recursion when the shape doesn't divide its chunk grid).
 
   Resolved at the se_nll_fused entry points and threaded INTO the
   custom-VJP core factories' lru_cache keys, so flipping a knob after
@@ -1119,7 +1124,7 @@ def _bwd_env_config():
           os.environ.get('HYPERBO_BWD_KINV', 'gemm'),
           os.environ.get('HYPERBO_BWD_PREC', 'high'),
           os.environ.get('HYPERBO_BWD_TRIINV',
-                         '1' if on_tpu else '0') == '1')
+                         '1' if on_tpu else '0'))
 
 
 def _kinv_from_linv(linv, precision, mode='gemm'):
@@ -1173,21 +1178,36 @@ def _se_core_bwd(l, x_scaled, delta, sv, valid, kfam='se',
   if bwd_cfg is None:
     bwd_cfg = _bwd_env_config()
   fused_flag, kinv_mode, prec_mode, triinv = bwd_cfg
+  # Back-compat: older probes/tests thread booleans through bwd_cfg.
+  if triinv is True:
+    triinv = '1'
+  elif triinv is False:
+    triinv = '0'
   hi = (jax.lax.Precision.DEFAULT if prec_mode == 'default'
         else jax.lax.Precision.HIGH)
-  linv = _tri_inv(l, blocked=triinv)
   if _bwd_fused_wanted(l.shape[-1], fused_flag):
     from hyperbo_tpu.ops import pallas_mll_bwd
     n = l.shape[-1]
     block = pallas_mll_bwd.BLOCK
-    tpm = jnp.moveaxis(linv.reshape(n, n // block, block), 1, 0)
-    alpha = jnp.matmul(linv.T, jnp.matmul(linv, delta, precision=hi),
-                       precision=hi)
+    if (triinv == 'pallas' and n % pallas_triinv.CHUNK == 0
+        and n >= 2 * block):
+      # Panel-major Pallas inverse: writes T directly in the layout the
+      # fused backward kernel consumes — no dense L^{-1}, no transpose.
+      tpm = pallas_triinv.tri_inv_panels(
+          l, block=block, chunk=pallas_triinv.CHUNK,
+          precise=(prec_mode != 'default'), interpret=interpret)
+      alpha = pallas_triinv.alpha_from_panels(tpm, delta, precision=hi)
+    else:
+      linv = _tri_inv(l, blocked=(triinv != '0'))
+      tpm = jnp.moveaxis(linv.reshape(n, n // block, block), 1, 0)
+      alpha = jnp.matmul(linv.T, jnp.matmul(linv, delta, precision=hi),
+                         precision=hi)
     d_x, dsv_raw, d_da = pallas_mll_bwd.mll_bwd_fused(
         tpm, x_scaled, alpha, sv, block=block,
         chunk=pallas_mll_bwd.CHUNK, kfam=kfam, valid=valid,
         interpret=interpret)
     return d_x, alpha, dsv_raw / sv, d_da
+  linv = _tri_inv(l, blocked=(triinv != '0'))
   kinv = _kinv_from_linv(linv, hi, mode=kinv_mode)
   # alpha via the explicit inverse (2n^2 matvec) instead of two chained
   # 1-RHS triangular solves: at n=8192 each solve is a ~n/block-step

@@ -1,0 +1,241 @@
+"""Panel-major blocked triangular inverse (Pallas/Mosaic).
+
+T = L^{-1} for lower-triangular L, written directly in the panel-major
+(nb, n, B) layout that the fused NLL backward (ops/pallas_mll_bwd)
+consumes — replacing BOTH the XLA-level blocked recursion
+(ops/linalg.tri_inv_blocked) and the (n, n) -> (nb, n, B) moveaxis
+transpose pass. At n=16384 the recursion costs ~107 ms inside the
+fused value_and_grad (O(n^3) scaling of its 14.7 ms at n=8192,
+PERF.md r6_vg16k_probe) — the dominant share of the 181 ms step.
+
+Algorithm (block forward substitution, panel j = block column j):
+
+  T_jj = D_j := L_jj^{-1}          (precomputed OUTSIDE, batched)
+  T_ij = -D_i (sum_{k=j}^{i-1} L_ik T_kj)      for i > j
+
+Per (i, j) step the accumulation streams fixed-size chunks of the L
+row strip L[iB:(i+1)B, jB:iB) and the already-computed panel rows
+T[jB:iB, j] through double-buffered VMEM, contracted on the MXU. Three
+structural tricks make every DMA a full static-shape chunk with NO
+masking anywhere:
+
+  * the output buffer is zero-filled first, so chunk reads that
+    overshoot past row iB (the not-yet-computed region) or undershoot
+    above the panel top jB (rows of panel j above jB stay zero
+    forever) contribute exact zeros — L's values in the matching
+    columns multiply those zero rows and drop out;
+  * chunks therefore sit on a fixed chunk-aligned grid (aligned DMA
+    offsets; no masking, no partial chunks);
+  * the diagonal-block inverses D arrive precomputed (one batched XLA
+    triangular solve over the (nb, B, B) diagonal — O(n B^2)).
+
+Work is n^3/6 MACs (the triangular minimum); traffic is
+~(MACs / B) * 8 bytes, compute/DMA-balanced at B = 256 on v5e. The
+sequential chain is per-panel; panels are independent and early panels
+are long — the kernel walks j outward so step sizes shrink smoothly.
+
+Used by ops/pallas_mll._se_core_bwd (custom-VJP of the fused MLL;
+gradient semantics anchor: the reference differentiates this
+objective per pre-training step, /root/reference/hyperbo/gp_utils/
+gp.py:124-146, with the cached-Cholesky VJP pattern of
+/root/reference/hyperbo/basics/linalg.py:139-171).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hyperbo_tpu.ops import pallas_params
+from hyperbo_tpu.ops.pallas_chol_hbm import _pdot
+
+BLOCK = 256
+CHUNK = 512
+
+_MDIMS = (((1,), (0,)), ((), ()))       # a @ b
+
+
+def _kernel_triinv(n, block, chunk, precise,
+                   l_hbm, dinv_hbm,
+                   tpm_hbm,
+                   lrow, tstrip, dbuf, zbuf, obuf,
+                   sem_l, sem_t, sem_d, sem_w, sem_z):
+  nb = n // block
+  ncz = n // chunk
+
+  # ---- phase 0: zero-fill the whole output (see module docstring) ----
+  zbuf[:] = jnp.zeros((chunk, block), jnp.float32)
+
+  def zero_step(c, _):
+    p = jax.lax.div(c, ncz)
+    r = jax.lax.rem(c, ncz) * chunk
+    slot = jax.lax.rem(c, 2)
+    cp = pltpu.make_async_copy(
+        zbuf, tpm_hbm.at[p, pl.ds(r, chunk), :], sem_z.at[slot])
+
+    @pl.when(c >= 2)
+    def _():
+      cp.wait()           # free this slot's previous in-flight write
+    cp.start()
+    return 0
+
+  jax.lax.fori_loop(0, nb * ncz, zero_step, 0)
+  # drain the last two in-flight zero writes
+  pltpu.make_async_copy(zbuf, tpm_hbm.at[nb - 1, pl.ds(n - chunk, chunk), :],
+                        sem_z.at[jax.lax.rem(nb * ncz, 2)]).wait()
+  pltpu.make_async_copy(zbuf, tpm_hbm.at[nb - 1, pl.ds(n - chunk, chunk), :],
+                        sem_z.at[jax.lax.rem(nb * ncz + 1, 2)]).wait()
+
+  # ---- phase 1: diagonal blocks T_pp = D_p (via VMEM bounce) ----
+  def diag_step(p, _):
+    cin = pltpu.make_async_copy(dinv_hbm.at[p], dbuf, sem_d)
+    cin.start()
+    cin.wait()
+    co = pltpu.make_async_copy(
+        dbuf, tpm_hbm.at[p, pl.ds(p * block, block), :], sem_w)
+    co.start()
+    co.wait()
+    return 0
+
+  jax.lax.fori_loop(0, nb, diag_step, 0)
+
+  # ---- phase 2: the panel sweep ----
+  def chunk_pair(i, c0, j, c, slot):
+    ib = pl.multiple_of(i * block, block)
+    r0 = (c0 + c) * chunk
+    cl = pltpu.make_async_copy(
+        l_hbm.at[pl.ds(ib, block), pl.ds(r0, chunk)], lrow.at[slot],
+        sem_l.at[slot])
+    ct = pltpu.make_async_copy(
+        tpm_hbm.at[j, pl.ds(r0, chunk), :], tstrip.at[slot],
+        sem_t.at[slot])
+    return cl, ct
+
+  def j_loop(j, _):
+    # chunk-grid index of the panel top (floored — undershoot rows are
+    # zero in panel j and never written)
+    c0 = jax.lax.div(j * block, chunk)
+
+    def i_loop(i, _):
+      ib = pl.multiple_of(i * block, block)
+      cd = pltpu.make_async_copy(dinv_hbm.at[i], dbuf, sem_d)
+      cd.start()
+      # chunks cover rows [c0*chunk, cend*chunk) >= [jB, iB); the
+      # overshoot rows [iB, cend*chunk) are still zero at read time
+      nch = jax.lax.div(i * block - 1, chunk) + 1 - c0
+      cl0, ct0 = chunk_pair(i, c0, j, 0, 0)
+      cl0.start()
+      ct0.start()
+
+      def k_step(c, acc):
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < nch)
+        def _():
+          nslot = jax.lax.rem(c + 1, 2)
+          cl, ct = chunk_pair(i, c0, j, c + 1, nslot)
+          cl.start()
+          ct.start()
+
+        cl, ct = chunk_pair(i, c0, j, c, slot)
+        cl.wait()
+        ct.wait()
+        return acc + _pdot(lrow[slot], tstrip[slot], _MDIMS, precise)
+
+      acc = jax.lax.fori_loop(0, nch, k_step,
+                              jnp.zeros((block, block), jnp.float32))
+      cd.wait()
+      obuf[:] = -_pdot(dbuf[:], acc, _MDIMS, precise)
+      co = pltpu.make_async_copy(
+          obuf, tpm_hbm.at[j, pl.ds(ib, block), :], sem_w)
+      co.start()
+      co.wait()     # next step's tstrip chunk may cover these rows
+      return 0
+
+    jax.lax.fori_loop(j + 1, nb, i_loop, 0)
+    return 0
+
+  jax.lax.fori_loop(0, nb, j_loop, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('block', 'chunk', 'precise',
+                                    'interpret'))
+def tri_inv_panels(l: jnp.ndarray,
+                   block: int = BLOCK, chunk: int = CHUNK,
+                   precise: bool = True,
+                   interpret: bool = False) -> jnp.ndarray:
+  """T = L^{-1} in panel-major (nb, n, block) layout.
+
+  Args:
+    l: (n, n) lower-triangular factor. Values on/above the diagonal
+      are never allowed to influence the result, but they flow through
+      multiply-by-zero — they must be FINITE (NaN poison in L
+      propagates everywhere, which is the wanted behavior for the
+      non-PD poison path of the fused MLL).
+    block: panel width B (output lane width); n % block == 0.
+    chunk: DMA chunk rows; chunk % block == 0 and n % chunk == 0.
+    precise: X3 (3-pass split-operand) MXU products, matching the
+      forward kernel's accuracy class; False = single-pass bf16.
+
+  Returns:
+    tpm: (nb, n, block) with tpm[p][r, c] = L^{-1}[r, p*block + c].
+  """
+  n = l.shape[-1]
+  nb = n // block
+  assert n % block == 0 and chunk % block == 0 and n % chunk == 0, (
+      n, block, chunk)
+  assert nb >= 2, 'use a direct solve below 2 blocks'
+  lf = l.astype(jnp.float32)
+
+  # Batched diagonal-block inverses (XLA): one batched solve over the
+  # (nb, B, B) diagonal blocks — O(n B^2), negligible next to the sweep.
+  idx = jnp.arange(nb)
+  diag = lf.reshape(nb, block, nb, block)[idx, :, idx, :]
+  eye = jnp.broadcast_to(jnp.eye(block, dtype=jnp.float32), diag.shape)
+  dinv = jax.lax.linalg.triangular_solve(
+      diag, eye, left_side=True, lower=True)
+
+  kernel = functools.partial(_kernel_triinv, n, block, chunk, precise)
+  tpm = pl.pallas_call(
+      kernel,
+      in_specs=[
+          pl.BlockSpec(memory_space=pl.ANY),            # L dense
+          pl.BlockSpec(memory_space=pl.ANY),            # diag inverses
+      ],
+      out_specs=pl.BlockSpec(memory_space=pl.ANY),      # T panels
+      out_shape=jax.ShapeDtypeStruct((nb, n, block), jnp.float32),
+      scratch_shapes=[
+          pltpu.VMEM((2, block, chunk), jnp.float32),   # L row chunks
+          pltpu.VMEM((2, chunk, block), jnp.float32),   # T panel chunks
+          pltpu.VMEM((block, block), jnp.float32),      # D_i
+          pltpu.VMEM((chunk, block), jnp.float32),      # zero tile
+          pltpu.VMEM((block, block), jnp.float32),      # out block
+          pltpu.SemaphoreType.DMA((2,)),                # L chunk sems
+          pltpu.SemaphoreType.DMA((2,)),                # T chunk sems
+          pltpu.SemaphoreType.DMA,                      # D sem
+          pltpu.SemaphoreType.DMA,                      # write sem
+          pltpu.SemaphoreType.DMA((2,)),                # zero-fill sems
+      ],
+      compiler_params=pallas_params.compiler_params(has_side_effects=True),
+      interpret=interpret,
+  )(lf, dinv)
+  return tpm
+
+
+def alpha_from_panels(tpm: jnp.ndarray, delta: jnp.ndarray,
+                      precision=jax.lax.Precision.HIGH) -> jnp.ndarray:
+  """alpha = K^{-1} delta = T^T (T delta) from panel-major T.
+
+  Two O(n^2) batched products — no dense (n, n) reassembly.
+  """
+  nb, n, b = tpm.shape
+  m = delta.shape[-1]
+  dp = delta.astype(jnp.float32).reshape(nb, b, m)
+  t = jnp.einsum('pnb,pbm->nm', tpm, dp, precision=precision)
+  return jnp.einsum('pnb,nm->pbm', tpm, t,
+                    precision=precision).reshape(n, m)

@@ -1,0 +1,115 @@
+"""Parity tests for the panel-major Pallas triangular inverse
+(ops/pallas_triinv) and its fused-backward integration route.
+
+The kernel replaces ops/linalg.tri_inv_blocked + the dense -> panel
+moveaxis inside ops/pallas_mll._se_core_bwd (HYPERBO_BWD_TRIINV=
+'pallas'). Reference gradient semantics anchor: the per-step
+value_and_grad of the NLL at hyperbo/gp_utils/gp.py:124-146 with the
+cached-Cholesky VJP pattern of hyperbo/basics/linalg.py:139-171.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hyperbo_tpu.ops import pallas_mll
+from hyperbo_tpu.ops import pallas_triinv
+
+
+def _spd_chol(n, seed=0, ridge=2.0):
+  a = jax.random.normal(jax.random.PRNGKey(seed), (n, n),
+                        jnp.float32) / np.sqrt(n)
+  return jnp.linalg.cholesky(a @ a.T + ridge * jnp.eye(n))
+
+
+@pytest.mark.parametrize('n,block,chunk', [
+    (512, 128, 256),     # small
+    (1536, 256, 512),    # panel tops NOT chunk-aligned (odd j)
+    (1024, 256, 512),    # production block/chunk, min admissible n
+])
+def test_tri_inv_panels_matches_solve(n, block, chunk):
+  l = _spd_chol(n, seed=n)
+  tpm = pallas_triinv.tri_inv_panels(l, block=block, chunk=chunk,
+                                     interpret=True)
+  nb = n // block
+  want = jax.lax.linalg.triangular_solve(
+      l, jnp.eye(n, dtype=l.dtype), left_side=True, lower=True)
+  want_pm = jnp.moveaxis(want.reshape(n, nb, block), 1, 0)
+  scale = float(jnp.max(jnp.abs(want)))
+  np.testing.assert_allclose(np.asarray(tpm), np.asarray(want_pm),
+                             atol=5e-4 * scale)
+
+
+def test_tri_inv_panels_ignores_upper_triangle():
+  """Finite garbage above the diagonal must not influence the result
+  (the chunk reads overshoot into those columns by design)."""
+  n, block, chunk = 1024, 256, 512
+  l = _spd_chol(n, seed=4)
+  upper = jnp.triu(
+      jnp.full((n, n), 7.5, jnp.float32), k=1)
+  got = pallas_triinv.tri_inv_panels(l + upper, block=block,
+                                     chunk=chunk, interpret=True)
+  want = pallas_triinv.tri_inv_panels(l, block=block, chunk=chunk,
+                                      interpret=True)
+  np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_alpha_from_panels():
+  n, block = 512, 128
+  l = _spd_chol(n, seed=2)
+  tpm = pallas_triinv.tri_inv_panels(l, block=block, chunk=256,
+                                     interpret=True)
+  delta = jax.random.normal(jax.random.PRNGKey(5), (n, 1), jnp.float32)
+  got = pallas_triinv.alpha_from_panels(tpm, delta)
+  linv = jax.lax.linalg.triangular_solve(
+      l, jnp.eye(n, dtype=l.dtype), left_side=True, lower=True)
+  want = linv.T @ (linv @ delta)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             atol=1e-4 * float(jnp.max(jnp.abs(want))))
+
+
+def _bwd_route(l, x, delta, sv, triinv):
+  return pallas_mll._se_core_bwd(
+      l, x, delta, sv, None, 'se', interpret=True,
+      bwd_cfg=(True, 'gemm', 'high', triinv))
+
+
+def test_se_core_bwd_pallas_route_matches_recursion_route():
+  """End-to-end fused backward with HYPERBO_BWD_TRIINV='pallas' vs '1'
+  — same kernel consuming T from the two producers."""
+  n, d = 1024, 4
+  x = jax.random.uniform(jax.random.PRNGKey(11), (n, d), jnp.float32)
+  delta = jax.random.normal(jax.random.PRNGKey(12), (n, 1), jnp.float32)
+  sv, da = jnp.float32(1.3), jnp.float32(0.7)
+  sq = jnp.sum(x * x, axis=1, keepdims=True)
+  r2 = jnp.maximum(sq + sq.T - 2.0 * x @ x.T, 0.0)
+  k = sv * jnp.exp(-0.5 * r2) + da * jnp.eye(n)
+  l = jnp.linalg.cholesky(k)
+  dx_p, al_p, dsv_p, dda_p = _bwd_route(l, x, delta, sv, 'pallas')
+  dx_r, al_r, dsv_r, dda_r = _bwd_route(l, x, delta, sv, '1')
+  sc = float(jnp.max(jnp.abs(dx_r))) + 1e-8
+  assert float(jnp.max(jnp.abs(dx_p - dx_r))) / sc < 1e-3
+  np.testing.assert_allclose(np.asarray(al_p), np.asarray(al_r),
+                             atol=1e-4)
+  np.testing.assert_allclose(float(dsv_p), float(dsv_r), rtol=5e-3,
+                             atol=1e-3)
+  np.testing.assert_allclose(float(dda_p), float(dda_r), rtol=1e-3)
+
+
+def test_pallas_route_falls_back_on_indivisible_n():
+  """n not a multiple of the kernel's chunk grid must route through the
+  recursion, not crash (the fused bwd kernel itself also requires
+  n % CHUNK == 0, so such n never reaches either kernel)."""
+  n, d = 640, 3   # % 512 != 0 -> _bwd_fused_wanted False -> XLA chain
+  x = jax.random.uniform(jax.random.PRNGKey(21), (n, d), jnp.float32)
+  delta = jax.random.normal(jax.random.PRNGKey(22), (n, 1), jnp.float32)
+  sv, da = jnp.float32(1.1), jnp.float32(0.6)
+  sq = jnp.sum(x * x, axis=1, keepdims=True)
+  r2 = jnp.maximum(sq + sq.T - 2.0 * x @ x.T, 0.0)
+  k = sv * jnp.exp(-0.5 * r2) + da * jnp.eye(n)
+  l = jnp.linalg.cholesky(k)
+  dx_p = _bwd_route(l, x, delta, sv, 'pallas')[0]
+  dx_r = _bwd_route(l, x, delta, sv, '0')[0]
+  sc = float(jnp.max(jnp.abs(dx_r))) + 1e-8
+  assert float(jnp.max(jnp.abs(dx_p - dx_r))) / sc < 1e-3
