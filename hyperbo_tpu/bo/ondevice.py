@@ -6,9 +6,15 @@ host loop that refactorizes the posterior from scratch after every append
 the entire simulated-BO loop as ONE jitted lax.scan with
 
   * preallocated max-size observation buffers (static shapes),
-  * rank-1 Cholesky append per iteration (O(n^2), ops.chol),
-  * batched candidate scoring: one cross-Gram matmul + one triangular
-    solve per iteration over the whole candidate set (MXU),
+  * a rank-1-appended factor buffer per iteration (O(n^2), ops.chol) —
+    by default the INVERSE factor W = L^{-1} (HYPERBO_BO_SOLVER=winv),
+    so posteriors and appends are pure MXU GEMMs with NO triangular
+    solves anywhere in the iteration (lax.linalg.triangular_solve is a
+    sequential substitution chain on TPU and regressed ~7x in the
+    2026-08-18 toolchain; HYPERBO_BO_SOLVER=chol restores the L-buffer
+    path for A/B),
+  * batched candidate scoring: cross-Gram + posterior GEMMs per
+    iteration over the whole candidate set (MXU),
   * acquisition + argmax on device (no host sync until the loop ends).
 
 Semantics match simulated_bayesopt with a GP model and no retraining:
@@ -18,6 +24,7 @@ acquisition definitions, same greedy argmax (re-selection allowed).
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -117,25 +124,45 @@ def _shard_candidates(mesh, mesh_axis, cand_x, cand_y, replicated_args):
   return cand_x, cand_y, replicated_args
 
 
+def _bo_solver() -> str:
+  """Factor carried in the BO scan state (read at trace time).
+
+  'winv' (default): W = L^{-1} — posterior and append are pure GEMMs,
+  no lax.linalg.triangular_solve in the iteration (that op is a
+  sequential substitution chain on TPU; PERF.md round-5b measured it
+  regressing 5.4 -> 37.7 ms at 8192 RHS). 'chol': the L buffer
+  (legacy; kept for A/B probes).
+  """
+  return os.environ.get('HYPERBO_BO_SOLVER', 'winv')
+
+
 def _masked_posterior(mean_func, cov_func, shim, warp_func,
-                      noise_variance, scale, x_buf, y_buf, chol_buf,
+                      noise_variance, scale, x_buf, y_buf, fac_buf,
                       count, cand_x):
   """GP posterior (mu, var) at cand_x from preallocated masked buffers.
 
   The SINGLE source of the on-device posterior algebra — the GP step,
   the vmapped HGP per-sample posteriors and the continuous loop all
   call this (matching GP.predict semantics: noise added, prior
-  fallback with no observations, unbiased rescale).
+  fallback with no observations, unbiased rescale). `fac_buf` is the
+  factor buffer per _bo_solver(): W = L^{-1} or L itself.
   """
   n_max = x_buf.shape[0]
   mask = jnp.arange(n_max) < count
   mu_prior_obs = mean_func(shim, x_buf, warp_func=warp_func)
   delta = jnp.where(mask[:, None], y_buf - mu_prior_obs, 0.0)
-  kinvy = chol_ops.cho_solve(chol_buf, delta)
   cross = cov_func(shim, x_buf, cand_x, warp_func=warp_func)
   cross = jnp.where(mask[:, None], cross, 0.0)
+  if _bo_solver() == 'winv':
+    hi = jax.lax.Precision.HIGH
+    kinvy = jnp.matmul(fac_buf.T, jnp.matmul(fac_buf, delta,
+                                             precision=hi),
+                       precision=hi)
+    v = jnp.matmul(fac_buf, cross, precision=hi)
+  else:
+    kinvy = chol_ops.cho_solve(fac_buf, delta)
+    v = chol_ops.solve_triangular(fac_buf, cross, lower=True)
   mu = cross.T @ kinvy + mean_func(shim, cand_x, warp_func=warp_func)
-  v = chol_ops.solve_triangular(chol_buf, cross, lower=True)
   kdiag = cov_func(shim, cand_x, warp_func=warp_func, diag=True)
   var = jnp.maximum(kdiag - jnp.sum(v * v, axis=0), 1e-12)[:, None]
   # Prior fallback when no observations yet.
@@ -196,8 +223,9 @@ def _make_corpus_loss(mean_func, cov_func, config, warp_func, n_max,
 
 def _masked_refactor(mean_func, cov_func, config, warp_func, model,
                      x_buf, count, eps: float = 1e-6):
-  """Masked from-scratch Cholesky of the test-task system (padded rows
-  identity, so later rank-1 appends extend it)."""
+  """Masked from-scratch factor of the test-task system (padded rows
+  identity, so later rank-1 appends extend it). Returns the factor
+  matching _bo_solver(): W = L^{-1} or L."""
   p = defs.GPParams(model=model, config=config)
   nv, = retrieve_params(p, ['noise_variance'], warp_func=warp_func)
   n_max = x_buf.shape[0]
@@ -207,17 +235,24 @@ def _masked_refactor(mean_func, cov_func, config, warp_func, model,
   eye = jnp.eye(n_max, dtype=kmat.dtype)
   kmat = jnp.where(pair, kmat, 0.0) + eye * jnp.where(
       mask, nv + eps, 1.0)
-  return chol_ops.cholesky(kmat)
+  l = chol_ops.cholesky(kmat)
+  if _bo_solver() == 'winv':
+    from hyperbo_tpu.ops import linalg as linalg_mod
+    return linalg_mod.tri_inv_blocked(l)
+  return l
 
 
-def _append_chol(cov_func, shim, warp_func, noise_variance, eps, x_buf,
-                 chol_buf, count, x_new):
-  """Rank-1 Cholesky append for one new observation (shared algebra)."""
+def _append_factor(cov_func, shim, warp_func, noise_variance, eps,
+                   x_buf, fac_buf, count, x_new):
+  """Rank-1 factor append for one new observation (shared algebra;
+  appends W = L^{-1} or L per _bo_solver())."""
   k_vec = cov_func(shim, x_buf, x_new[None, :],
                    warp_func=warp_func)[:, 0]
   kappa = cov_func(shim, x_new[None, :], warp_func=warp_func,
                    diag=True)[0] + noise_variance + eps
-  return chol_ops.chol_append_padded(chol_buf, count, k_vec, kappa)
+  if _bo_solver() == 'winv':
+    return chol_ops.winv_append_padded(fac_buf, count, k_vec, kappa)
+  return chol_ops.chol_append_padded(fac_buf, count, k_vec, kappa)
 
 
 def build_bo_step(mean_func, cov_func, model_params, config, warp_func,
@@ -225,7 +260,7 @@ def build_bo_step(mean_func, cov_func, model_params, config, warp_func,
                   eps: float = 1e-6):
   """Build the jitted per-iteration BO step over preallocated buffers.
 
-  State: (x_buf (N,d), y_buf (N,1), chol_buf (N,N), count).
+  State: (x_buf (N,d), y_buf (N,1), fac_buf (N,N), count).
   Step input: candidate set (n_c, d) with candidate y values (n_c, 1).
   """
   params_shim = defs.GPParams(model=model_params, config=config)
@@ -234,33 +269,33 @@ def build_bo_step(mean_func, cov_func, model_params, config, warp_func,
                                     warp_func=warp_func)
   scale = _unbiased_scale(num_train_tasks)
 
-  def posterior(x_buf, y_buf, chol_buf, count, cand_x):
+  def posterior(x_buf, y_buf, fac_buf, count, cand_x):
     return _masked_posterior(mean_func, cov_func, params_shim, warp_func,
                              noise_variance, scale, x_buf, y_buf,
-                             chol_buf, count, cand_x)
+                             fac_buf, count, cand_x)
 
-  def append(x_buf, y_buf, chol_buf, count, x_new, y_new):
-    chol_buf = _append_chol(cov_func, params_shim, warp_func,
-                            noise_variance, eps, x_buf, chol_buf, count,
+  def append(x_buf, y_buf, fac_buf, count, x_new, y_new):
+    fac_buf = _append_factor(cov_func, params_shim, warp_func,
+                            noise_variance, eps, x_buf, fac_buf, count,
                             x_new)
     x_buf = jax.lax.dynamic_update_slice(x_buf, x_new[None, :], (count, 0))
     y_buf = jax.lax.dynamic_update_slice(y_buf, y_new[None, :], (count, 0))
-    return x_buf, y_buf, chol_buf, count + 1
+    return x_buf, y_buf, fac_buf, count + 1
 
   def step(state, key, cand_x, cand_y):
-    x_buf, y_buf, chol_buf, count = state
+    x_buf, y_buf, fac_buf, count = state
     if acq_param_kind == 'rand':
       select_idx = jax.random.randint(key, (), 0, cand_x.shape[0])
     elif acq_param_kind == 'ts':
-      mu, var = posterior(x_buf, y_buf, chol_buf, count, cand_x)
+      mu, var = posterior(x_buf, y_buf, fac_buf, count, cand_x)
       select_idx = _ts_index(mu, var, noise_variance, scale, key)
     else:
-      mu, var = posterior(x_buf, y_buf, chol_buf, count, cand_x)
+      mu, var = posterior(x_buf, y_buf, fac_buf, count, cand_x)
       select_idx = _greedy_index(acq_sub, acq_param_kind, mu, var,
                                  y_buf, count)
     x_new = cand_x[select_idx]
     y_new = cand_y[select_idx]
-    state = append(x_buf, y_buf, chol_buf, count, x_new, y_new)
+    state = append(x_buf, y_buf, fac_buf, count, x_new, y_new)
     return state, select_idx
 
   return step
@@ -313,24 +348,24 @@ def simulated_bayesopt_ondevice(
 
   x_buf = jnp.zeros((n_max, d), jnp.float32)
   y_buf = jnp.zeros((n_max, 1), jnp.float32)
-  chol_buf = chol_ops.init_chol_buffer(n_max)
+  fac_buf = chol_ops.init_chol_buffer(n_max)
   count = jnp.array(0, jnp.int32)
 
   step = build_bo_step(mean_func, cov_func, model_params, config, warp_func,
                        acquisition, n_max, num_train_tasks)
 
   @jax.jit
-  def run(x_buf, y_buf, chol_buf, count, x0, y0, cand_x, cand_y, key):
+  def run(x_buf, y_buf, fac_buf, count, x0, y0, cand_x, cand_y, key):
     # Seed initial observations through the same append path.
     def seed_one(i, state):
-      x_buf, y_buf, chol_buf, cnt = state
+      x_buf, y_buf, fac_buf, cnt = state
       # Appending initial points exactly (not via acquisition): argmax
       # (or random choice) over one candidate is that point.
-      state, _ = step((x_buf, y_buf, chol_buf, cnt), key,
+      state, _ = step((x_buf, y_buf, fac_buf, cnt), key,
                       x0[i][None, :], y0[i][None, :])
       return state
 
-    state = (x_buf, y_buf, chol_buf, count)
+    state = (x_buf, y_buf, fac_buf, count)
     if n_init > 0:
       state = jax.lax.fori_loop(0, n_init, seed_one, state)
 
@@ -342,7 +377,7 @@ def simulated_bayesopt_ondevice(
 
     state, select_idx = jax.lax.scan(body, state,
                                      jax.random.split(key, iters))
-    x_buf, y_buf, chol_buf, count = state
+    x_buf, y_buf, fac_buf, count = state
     return x_buf, y_buf, select_idx
 
   x0 = (init_obs[0] if init_obs is not None
@@ -357,12 +392,12 @@ def simulated_bayesopt_ondevice(
     replicated = NamedSharding(mesh, PartitionSpec())
     cand_x = jax.device_put(cand_x, cand_sharding)
     cand_y = jax.device_put(cand_y, cand_sharding)
-    x_buf, y_buf, chol_buf, count, x0, y0 = jax.device_put(
-        (x_buf, y_buf, chol_buf, count, x0, y0), replicated)
+    x_buf, y_buf, fac_buf, count, x0, y0 = jax.device_put(
+        (x_buf, y_buf, fac_buf, count, x0, y0), replicated)
   if key is None:
     key = jax.random.PRNGKey(0)
   x_out, y_out, select_idx = run(
-      x_buf, y_buf, chol_buf, count, x0, y0, cand_x, cand_y, key)
+      x_buf, y_buf, fac_buf, count, x0, y0, cand_x, cand_y, key)
   total = n_init + iters
   return x_out[:total], y_out[:total], select_idx
 
@@ -416,20 +451,20 @@ def simulated_bayesopt_ondevice_hgp(
 
   scale = _unbiased_scale(num_train_tasks)
 
-  def posterior_one(model, chol_buf, x_buf, y_buf, count, cand_x):
+  def posterior_one(model, fac_buf, x_buf, y_buf, count, cand_x):
     p = shim(model)
     noise_variance, = retrieve_params(p, ['noise_variance'],
                                       warp_func=warp_func)
     return _masked_posterior(mean_func, cov_func, p, warp_func,
                              noise_variance, scale, x_buf, y_buf,
-                             chol_buf, count, cand_x)
+                             fac_buf, count, cand_x)
 
-  def append_one(model, chol_buf, x_buf, count, x_new):
+  def append_one(model, fac_buf, x_buf, count, x_new):
     p = shim(model)
     noise_variance, = retrieve_params(p, ['noise_variance'],
                                       warp_func=warp_func)
-    return _append_chol(cov_func, p, warp_func, noise_variance, 1e-6,
-                        x_buf, chol_buf, count, x_new)
+    return _append_factor(cov_func, p, warp_func, noise_variance, 1e-6,
+                        x_buf, fac_buf, count, x_new)
 
   def step(state, args):
     k, cand_x, cand_y = args
@@ -556,10 +591,10 @@ def continuous_bayesopt_ondevice(
   scale = _unbiased_scale(num_train_tasks)
 
   def posterior_mu_var(state, cand_x):
-    x_buf, y_buf, chol_buf, count = state
+    x_buf, y_buf, fac_buf, count = state
     return _masked_posterior(mean_func, cov_func, params_shim,
                              warp_func, noise_variance, scale, x_buf,
-                             y_buf, chol_buf, count, cand_x)
+                             y_buf, fac_buf, count, cand_x)
 
   def acq_values(state, cand_x):
     _, y_buf, _, count = state
@@ -739,61 +774,61 @@ def simulated_bayesopt_ondevice_retrain(
       return optax.apply_updates(m, updates), o
     return jax.lax.fori_loop(0, retrain_steps, one, (model, opt_state))
 
-  def append(model, x_buf, y_buf, chol_buf, count, x_new, y_new):
-    chol_buf = _append_chol(cov_func, shim(model), warp_func,
-                            noise_of(model), eps, x_buf, chol_buf,
+  def append(model, x_buf, y_buf, fac_buf, count, x_new, y_new):
+    fac_buf = _append_factor(cov_func, shim(model), warp_func,
+                            noise_of(model), eps, x_buf, fac_buf,
                             count, x_new)
     x_buf = jax.lax.dynamic_update_slice(x_buf, x_new[None, :],
                                          (count, 0))
     y_buf = jax.lax.dynamic_update_slice(y_buf, y_new[None, :],
                                          (count, 0))
-    return x_buf, y_buf, chol_buf, count + 1
+    return x_buf, y_buf, fac_buf, count + 1
 
   def step(state, args, cand_x, cand_y):
     i, k = args
-    x_buf, y_buf, chol_buf, count, model, opt_state = state
+    x_buf, y_buf, fac_buf, count, model, opt_state = state
     if retrain_steps > 0:
       do = jnp.logical_and(i % retrain_every == 0, count > 0)
       model, opt_state = jax.lax.cond(
           do,
           lambda m, o: retrain(m, o, x_buf, y_buf, count),
           lambda m, o: (m, o), model, opt_state)
-      chol_buf = jax.lax.cond(
+      fac_buf = jax.lax.cond(
           do,
           lambda m, xb, c, cb: refactor(m, xb, c),
-          lambda m, xb, c, cb: cb, model, x_buf, count, chol_buf)
+          lambda m, xb, c, cb: cb, model, x_buf, count, fac_buf)
     if acq_param_kind == 'rand':
       select_idx = jax.random.randint(k, (), 0, cand_x.shape[0])
     elif acq_param_kind == 'ts':
       mu, var = _masked_posterior(
           mean_func, cov_func, shim(model), warp_func, noise_of(model),
-          scale, x_buf, y_buf, chol_buf, count, cand_x)
+          scale, x_buf, y_buf, fac_buf, count, cand_x)
       select_idx = _ts_index(mu, var, noise_of(model), scale, k)
     else:
       mu, var = _masked_posterior(
           mean_func, cov_func, shim(model), warp_func, noise_of(model),
-          scale, x_buf, y_buf, chol_buf, count, cand_x)
+          scale, x_buf, y_buf, fac_buf, count, cand_x)
       select_idx = _greedy_index(acq_sub, acq_param_kind, mu, var,
                                  y_buf, count)
-    x_buf, y_buf, chol_buf, count = append(
-        model, x_buf, y_buf, chol_buf, count, cand_x[select_idx],
+    x_buf, y_buf, fac_buf, count = append(
+        model, x_buf, y_buf, fac_buf, count, cand_x[select_idx],
         cand_y[select_idx])
-    return (x_buf, y_buf, chol_buf, count, model, opt_state), select_idx
+    return (x_buf, y_buf, fac_buf, count, model, opt_state), select_idx
 
   @jax.jit
   def run(model, x0, y0, cand_x, cand_y, key):
     x_buf = jnp.zeros((n_max, d), jnp.float32)
     y_buf = jnp.zeros((n_max, 1), jnp.float32)
-    chol_buf = chol_ops.init_chol_buffer(n_max)
+    fac_buf = chol_ops.init_chol_buffer(n_max)
     opt_state = optimizer.init(model)
-    state = (x_buf, y_buf, chol_buf, jnp.array(0, jnp.int32), model,
+    state = (x_buf, y_buf, fac_buf, jnp.array(0, jnp.int32), model,
              opt_state)
 
     def seed_one(i, st):
-      x_buf, y_buf, chol_buf, count, model, opt_state = st
-      x_buf, y_buf, chol_buf, count = append(
-          model, x_buf, y_buf, chol_buf, count, x0[i], y0[i])
-      return (x_buf, y_buf, chol_buf, count, model, opt_state)
+      x_buf, y_buf, fac_buf, count, model, opt_state = st
+      x_buf, y_buf, fac_buf, count = append(
+          model, x_buf, y_buf, fac_buf, count, x0[i], y0[i])
+      return (x_buf, y_buf, fac_buf, count, model, opt_state)
 
     if n_init > 0:
       state = jax.lax.fori_loop(0, n_init, seed_one, state)
@@ -862,28 +897,28 @@ def simulated_bayesopt_ondevice_qbatch(
                                     warp_func=warp_func)
   scale = _unbiased_scale(num_train_tasks)
 
-  def posterior(x_buf, y_buf, chol_buf, count, cand_x):
+  def posterior(x_buf, y_buf, fac_buf, count, cand_x):
     return _masked_posterior(mean_func, cov_func, params_shim,
                              warp_func, noise_variance, scale, x_buf,
-                             y_buf, chol_buf, count, cand_x)
+                             y_buf, fac_buf, count, cand_x)
 
-  def append(x_buf, y_buf, chol_buf, count, x_new, y_new):
-    chol_buf = _append_chol(cov_func, params_shim, warp_func,
-                            noise_variance, eps, x_buf, chol_buf,
+  def append(x_buf, y_buf, fac_buf, count, x_new, y_new):
+    fac_buf = _append_factor(cov_func, params_shim, warp_func,
+                            noise_variance, eps, x_buf, fac_buf,
                             count, x_new)
     x_buf = jax.lax.dynamic_update_slice(x_buf, x_new[None, :],
                                          (count, 0))
     y_buf = jax.lax.dynamic_update_slice(y_buf, y_new[None, :],
                                          (count, 0))
-    return x_buf, y_buf, chol_buf, count + 1
+    return x_buf, y_buf, fac_buf, count + 1
 
   def step(state, k, cand_x, cand_y):
     def pick_one(j, carry):
-      x_buf, y_buf, chol_buf, count, idxs = carry
+      x_buf, y_buf, fac_buf, count, idxs = carry
       # q=1 must reproduce the plain loop exactly, including the PRNG
       # stream consumed by rand/ts.
       kj = k if q == 1 else jax.random.fold_in(k, j)
-      mu, var = posterior(x_buf, y_buf, chol_buf, count, cand_x)
+      mu, var = posterior(x_buf, y_buf, fac_buf, count, cand_x)
       if acq_param_kind == 'rand':
         select_idx = jax.random.randint(kj, (), 0, cand_x.shape[0])
       elif acq_param_kind == 'ts':
@@ -894,13 +929,13 @@ def simulated_bayesopt_ondevice_qbatch(
       # Believe the posterior mean until the batch completes.
       y_hallu = mu[select_idx][None, :] if mu.ndim == 2 else (
           mu[select_idx].reshape(1, 1))
-      x_buf, y_buf, chol_buf, count = append(
-          x_buf, y_buf, chol_buf, count, cand_x[select_idx],
+      x_buf, y_buf, fac_buf, count = append(
+          x_buf, y_buf, fac_buf, count, cand_x[select_idx],
           y_hallu.reshape(1,))
       idxs = idxs.at[j].set(select_idx)
-      return x_buf, y_buf, chol_buf, count, idxs
+      return x_buf, y_buf, fac_buf, count, idxs
 
-    x_buf, y_buf, chol_buf, count, idxs = jax.lax.fori_loop(
+    x_buf, y_buf, fac_buf, count, idxs = jax.lax.fori_loop(
         0, q, pick_one,
         (*state, jnp.zeros((q,), jnp.int32)))
     # Reveal: overwrite the q hallucinated entries with true values
@@ -909,18 +944,18 @@ def simulated_bayesopt_ondevice_qbatch(
       return jax.lax.dynamic_update_slice(
           y_buf, cand_y[idxs[j]][None, :], (count - q + j, 0))
     y_buf = jax.lax.fori_loop(0, q, reveal, y_buf)
-    return (x_buf, y_buf, chol_buf, count), idxs
+    return (x_buf, y_buf, fac_buf, count), idxs
 
   @jax.jit
   def run(x0, y0, cand_x, cand_y, key):
     x_buf = jnp.zeros((n_max, d), jnp.float32)
     y_buf = jnp.zeros((n_max, 1), jnp.float32)
-    chol_buf = chol_ops.init_chol_buffer(n_max)
-    state = (x_buf, y_buf, chol_buf, jnp.array(0, jnp.int32))
+    fac_buf = chol_ops.init_chol_buffer(n_max)
+    state = (x_buf, y_buf, fac_buf, jnp.array(0, jnp.int32))
 
     def seed_one(i, st):
-      x_buf, y_buf, chol_buf, count = st
-      return append(x_buf, y_buf, chol_buf, count, x0[i],
+      x_buf, y_buf, fac_buf, count = st
+      return append(x_buf, y_buf, fac_buf, count, x0[i],
                     y0[i].reshape(1,))
 
     if n_init > 0:
@@ -1174,13 +1209,13 @@ def simulated_bayesopt_ondevice_hgp_resample(
         mean_func, cov_func, config_nopriors, warp_func, unravel(v),
         x_buf, count, eps=eps))(xs)
 
-  def posterior_one(v, chol_buf, x_buf, y_buf, count, cand_x):
+  def posterior_one(v, fac_buf, x_buf, y_buf, count, cand_x):
     return _masked_posterior(mean_func, cov_func, shim(v), warp_func,
                              noise_of(v), scale, x_buf, y_buf,
-                             chol_buf, count, cand_x)
+                             fac_buf, count, cand_x)
 
   def append_all(xs, chols, x_buf, count, x_new):
-    return jax.vmap(lambda v, c: _append_chol(
+    return jax.vmap(lambda v, c: _append_factor(
         cov_func, shim(v), warp_func, noise_of(v), eps, x_buf, c,
         count, x_new))(xs, chols)
 

@@ -227,3 +227,39 @@ def chol_append_padded(chol_buf: jnp.ndarray, num_obs: jnp.ndarray,
 def init_chol_buffer(n_max: int, dtype=jnp.float32) -> jnp.ndarray:
   """Identity-initialized preallocated Cholesky buffer."""
   return jnp.eye(n_max, dtype=dtype)
+
+
+def winv_append_padded(winv_buf: jnp.ndarray, num_obs: jnp.ndarray,
+                       k_vec: jnp.ndarray,
+                       kappa: jnp.ndarray) -> jnp.ndarray:
+  """In-buffer rank-1 append of W = L^{-1} (solve-free BO state).
+
+  Carrying the INVERSE factor instead of L makes every consumer a pure
+  GEMM — no lax.linalg.triangular_solve anywhere in the BO iteration
+  (that op is a sequential substitution chain on TPU and regressed ~7x
+  in the 2026-08-18 toolchain; PERF.md round-5b). The growth identity:
+
+    [[L, 0], [r^T, l]]^{-1} = [[W, 0], [-(r^T W)/l, 1/l]],
+    r = W k,  l = sqrt(kappa - r^T r)
+
+  so the append is two masked matvecs. Buffer contract mirrors
+  chol_append_padded: N x N with a valid num_obs x num_obs W in the
+  top-left corner and identity diagonal on the unused part (W of the
+  identity-padded factor IS identity-padded). Same O(n^2) append cost
+  class as the factor append (reference refactorizes from scratch
+  per BO iteration instead, hyperbo/gp_utils/gp.py:284 TODO).
+  """
+  n_max = winv_buf.shape[-1]
+  idx = jnp.arange(n_max)
+  valid = idx < num_obs
+  k_masked = jnp.where(valid, k_vec.reshape(n_max), 0.0)
+  hi = lax.Precision.HIGH
+  # r = W k: unused rows of W are identity with zero RHS -> zeros.
+  r = jnp.matmul(winv_buf, k_masked, precision=hi)
+  r = jnp.where(valid, r, 0.0)
+  l = jnp.sqrt(jnp.maximum(kappa - jnp.dot(r, r, precision=hi), 1e-12))
+  new_row = -jnp.matmul(r, winv_buf, precision=hi) / l
+  new_row = jnp.where(valid, new_row, 0.0)
+  new_row = jnp.where(idx == num_obs, 1.0 / l, new_row)
+  return lax.dynamic_update_slice(winv_buf, new_row[None, :],
+                                  (num_obs, 0))

@@ -8,6 +8,7 @@ on-device variant carries model params + Adam state through the scan.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hyperbo_tpu.core import defs
 from hyperbo_tpu.models import kernel, mean
@@ -455,11 +456,14 @@ def test_retrain_trains_mlp_warped_kernel_in_scan():
     assert np.all(np.isfinite(np.asarray(leaf)))
 
 
-def test_refactor_then_append_equals_fresh_factorization():
+@pytest.mark.parametrize('solver', ['winv', 'chol'])
+def test_refactor_then_append_equals_fresh_factorization(
+    solver, monkeypatch):
   """The retrain loop's linchpin: a masked refactor at count=k followed
   by rank-1 appends equals the from-scratch factor of the grown
-  system under the same (new) hyperparameters."""
-  from hyperbo_tpu.ops import chol as chol_ops
+  system under the same (new) hyperparameters — for both the W = L^{-1}
+  (default) and the legacy L factor buffers."""
+  monkeypatch.setenv('HYPERBO_BO_SOLVER', solver)
   key = jax.random.PRNGKey(16)
   n_max, k, d = 12, 5, 2
   x_all = jax.random.uniform(key, (k + 2, d))
@@ -468,7 +472,7 @@ def test_refactor_then_append_equals_fresh_factorization():
                'signal_variance': 0.4, 'noise_variance': -2.5}
   from hyperbo_tpu.core.warp import DEFAULT_WARP_FUNC, retrieve_params
   eps = 1e-6
-  chol_buf = ondevice._masked_refactor(
+  fac_buf = ondevice._masked_refactor(
       mean.constant, kernel.squared_exponential, {}, DEFAULT_WARP_FUNC,
       new_model, x_buf, jnp.array(k, jnp.int32), eps=eps)
   shim = GPParams(model=new_model, config={})
@@ -476,16 +480,17 @@ def test_refactor_then_append_equals_fresh_factorization():
                         warp_func=DEFAULT_WARP_FUNC)
   count = jnp.array(k, jnp.int32)
   for j in range(2):
-    chol_buf = ondevice._append_chol(
+    fac_buf = ondevice._append_factor(
         kernel.squared_exponential, shim, DEFAULT_WARP_FUNC, nv, eps,
-        x_buf, chol_buf, count, x_all[k + j])
+        x_buf, fac_buf, count, x_all[k + j])
     x_buf = x_buf.at[k + j].set(x_all[k + j])
     count = count + 1
   kmat = kernel.squared_exponential(shim, x_all,
                                     warp_func=DEFAULT_WARP_FUNC)
   fresh = jnp.linalg.cholesky(kmat + (nv + eps) * jnp.eye(k + 2))
-  np.testing.assert_allclose(np.asarray(chol_buf[:k + 2, :k + 2]),
-                             np.asarray(fresh), atol=1e-5)
+  want = (jnp.linalg.inv(fresh) if solver == 'winv' else fresh)
+  np.testing.assert_allclose(np.asarray(fac_buf[:k + 2, :k + 2]),
+                             np.asarray(want), atol=1e-5)
 
 
 def test_mesh_loss_closure_captures_sharded_corpus(monkeypatch):
