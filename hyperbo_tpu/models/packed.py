@@ -214,6 +214,55 @@ def _nll_packed_batched(mean_func, cov_func, params, packed, warp_func,
   return 0.5 * quad + ld + 0.5 * packed.count * jnp.log(2 * jnp.pi)
 
 
+def per_task_nll_packed(mean_func,
+                        cov_func,
+                        params,
+                        packed: PackedDataset,
+                        warp_func=None,
+                        eps: float = 1e-6) -> jnp.ndarray:
+  """(T,) per-task NLLs of a packed batch (route-selected, unmasked).
+
+  The shared compute core of `neg_log_marginal_likelihood_packed`:
+  fused Pallas kernel when configured and applicable, batched small-n
+  kernel in its regime, else the vmapped dense pipeline. Exposed so
+  explicit task-DP programs (parallel.mesh.make_packed_loss_sharded)
+  can evaluate their local task shard per device under shard_map —
+  GSPMD cannot partition a pallas_call, so the sharded trainer needs
+  this per-shard entry rather than the global mean.
+  """
+  fused = params.config.get('fused_mll') if params.config else None
+  if fused:
+    from hyperbo_tpu.ops import pallas_mll
+    if pallas_mll.se_nll_fused_applicable(cov_func, packed.x[0], params,
+                                          masked=True):
+      return _nll_packed_fused(mean_func, cov_func, params, packed,
+                               warp_func, eps)
+  route = _batched_chol_route(params, packed)
+  if route:
+    return _nll_packed_batched(mean_func, cov_func, params, packed,
+                               warp_func, eps, route)
+  return jax.vmap(
+      lambda x, y, m, c: nll_one_task(
+          mean_func, cov_func, params, x, y, m, c, warp_func, eps))(
+              packed.x, packed.y, packed.mask, packed.count)
+
+
+def prior_nll_terms(params, warp_func=None) -> jnp.ndarray:
+  """Negated hyperprior log-probs added to the packed NLL (scalar).
+
+  Depends only on the model parameters (reference hyperprior semantics,
+  hyperbo/gp_utils/objectives.py regularizer terms) — replicated under
+  task-DP, so sharded losses add it once outside the psum.
+  """
+  total = jnp.zeros(())
+  if params.config and 'priors' in params.config:
+    for k in params.model:
+      if k in params.config['priors']:
+        val, = retrieve_params(params, [k], warp_func)
+        total -= params.config['priors'][k](val)
+  return total
+
+
 def neg_log_marginal_likelihood_packed(mean_func,
                                        cov_func,
                                        params,
@@ -228,35 +277,11 @@ def neg_log_marginal_likelihood_packed(mean_func,
   large aligned n_max), per-task NLLs run through the fused Pallas
   kernel instead (custom VJP: trains through it too).
   """
-  fused = params.config.get('fused_mll') if params.config else None
-  if fused:
-    from hyperbo_tpu.ops import pallas_mll
-    if pallas_mll.se_nll_fused_applicable(cov_func, packed.x[0], params,
-                                          masked=True):
-      per_task = _nll_packed_fused(mean_func, cov_func, params, packed,
-                                   warp_func, eps)
-    else:
-      fused = None
-  if not fused:
-    route = _batched_chol_route(params, packed)
-    if route:
-      per_task = _nll_packed_batched(mean_func, cov_func, params, packed,
-                                     warp_func, eps, route)
-    else:
-      per_task = jax.vmap(
-          lambda x, y, m, c: nll_one_task(
-              mean_func, cov_func, params, x, y, m, c, warp_func, eps))(
-                  packed.x, packed.y, packed.mask, packed.count)
+  per_task = per_task_nll_packed(mean_func, cov_func, params, packed,
+                                 warp_func=warp_func, eps=eps)
   per_task = jnp.where(packed.task_mask, per_task, 0.0)
   num = jnp.maximum(jnp.sum(packed.task_mask), 1)
-  total = jnp.sum(per_task) / num
-
-  if 'priors' in params.config:
-    for k in params.model:
-      if k in params.config['priors']:
-        val, = retrieve_params(params, [k], warp_func)
-        total -= params.config['priors'][k](val)
-  return total
+  return jnp.sum(per_task) / num + prior_nll_terms(params, warp_func)
 
 
 class PackedAlignedDataset(NamedTuple):

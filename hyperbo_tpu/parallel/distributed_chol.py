@@ -26,10 +26,8 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-try:
-  from jax import shard_map  # JAX >= 0.8
-except ImportError:  # pragma: no cover
-  from jax.experimental.shard_map import shard_map
+from hyperbo_tpu.ops import chol as chol_ops
+from hyperbo_tpu.parallel._smap import shard_map_unchecked
 
 
 def _to_blocks(a: jnp.ndarray, block: int, num_devices: int) -> jnp.ndarray:
@@ -52,12 +50,29 @@ def _cyclic_permute(nb: int, num_devices: int) -> np.ndarray:
 
 
 def distributed_cholesky(a: jnp.ndarray, mesh: Mesh, block: int = 256,
-                         axis_name: str = 'task') -> jnp.ndarray:
+                         axis_name: str = 'task',
+                         panel_solver: str = 'winv') -> jnp.ndarray:
   """Lower Cholesky factor of SPD `a`, factorized across `mesh`.
 
   The input may live on any device(s); it is re-laid-out block-cyclically,
   factorized cooperatively, and returned as a replicated (n, n) lower
   factor.
+
+  The per-step diagonal factorization routes through ops.chol.cholesky,
+  so the library's Pallas HBM kernel serves large blocks (>= 1024 with
+  set_use_hbm_kernel) — the same 60%-of-peak kernel as the single-chip
+  path, run replicated (it costs no communication and its B^3/3 FLOPs
+  vanish against the trailing GEMMs).
+
+  panel_solver:
+    'winv' (default): the owner-side diagonal inverse W = L_kk^{-1} is
+      formed once per step (one B-RHS solve of a B x B system) and every
+      device applies its panel as ONE MXU GEMM, A_ik @ W^T — the
+      MAGMA-style solve-free panel. lax.linalg.triangular_solve with a
+      broadcast (nb_local, B, B) batch is a sequential substitution
+      chain per block on TPU and regressed ~7x in the 2026-08-18
+      toolchain (PERF.md), which this removes entirely.
+    'chol': the legacy batched triangular-solve panel (A/B lever).
   """
   n = a.shape[-1]
   num_devices = mesh.shape[axis_name]
@@ -92,13 +107,20 @@ def distributed_cholesky(a: jnp.ndarray, mesh: Mesh, block: int = 256,
       owner = k % num_devices
       all_cands = lax.all_gather(diag_cand, axis_name)  # (P, B, B)
       a_kk = all_cands[owner]
-      l_kk = lax.linalg.cholesky(a_kk)
-      # --- 2. local panel solve: L_ik = A_ik L_kk^{-T} ---
+      l_kk = chol_ops.cholesky(a_kk)
+      # --- 2. local panel: L_ik = A_ik L_kk^{-T} ---
       panel_cols = lax.dynamic_slice(
           a_loc, (0, 0, col), (nb_local, block, block))
-      l_panel = lax.linalg.triangular_solve(
-          jnp.broadcast_to(l_kk, (nb_local, block, block)), panel_cols,
-          left_side=False, lower=True, transpose_a=True)
+      if panel_solver == 'winv':
+        w_kk = lax.linalg.triangular_solve(
+            l_kk, jnp.eye(block, dtype=l_kk.dtype), left_side=True,
+            lower=True)
+        l_panel = jnp.einsum('lbk,mk->lbm', panel_cols, w_kk,
+                             precision=lax.Precision.HIGHEST)
+      else:
+        l_panel = lax.linalg.triangular_solve(
+            jnp.broadcast_to(l_kk, (nb_local, block, block)), panel_cols,
+            left_side=False, lower=True, transpose_a=True)
       # Blocks strictly above the pivot contribute nothing.
       mask = (gidx >= k).astype(a_loc.dtype)[:, None, None]
       l_panel = l_panel * mask
@@ -121,7 +143,7 @@ def distributed_cholesky(a: jnp.ndarray, mesh: Mesh, block: int = 256,
         0, nb, step, (local_blocks, jnp.zeros_like(local_blocks)))
     return l_loc
 
-  l_cyc = shard_map(
+  l_cyc = shard_map_unchecked(
       factorize, mesh=mesh,
       in_specs=(P(axis_name), P(axis_name)),
       out_specs=P(axis_name))(blocks_cyc, gidx_all)

@@ -55,13 +55,16 @@ def gram_rowsharded(cov_func, params, x, mesh: Mesh, warp_func=None,
 
 def mll_distributed(mean_func, cov_func, params, x, y, mesh: Mesh,
                     warp_func=None, block: int = 256,
-                    axis_name: str = 'task', eps: float = 1e-6):
+                    axis_name: str = 'task', eps: float = 1e-6,
+                    panel_solver: str = 'winv'):
   """Negative log marginal likelihood of one large task over a mesh.
 
   Same value as the dense per-task NLL (reference formula,
   hyperbo/gp_utils/objectives.py:144-156): Gram row-sharded, factorized
-  with the distributed block-cyclic Cholesky, then logdet + quadratic
-  form on the replicated factor.
+  with the distributed block-cyclic Cholesky (solve-free winv panels by
+  default; ops.chol routing applies to the per-step diagonal blocks, so
+  large-block runs factorize them through the Pallas HBM kernel), then
+  logdet + quadratic form on the replicated factor.
   """
   noise_variance, = retrieve_params(params, ['noise_variance'],
                                     warp_func=warp_func)
@@ -69,8 +72,9 @@ def mll_distributed(mean_func, cov_func, params, x, y, mesh: Mesh,
   kmat = gram_rowsharded(cov_func, params, x, mesh, warp_func=warp_func,
                          axis_name=axis_name)
   kmat = kmat + jnp.eye(n, dtype=kmat.dtype) * (noise_variance + eps)
-  chol = distributed_chol.distributed_cholesky(kmat, mesh, block=block,
-                                               axis_name=axis_name)
+  chol = distributed_chol.distributed_cholesky(
+      kmat, mesh, block=block, axis_name=axis_name,
+      panel_solver=panel_solver)
   delta = y - jnp.atleast_2d(mean_func(params, x, warp_func=warp_func))
   kinvy = chol_ops.cho_solve(chol, delta)
   # Joint NLL of m independent draws: trace(delta^T K^{-1} delta), with

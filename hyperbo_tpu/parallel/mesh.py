@@ -26,6 +26,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from hyperbo_tpu.models import packed as packed_lib
+from hyperbo_tpu.parallel._smap import shard_map_unchecked
 
 
 def create_mesh(n_devices: Optional[int] = None,
@@ -56,21 +57,83 @@ def pad_tasks_for_mesh(dataset, mesh: Mesh, axis_name: str = 'task',
       num_tasks_multiple=mesh.shape[axis_name])
 
 
+def make_packed_loss_sharded(mean_func, cov_func, config, mesh: Mesh,
+                             warp_func=None, axis_name: str = 'task'):
+  """Packed multi-task NLL as an explicit shard_map task-DP program.
+
+  GSPMD cannot partition a pallas_call, so under plain NamedSharding the
+  fused Pallas MLL kernel (and the batched small-n kernel) would force
+  an all-gather back to one device — the auto-sharded trainer had to
+  fall back to the plain-XLA vmapped pipeline. This loss instead shards
+  the task axis EXPLICITLY: each device evaluates its local task shard
+  through the full route table (fused Pallas kernel included, it is a
+  single-device program inside shard_map), and two psums (NLL sum +
+  valid-task count) ride ICI. Hyperprior terms are replicated and added
+  once outside the psum.
+
+  Value/grad match `neg_log_marginal_likelihood_packed` on the same
+  packed batch exactly (same per-task route, same mean normalization).
+
+  Args:
+    mean_func / cov_func: GP mean/kernel functions.
+    config: objective config (fused_mll / batched_chol routing, priors).
+    mesh: 1-D device mesh; the packed task axis must divide its size
+      (pad_tasks_for_mesh arranges this).
+    warp_func: parameter warping.
+    axis_name: mesh axis to shard tasks over.
+
+  Returns:
+    loss_fn(model, packed_batch) -> scalar, jit/grad-compatible.
+  """
+  from hyperbo_tpu.core import defs  # local import to avoid cycle
+
+  def local(model, batch):
+    shim = defs.GPParams(model=model, config=config)
+    per_task = packed_lib.per_task_nll_packed(
+        mean_func, cov_func, shim, batch, warp_func=warp_func)
+    per_task = jnp.where(batch.task_mask, per_task, 0.0)
+    total = jax.lax.psum(jnp.sum(per_task), axis_name)
+    num = jax.lax.psum(jnp.sum(batch.task_mask.astype(jnp.int32)),
+                       axis_name)
+    return total / jnp.maximum(num, 1)
+
+  smapped = shard_map_unchecked(local, mesh=mesh,
+                                in_specs=(P(), P(axis_name)),
+                                out_specs=P())
+
+  def loss_fn(model, batch):
+    shim = defs.GPParams(model=model, config=config)
+    return smapped(model, batch) + packed_lib.prior_nll_terms(
+        shim, warp_func)
+
+  return loss_fn
+
+
 def fit_adam_packed_sharded(mean_func, cov_func, model_params, packed,
                             config, mesh: Mesh, warp_func=None, key=None,
-                            axis_name: str = 'task'):
+                            axis_name: str = 'task',
+                            use_shard_map: bool = True):
   """Task-sharded on-device Adam pre-training over a mesh.
 
   The packed buffers are placed task-sharded; parameters/optimizer state
   stay replicated. The lax.scan training loop from train.adam runs
-  unchanged — GSPMD partitions the per-task batched factorization and
-  inserts gradient psums.
+  unchanged. By default the loss is the explicit shard_map program from
+  `make_packed_loss_sharded`, so each device runs the fused Pallas MLL
+  (or batched-chol) kernel on its own task shard; with
+  use_shard_map=False the legacy GSPMD auto-sharding path is used
+  (plain-XLA pipeline only — pallas_calls cannot be partitioned).
   """
   from hyperbo_tpu.train import adam as adam_lib
   sharding = NamedSharding(mesh, P(axis_name))
+  loss_fn = None
+  if use_shard_map:
+    loss_fn = make_packed_loss_sharded(
+        mean_func, cov_func, config, mesh, warp_func=warp_func,
+        axis_name=axis_name)
   return adam_lib.fit_adam_packed(
       mean_func, cov_func, model_params, packed, config,
-      warp_func=warp_func, key=key, in_shardings=sharding)
+      warp_func=warp_func, key=key, loss_fn=loss_fn,
+      in_shardings=sharding)
 
 
 def score_candidates_sharded(score_fn, cand_x, mesh: Mesh,

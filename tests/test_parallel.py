@@ -89,6 +89,99 @@ def test_sharded_training_matches_single_device():
                                atol=1e-5)
 
 
+def test_shard_map_loss_matches_dense_value_and_grad():
+  """Explicit task-DP loss == global packed NLL, value AND gradient."""
+  dataset = _dataset(jax.random.PRNGKey(7))
+  params = _params()
+  mesh = mesh_lib.create_mesh(8)
+  packed, _ = mesh_lib.pad_tasks_for_mesh(dataset, mesh)
+
+  def dense_loss(model, batch):
+    shim = GPParams(model=model, config=params.config)
+    return packed_lib.neg_log_marginal_likelihood_packed(
+        mean.constant, kernel.squared_exponential, shim, batch,
+        warp_func=WF)
+
+  sharded_loss = mesh_lib.make_packed_loss_sharded(
+      mean.constant, kernel.squared_exponential, params.config, mesh,
+      warp_func=WF)
+  model = dict(params.model)
+  v_dense, g_dense = jax.value_and_grad(dense_loss)(model, packed)
+  v_shard, g_shard = jax.jit(jax.value_and_grad(sharded_loss))(
+      model, mesh_lib.shard_packed(packed, mesh))
+  np.testing.assert_allclose(float(v_shard), float(v_dense), rtol=1e-5)
+  for k in g_dense:
+    np.testing.assert_allclose(np.asarray(g_shard[k]),
+                               np.asarray(g_dense[k]), rtol=1e-4,
+                               atol=1e-6)
+
+
+def test_shard_map_loss_with_priors():
+  """Hyperprior terms are added exactly once (outside the psum)."""
+  dataset = _dataset(jax.random.PRNGKey(8))
+  params = _params()
+  config = dict(params.config)
+  config['priors'] = {
+      'signal_variance': lambda v: -0.5 * jnp.sum(v ** 2)}
+  mesh = mesh_lib.create_mesh(8)
+  packed, _ = mesh_lib.pad_tasks_for_mesh(dataset, mesh)
+  shim = GPParams(model=dict(params.model), config=config)
+  dense = float(packed_lib.neg_log_marginal_likelihood_packed(
+      mean.constant, kernel.squared_exponential, shim, packed,
+      warp_func=WF))
+  sharded_loss = mesh_lib.make_packed_loss_sharded(
+      mean.constant, kernel.squared_exponential, config, mesh,
+      warp_func=WF)
+  got = float(jax.jit(sharded_loss)(dict(params.model),
+                                    mesh_lib.shard_packed(packed, mesh)))
+  np.testing.assert_allclose(got, dense, rtol=1e-5)
+
+
+def test_shard_map_loss_batched_chol_kernel_per_shard():
+  """The batched small-n Pallas kernel runs PER DEVICE under shard_map
+  (GSPMD cannot partition a pallas_call — this is the path that makes
+  the kernel usable on a mesh at all)."""
+  dataset = _dataset(jax.random.PRNGKey(9), num_tasks=8, n=40)
+  params = _params()
+  config = dict(params.config, batched_chol='interpret')
+  mesh = mesh_lib.create_mesh(8)
+  packed, _ = mesh_lib.pad_tasks_for_mesh(dataset, mesh)
+  assert 32 < packed.x.shape[1] <= 128  # batched-chol regime
+  shim = GPParams(model=dict(params.model), config=config)
+  dense = float(packed_lib.neg_log_marginal_likelihood_packed(
+      mean.constant, kernel.squared_exponential, shim, packed,
+      warp_func=WF))
+  sharded_loss = mesh_lib.make_packed_loss_sharded(
+      mean.constant, kernel.squared_exponential, config, mesh,
+      warp_func=WF)
+  got = float(jax.jit(sharded_loss)(dict(params.model),
+                                    mesh_lib.shard_packed(packed, mesh)))
+  np.testing.assert_allclose(got, dense, rtol=1e-5)
+
+
+def test_shard_map_loss_fused_kernel_per_shard():
+  """The fused Pallas MLL kernel evaluates each device's task shard
+  under shard_map (interpret mode on the CPU mesh)."""
+  dataset = _dataset(jax.random.PRNGKey(10), num_tasks=8, n=512)
+  params = _params()
+  config = dict(params.config, fused_mll='interpret')
+  mesh = mesh_lib.create_mesh(8)
+  packed, _ = mesh_lib.pad_tasks_for_mesh(dataset, mesh)
+  assert packed.x.shape[1] == 512
+  # Reference: the plain-XLA dense pipeline (no fused route) — asserts
+  # cross-route parity at the same time as the shard wiring.
+  shim = GPParams(model=dict(params.model), config=params.config)
+  dense = float(packed_lib.neg_log_marginal_likelihood_packed(
+      mean.constant, kernel.squared_exponential, shim, packed,
+      warp_func=WF))
+  sharded_loss = mesh_lib.make_packed_loss_sharded(
+      mean.constant, kernel.squared_exponential, config, mesh,
+      warp_func=WF)
+  got = float(jax.jit(sharded_loss)(dict(params.model),
+                                    mesh_lib.shard_packed(packed, mesh)))
+  np.testing.assert_allclose(got, dense, rtol=1e-4)
+
+
 def test_sharded_candidate_scoring():
   key = jax.random.PRNGKey(3)
   params = GPParams(model={
