@@ -1108,13 +1108,15 @@ def _bwd_env_config():
   cached core would silently keep the old backward).
 
   Defaults are platform-aware. On TPU the fused backward kernel plus
-  the blocked triangular inverse are ON: measured on the 2026-08-18
-  toolchain (benchmarks/r5_retune_probe.py, n=8192 full
-  value_and_grad) fused+triinv runs 32.35 ms vs 52.7 ms for the old
-  default (lax trisolve had regressed 5.4 -> 37.7 ms in that build)
-  and 141 ms dense — gradient agreement 6e-3 relative, the expected
-  f32 reordering class at n=8192. On CPU both stay OFF: the interpret
-  -mode kernel is test-only and the XLA solve is the fast path there.
+  the PANEL-MAJOR PALLAS triangular inverse are ON: measured on the
+  2026-08-19 toolchain (benchmarks/r7_triinv_probe.py, full
+  value_and_grad) pallas beats the blocked recursion 26.9 vs 32.5 ms
+  at n=8192 and 142.7 vs 181.5 ms at n=16384, values matching to
+  ~1e-6 relative; the recursion remains the in-code fallback for
+  shapes off the kernel's chunk grid. (History: fused+recursion was
+  retuned on 2026-08-18 — 32.35 ms vs 52.7 ms old default vs 141 ms
+  dense at n=8192.) On CPU everything stays OFF: the interpret-mode
+  kernel is test-only and the XLA solve is the fast path there.
   """
   import os
   import jax
@@ -1124,7 +1126,7 @@ def _bwd_env_config():
           os.environ.get('HYPERBO_BWD_KINV', 'gemm'),
           os.environ.get('HYPERBO_BWD_PREC', 'high'),
           os.environ.get('HYPERBO_BWD_TRIINV',
-                         '1' if on_tpu else '0'))
+                         'pallas' if on_tpu else '0'))
 
 
 def _kinv_from_linv(linv, precision, mode='gemm'):
