@@ -231,7 +231,7 @@ def mll_iterative(mean_func, params, x, y, warp_func=None, eps: float = 1e-6,
                   cg_tol: float = 1e-5, cg_maxiter: int = 1000,
                   num_probes: int = 16, lanczos_steps: int = 32,
                   key: Optional[jax.Array] = None,
-                  precond_rank: int = 0,
+                  precond_rank: int = 128,
                   return_info: bool = False):
   """O(n)-memory NLL estimate: CG quad term + SLQ logdet.
 
@@ -255,6 +255,15 @@ def mll_iterative(mean_func, params, x, y, warp_func=None, eps: float = 1e-6,
   With return_info=True also returns {'cg_iters', 'cg_residual'} — CG
   hitting cg_maxiter without reaching cg_tol means the quad term (and
   its gradient) did not converge; check it on new problem classes.
+
+  precond_rank defaults to 128 (rank-k pivoted-Cholesky / Woodbury
+  preconditioner): hardware-measured on v5e (benchmarks/
+  r7_precond_probe.py, 2026-08-19) it cuts n=65536 MLL from 15.7 s /
+  288 CG iters to 4.6 s / 60 iters (rank 512: 2.55 s / 15 iters) and
+  n=8192 from 0.12 s / 143 iters to 0.064 s / 20 iters, with value
+  shift ~5e-6 relative (the preconditioner changes the iteration path,
+  not the fixed point). Set 0 to disable (e.g. kernels whose spectrum
+  a rank-128 sketch cannot capture).
   """
   from hyperbo_tpu.core.warp import retrieve_params
   from hyperbo_tpu.ops import pallas_mll as pm
@@ -370,7 +379,7 @@ def predict_iterative(mean_func, params, x_obs, y_obs, x_query,
                       warp_func=None, cov_func=None, eps: float = 1e-6,
                       row_chunk: int = 1024, query_chunk: int = 256,
                       cg_tol: float = 1e-5, cg_maxiter: int = 1000,
-                      precond_rank: int = 0,
+                      precond_rank: int = 128,
                       compute_var: bool = True,
                       return_info: bool = False):
   """Matrix-free GP posterior for n beyond the O(n^2) memory wall.

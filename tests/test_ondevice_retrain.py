@@ -493,11 +493,12 @@ def test_refactor_then_append_equals_fresh_factorization(
                              np.asarray(want), atol=1e-5)
 
 
-def test_mesh_loss_closure_captures_sharded_corpus(monkeypatch):
-  """Regression: the retrain/resample loss closures must capture the
-  SHARDED corpus. Rebinding the local name after _make_corpus_loss is
-  dead code — selections still match (so parity tests can't catch it)
-  but every device would hold the full corpus Gram workload."""
+def test_mesh_runner_receives_sharded_corpus(monkeypatch):
+  """Regression: the retrain/resample runners must be CALLED with the
+  SHARDED corpus (the packed buffers are runtime inputs of the cached
+  program, so the jit specializes on their sharding). Sharding only a
+  dead local name would keep selections matching — parity tests can't
+  catch it — while every device holds the full corpus Gram workload."""
   from hyperbo_tpu.parallel import mesh as mesh_lib
   params, dataset, sdk, queried = _setup(jax.random.PRNGKey(21))
   pretrain = {k: v for k, v in dataset.items()
@@ -507,13 +508,29 @@ def test_mesh_loss_closure_captures_sharded_corpus(monkeypatch):
   mesh = mesh_lib.create_mesh(8, axis_name='task')
   q8 = defs.SubDataset(queried.x[:8], queried.y[:8])
   seen = []
-  real = ondevice._make_corpus_loss
 
-  def spy(*args, **kwargs):
-    seen.append(kwargs['pretrain_packed'])
-    return real(*args, **kwargs)
+  real_retrain = ondevice.make_bo_retrain_runner
+  real_resample = ondevice.make_bo_resample_runner
 
-  monkeypatch.setattr(ondevice, '_make_corpus_loss', spy)
+  def spy_retrain(*args, **kwargs):
+    run = real_retrain(*args, **kwargs)
+    def wrapped(model, x0, y0, cand_x, cand_y, pp_arg, ap_arg, key):
+      seen.append(pp_arg)
+      return run(model, x0, y0, cand_x, cand_y, pp_arg, ap_arg, key)
+    return wrapped
+
+  def spy_resample(*args, **kwargs):
+    run, unravel = real_resample(*args, **kwargs)
+    def wrapped(init_arr, x0_obs, y0_obs, cand_x, cand_y, pp_arg,
+                ap_arg, key):
+      seen.append(pp_arg)
+      return run(init_arr, x0_obs, y0_obs, cand_x, cand_y, pp_arg,
+                 ap_arg, key)
+    return wrapped, unravel
+
+  monkeypatch.setattr(ondevice, 'make_bo_retrain_runner', spy_retrain)
+  monkeypatch.setattr(ondevice, 'make_bo_resample_runner',
+                      spy_resample)
   ondevice.simulated_bayesopt_ondevice_retrain(
       mean.constant, kernel.squared_exponential, dict(params.model),
       dict(params.config), None, q8, iters=2, acquisition='ei',
@@ -529,5 +546,5 @@ def test_mesh_loss_closure_captures_sharded_corpus(monkeypatch):
     for leaf in jax.tree.leaves(packed):
       sh = leaf.sharding
       assert getattr(sh, 'mesh', None) is not None and not sh.is_fully_replicated, (
-          'loss closure captured an unsharded corpus leaf '
+          'runner called with an unsharded corpus leaf '
           f'(sharding={sh})')
