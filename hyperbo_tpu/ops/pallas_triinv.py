@@ -29,10 +29,17 @@ masking anywhere:
   * the diagonal-block inverses D arrive precomputed (one batched XLA
     triangular solve over the (nb, B, B) diagonal — O(n B^2)).
 
-Work is n^3/6 MACs (the triangular minimum); traffic is
-~(MACs / B) * 8 bytes, compute/DMA-balanced at B = 256 on v5e. The
-sequential chain is per-panel; panels are independent and early panels
-are long — the kernel walks j outward so step sizes shrink smoothly.
+Work is n^3/6 MACs (the triangular minimum). Panels are INDEPENDENT
+chains, which the kernel exploits by sweeping G panels per pass
+(GROUP, default 4): per row-block i ONE L row-strip stream is shared
+by the G panel dots, cutting HBM traffic from (MACs/B)*8 bytes to
+(MACs/B)*8*(1+G)/(2G) and amortizing the per-step latency (diag-block
+load, output-write drain) over G blocks. At B=256/G=1 the kernel sat
+exactly at the compute/DMA balance point (1 MB streamed per 67 useful
+MFLOP — measured ~40% of the chol kernel's rate, PERF.md r7); G=4
+moves it compute-bound. The extra all-zero strip rows a grouped pass
+reads for panels above their top cost 1.5(G-1)/nb of the MACs (7% at
+n=16384) — accepted for DMA-grid simplicity.
 
 Used by ops/pallas_mll._se_core_bwd (custom-VJP of the fused MLL;
 gradient semantics anchor: the reference differentiates this
@@ -55,17 +62,19 @@ from hyperbo_tpu.ops.pallas_chol_hbm import _pdot
 
 BLOCK = 256
 CHUNK = 512
+GROUP = 4
 
 _MDIMS = (((1,), (0,)), ((), ()))       # a @ b
 
 
-def _kernel_triinv(n, block, chunk, precise,
+def _kernel_triinv(n, block, chunk, group, precise,
                    l_hbm, dinv_hbm,
                    tpm_hbm,
                    lrow, tstrip, dbuf, zbuf, obuf,
                    sem_l, sem_t, sem_d, sem_w, sem_z):
   nb = n // block
   ncz = n // chunk
+  G = group
 
   # ---- phase 0: zero-fill the whole output (see module docstring) ----
   zbuf[:] = jnp.zeros((chunk, block), jnp.float32)
@@ -96,77 +105,100 @@ def _kernel_triinv(n, block, chunk, precise,
     cin.start()
     cin.wait()
     co = pltpu.make_async_copy(
-        dbuf, tpm_hbm.at[p, pl.ds(p * block, block), :], sem_w)
+        dbuf, tpm_hbm.at[p, pl.ds(p * block, block), :], sem_w.at[0])
     co.start()
     co.wait()
     return 0
 
   jax.lax.fori_loop(0, nb, diag_step, 0)
 
-  # ---- phase 2: the panel sweep ----
-  def chunk_pair(i, c0, j, c, slot):
+  # ---- phase 2: the grouped panel sweep ----
+  def chunk_copies(i, c0, j0, c, slot):
     ib = pl.multiple_of(i * block, block)
     r0 = (c0 + c) * chunk
     cl = pltpu.make_async_copy(
         l_hbm.at[pl.ds(ib, block), pl.ds(r0, chunk)], lrow.at[slot],
         sem_l.at[slot])
-    ct = pltpu.make_async_copy(
-        tpm_hbm.at[j, pl.ds(r0, chunk), :], tstrip.at[slot],
-        sem_t.at[slot])
-    return cl, ct
+    cts = [pltpu.make_async_copy(
+        tpm_hbm.at[j0 + g, pl.ds(r0, chunk), :], tstrip.at[slot, g],
+        sem_t.at[slot * G + g]) for g in range(G)]
+    return cl, cts
 
-  def j_loop(j, _):
-    # chunk-grid index of the panel top (floored — undershoot rows are
-    # zero in panel j and never written)
-    c0 = jax.lax.div(j * block, chunk)
+  def jg_loop(jg, _):
+    j0 = jg * G
+    # chunk-grid index of the GROUP top (floored — undershoot rows are
+    # zero in every group panel and never written; panels g > 0 read
+    # g*block extra zero rows, see module docstring)
+    c0 = jax.lax.div(j0 * block, chunk)
 
     def i_loop(i, _):
       ib = pl.multiple_of(i * block, block)
       cd = pltpu.make_async_copy(dinv_hbm.at[i], dbuf, sem_d)
       cd.start()
-      # chunks cover rows [c0*chunk, cend*chunk) >= [jB, iB); the
+      # chunks cover rows [c0*chunk, cend*chunk) >= [j0*B, iB); the
       # overshoot rows [iB, cend*chunk) are still zero at read time
       nch = jax.lax.div(i * block - 1, chunk) + 1 - c0
-      cl0, ct0 = chunk_pair(i, c0, j, 0, 0)
+      cl0, cts0 = chunk_copies(i, c0, j0, 0, 0)
       cl0.start()
-      ct0.start()
+      for ct in cts0:
+        ct.start()
 
-      def k_step(c, acc):
+      def k_step(c, accs):
         slot = jax.lax.rem(c, 2)
 
         @pl.when(c + 1 < nch)
         def _():
           nslot = jax.lax.rem(c + 1, 2)
-          cl, ct = chunk_pair(i, c0, j, c + 1, nslot)
+          cl, cts = chunk_copies(i, c0, j0, c + 1, nslot)
           cl.start()
-          ct.start()
+          for ct in cts:
+            ct.start()
 
-        cl, ct = chunk_pair(i, c0, j, c, slot)
+        cl, cts = chunk_copies(i, c0, j0, c, slot)
         cl.wait()
-        ct.wait()
-        return acc + _pdot(lrow[slot], tstrip[slot], _MDIMS, precise)
+        for ct in cts:
+          ct.wait()
+        return tuple(
+            accs[g] + _pdot(lrow[slot], tstrip[slot, g], _MDIMS,
+                            precise)
+            for g in range(G))
 
-      acc = jax.lax.fori_loop(0, nch, k_step,
-                              jnp.zeros((block, block), jnp.float32))
+      accs = jax.lax.fori_loop(
+          0, nch, k_step,
+          tuple(jnp.zeros((block, block), jnp.float32)
+                for _ in range(G)))
       cd.wait()
-      obuf[:] = -_pdot(dbuf[:], acc, _MDIMS, precise)
-      co = pltpu.make_async_copy(
-          obuf, tpm_hbm.at[j, pl.ds(ib, block), :], sem_w)
-      co.start()
-      co.wait()     # next step's tstrip chunk may cover these rows
+      # Guard i > j0 + g: block rows on/above panel g's diagonal block
+      # belong to phase 1 (the diagonal) or stay zero (above it) — the
+      # guarded-out accs are all-zero-row products anyway.
+      for g in range(G):
+        @pl.when(i > j0 + g)
+        def _(g=g):
+          obuf[g] = -_pdot(dbuf[:], accs[g], _MDIMS, precise)
+          pltpu.make_async_copy(
+              obuf.at[g], tpm_hbm.at[j0 + g, pl.ds(ib, block), :],
+              sem_w.at[g]).start()
+      # Drain before the next i: its tstrip chunks may cover these rows.
+      for g in range(G):
+        @pl.when(i > j0 + g)
+        def _(g=g):
+          pltpu.make_async_copy(
+              obuf.at[g], tpm_hbm.at[j0 + g, pl.ds(ib, block), :],
+              sem_w.at[g]).wait()
       return 0
 
-    jax.lax.fori_loop(j + 1, nb, i_loop, 0)
+    jax.lax.fori_loop(j0 + 1, nb, i_loop, 0)
     return 0
 
-  jax.lax.fori_loop(0, nb, j_loop, 0)
+  jax.lax.fori_loop(0, nb // G, jg_loop, 0)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('block', 'chunk', 'precise',
-                                    'interpret'))
+                   static_argnames=('block', 'chunk', 'group',
+                                    'precise', 'interpret'))
 def tri_inv_panels(l: jnp.ndarray,
                    block: int = BLOCK, chunk: int = CHUNK,
+                   group: int = GROUP,
                    precise: bool = True,
                    interpret: bool = False) -> jnp.ndarray:
   """T = L^{-1} in panel-major (nb, n, block) layout.
@@ -179,6 +211,8 @@ def tri_inv_panels(l: jnp.ndarray,
       non-PD poison path of the fused MLL).
     block: panel width B (output lane width); n % block == 0.
     chunk: DMA chunk rows; chunk % block == 0 and n % chunk == 0.
+    group: panels swept jointly per pass (shares the L row stream —
+      see module docstring); auto-halved until it divides nb.
     precise: X3 (3-pass split-operand) MXU products, matching the
       forward kernel's accuracy class; False = single-pass bf16.
 
@@ -190,6 +224,9 @@ def tri_inv_panels(l: jnp.ndarray,
   assert n % block == 0 and chunk % block == 0 and n % chunk == 0, (
       n, block, chunk)
   assert nb >= 2, 'use a direct solve below 2 blocks'
+  group = max(1, group)
+  while group > 1 and nb % group:
+    group //= 2
   lf = l.astype(jnp.float32)
 
   # Batched diagonal-block inverses (XLA): one batched solve over the
@@ -200,7 +237,8 @@ def tri_inv_panels(l: jnp.ndarray,
   dinv = jax.lax.linalg.triangular_solve(
       diag, eye, left_side=True, lower=True)
 
-  kernel = functools.partial(_kernel_triinv, n, block, chunk, precise)
+  kernel = functools.partial(_kernel_triinv, n, block, chunk, group,
+                             precise)
   tpm = pl.pallas_call(
       kernel,
       in_specs=[
@@ -211,14 +249,15 @@ def tri_inv_panels(l: jnp.ndarray,
       out_shape=jax.ShapeDtypeStruct((nb, n, block), jnp.float32),
       scratch_shapes=[
           pltpu.VMEM((2, block, chunk), jnp.float32),   # L row chunks
-          pltpu.VMEM((2, chunk, block), jnp.float32),   # T panel chunks
+          pltpu.VMEM((2, group, chunk, block),
+                     jnp.float32),                      # T panel chunks
           pltpu.VMEM((block, block), jnp.float32),      # D_i
           pltpu.VMEM((chunk, block), jnp.float32),      # zero tile
-          pltpu.VMEM((block, block), jnp.float32),      # out block
+          pltpu.VMEM((group, block, block), jnp.float32),  # out blocks
           pltpu.SemaphoreType.DMA((2,)),                # L chunk sems
-          pltpu.SemaphoreType.DMA((2,)),                # T chunk sems
+          pltpu.SemaphoreType.DMA((2 * group,)),        # T chunk sems
           pltpu.SemaphoreType.DMA,                      # D sem
-          pltpu.SemaphoreType.DMA,                      # write sem
+          pltpu.SemaphoreType.DMA((group,)),            # write sems
           pltpu.SemaphoreType.DMA((2,)),                # zero-fill sems
       ],
       compiler_params=pallas_params.compiler_params(has_side_effects=True),

@@ -23,15 +23,18 @@ def _spd_chol(n, seed=0, ridge=2.0):
   return jnp.linalg.cholesky(a @ a.T + ridge * jnp.eye(n))
 
 
-@pytest.mark.parametrize('n,block,chunk', [
-    (512, 128, 256),     # small
-    (1536, 256, 512),    # panel tops NOT chunk-aligned (odd j)
-    (1024, 256, 512),    # production block/chunk, min admissible n
+@pytest.mark.parametrize('n,block,chunk,group', [
+    (512, 128, 256, 1),    # small, ungrouped
+    (512, 128, 256, 4),    # grouped: nb=4, one full group
+    (1536, 256, 512, 1),   # panel tops NOT chunk-aligned (odd j)
+    (1536, 256, 512, 2),   # grouped with non-chunk-aligned group tops
+    (1536, 256, 512, 4),   # nb=6 % 4 != 0 -> auto-halves to 2
+    (1024, 256, 512, 4),   # production block/chunk/group
 ])
-def test_tri_inv_panels_matches_solve(n, block, chunk):
+def test_tri_inv_panels_matches_solve(n, block, chunk, group):
   l = _spd_chol(n, seed=n)
   tpm = pallas_triinv.tri_inv_panels(l, block=block, chunk=chunk,
-                                     interpret=True)
+                                     group=group, interpret=True)
   nb = n // block
   want = jax.lax.linalg.triangular_solve(
       l, jnp.eye(n, dtype=l.dtype), left_side=True, lower=True)
