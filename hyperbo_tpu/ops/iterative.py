@@ -39,6 +39,23 @@ import jax.numpy as jnp
 from hyperbo_tpu.ops.pallas_mll_bwd import _km_nm
 
 
+def _clamp_row_chunk(row_chunk: int, n: int) -> int:
+  """Halve row_chunk until the (chunk, n) f32 Gram tile stays under
+  2^31 bytes.
+
+  The 2026-08-18 hardware session (PERF.md r4_iterative_probe, commit
+  dbb5d0d) saw n=131072 with row_chunk=4096 CRASH the TPU worker
+  ("kernel fault") while n=65536 at the same chunk ran clean. The tile
+  sizes are exactly 2^31 vs 2^30 bytes — the fault class is int32
+  byte-offset overflow on a single >=2 GiB buffer, so the clamp keeps
+  every materialized (chunk, n) tile strictly below it. Shrinking the
+  chunk only adds scan steps; the math is unchanged.
+  """
+  while row_chunk > 128 and row_chunk * n * 4 >= 2**31:
+    row_chunk //= 2
+  return row_chunk
+
+
 def kernel_matvec(x_scaled: jnp.ndarray, v: jnp.ndarray, sv, da,
                   kfam: str = 'se', row_chunk: int = 1024,
                   precision=jax.lax.Precision.HIGH) -> jnp.ndarray:
@@ -287,6 +304,7 @@ def mll_iterative(mean_func, params, x, y, warp_func=None, eps: float = 1e-6,
   sv = jnp.squeeze(signal_variance)
   da = jnp.squeeze(noise_variance) + eps
 
+  row_chunk = _clamp_row_chunk(row_chunk, n)
   pad = (-n) % row_chunk
   if pad:
     # Padded rows sit at sentinels placed BEYOND the data's maximum
@@ -435,6 +453,7 @@ def predict_iterative(mean_func, params, x_obs, y_obs, x_query,
   sv = jnp.squeeze(signal_variance)
   da = jnp.squeeze(noise_variance) + eps
 
+  row_chunk = _clamp_row_chunk(row_chunk, n)
   pad = (-n) % row_chunk
   if pad:
     base = jax.lax.stop_gradient(

@@ -294,3 +294,16 @@ def test_predict_iterative_single_query_chunk_capped():
                              atol=2e-3, rtol=1e-3)
   np.testing.assert_allclose(np.asarray(var_i), np.asarray(var_d),
                              atol=2e-3, rtol=2e-2)
+
+
+def test_clamp_row_chunk_under_2gib_tile():
+  """The (chunk, n) Gram tile must stay under 2^31 bytes (the n=131072
+  x 4096-chunk 'kernel fault' of PERF.md r4_iterative_probe was a tile
+  of exactly 2^31)."""
+  from hyperbo_tpu.ops.iterative import _clamp_row_chunk
+  assert _clamp_row_chunk(4096, 65536) == 4096      # 2^30: untouched
+  assert _clamp_row_chunk(4096, 131072) == 2048     # 2^31: halved once
+  assert _clamp_row_chunk(4096, 1 << 20) == 256     # 4M rows
+  assert _clamp_row_chunk(1024, 8192) == 1024       # small n untouched
+  # Never shrinks below the 128-row floor.
+  assert _clamp_row_chunk(128, 1 << 24) == 128
