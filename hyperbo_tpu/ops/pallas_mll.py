@@ -1100,7 +1100,10 @@ def _bwd_env_config():
       (ops/linalg.tri_inv_blocked), 'pallas' = the panel-major Pallas
       kernel (ops/pallas_triinv; only reachable on the fused-bwd route,
       where it also skips the dense->panel transpose pass; falls back
-      to the recursion when the shape doesn't divide its chunk grid).
+      to the recursion when the shape doesn't divide its chunk grid),
+      'pallas<R>' (e.g. 'pallas4') = the same kernel's 2-D tiled sweep
+      with R row-blocks per pass (shares T-strip chunks across the
+      tile's rows — see _kernel_triinv_tiled).
 
   Resolved at the se_nll_fused entry points and threaded INTO the
   custom-VJP core factories' lru_cache keys, so flipping a knob after
@@ -1191,12 +1194,15 @@ def _se_core_bwd(l, x_scaled, delta, sv, valid, kfam='se',
     from hyperbo_tpu.ops import pallas_mll_bwd
     n = l.shape[-1]
     block = pallas_mll_bwd.BLOCK
-    if (triinv == 'pallas' and n % pallas_triinv.CHUNK == 0
+    if (triinv.startswith('pallas') and n % pallas_triinv.CHUNK == 0
         and n >= 2 * block):
       # Panel-major Pallas inverse: writes T directly in the layout the
       # fused backward kernel consumes — no dense L^{-1}, no transpose.
+      # 'pallas<R>' (e.g. 'pallas4') selects the 2-D tiled sweep with
+      # R row-blocks per pass; bare 'pallas' is the 1-D grouped sweep.
+      rows = int(triinv[6:]) if len(triinv) > 6 else 1
       tpm = pallas_triinv.tri_inv_panels(
-          l, block=block, chunk=pallas_triinv.CHUNK,
+          l, block=block, chunk=pallas_triinv.CHUNK, rows=rows,
           precise=(prec_mode != 'default'), interpret=interpret)
       alpha = pallas_triinv.alpha_from_panels(tpm, delta, precision=hi)
     else:

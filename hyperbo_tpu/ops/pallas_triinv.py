@@ -193,12 +193,171 @@ def _kernel_triinv(n, block, chunk, group, precise,
   jax.lax.fori_loop(0, nb // G, jg_loop, 0)
 
 
+def _kernel_triinv_tiled(n, block, chunk, ig, jg, precise,
+                         l_hbm, dinv_hbm,
+                         tpm_hbm,
+                         lrow, tstrip, accbuf, ttile, lc, dbuf, zbuf,
+                         sem_l, sem_t, sem_d, sem_lc, sem_w, sem_z):
+  """Two-dimensional tiled panel sweep: IG row-blocks x JG panels.
+
+  The 1-D grouped sweep (_kernel_triinv) re-streams panel strip rows
+  for EVERY row-block i; tiling IG row-blocks per pass shares each
+  T-strip chunk across IG L-row chunks, cutting strip traffic IG-fold
+  (and L traffic JG-fold as before: (IG+JG)/(2*IG*JG) of the
+  ungrouped bytes per MAC) while issuing IG*JG MXU dots per chunk
+  step — the per-issue scalar-core overhead the r8 ladder exposed
+  amortizes with the tile area. The intra-tile dependency (row i needs
+  rows [i0, i) of its panels) resolves in a sequential VMEM corner:
+  phase A streams all strip contributions below the tile top, phase B
+  finishes each row from the in-VMEM tile (corner L blocks and the
+  already-finished tile rows), placing diagonal-block inverses
+  in-tile — no separate diagonal pass.
+  """
+  nb = n // block
+  ncz = n // chunk
+
+  # ---- phase 0: zero-fill the whole output (see module docstring) ----
+  zbuf[:] = jnp.zeros((chunk, block), jnp.float32)
+
+  def zero_step(c, _):
+    p = jax.lax.div(c, ncz)
+    r = jax.lax.rem(c, ncz) * chunk
+    slot = jax.lax.rem(c, 2)
+    cp = pltpu.make_async_copy(
+        zbuf, tpm_hbm.at[p, pl.ds(r, chunk), :], sem_z.at[slot])
+
+    @pl.when(c >= 2)
+    def _():
+      cp.wait()           # free this slot's previous in-flight write
+    cp.start()
+    return 0
+
+  jax.lax.fori_loop(0, nb * ncz, zero_step, 0)
+  pltpu.make_async_copy(zbuf, tpm_hbm.at[nb - 1, pl.ds(n - chunk, chunk), :],
+                        sem_z.at[jax.lax.rem(nb * ncz, 2)]).wait()
+  pltpu.make_async_copy(zbuf, tpm_hbm.at[nb - 1, pl.ds(n - chunk, chunk), :],
+                        sem_z.at[jax.lax.rem(nb * ncz + 1, 2)]).wait()
+
+  # ---- the tile sweep ----
+  def chunk_copies(i0, c0, j0, c, slot):
+    r0 = (c0 + c) * chunk
+    cls = [pltpu.make_async_copy(
+        l_hbm.at[pl.ds((i0 + ii) * block, block), pl.ds(r0, chunk)],
+        lrow.at[slot, ii], sem_l.at[slot * ig + ii])
+        for ii in range(ig)]
+    cts = [pltpu.make_async_copy(
+        tpm_hbm.at[j0 + g, pl.ds(r0, chunk), :], tstrip.at[slot, g],
+        sem_t.at[slot * jg + g]) for g in range(jg)]
+    return cls, cts
+
+  def jg_loop(jgi, _):
+    j0 = jgi * jg
+    c0 = jax.lax.div(j0 * block, chunk)
+    ti0 = jax.lax.div(j0, ig)   # first tile touching the group
+
+    def tile_loop(ti, _):
+      i0 = ti * ig
+      # Prefetch the tile's diagonal inverses and corner L blocks —
+      # they overlap the whole of phase A.
+      for ii in range(ig):
+        pltpu.make_async_copy(dinv_hbm.at[i0 + ii], dbuf.at[ii],
+                              sem_d.at[ii]).start()
+      for ii in range(ig):
+        for kk in range(ii):
+          pltpu.make_async_copy(
+              l_hbm.at[pl.ds((i0 + ii) * block, block),
+                       pl.ds((i0 + kk) * block, block)],
+              lc.at[ii, kk], sem_lc.at[ii * ig + kk]).start()
+
+      # ---- phase A: stream strip rows [c0*chunk, i0*block) ----
+      accbuf[...] = jnp.zeros((ig, jg, block, block), jnp.float32)
+      nch = jnp.where(i0 * block > c0 * chunk,
+                      jax.lax.div(i0 * block - 1, chunk) + 1 - c0, 0)
+
+      @pl.when(nch > 0)
+      def _():
+        cls0, cts0 = chunk_copies(i0, c0, j0, 0, 0)
+        for cp in cls0 + cts0:
+          cp.start()
+
+      def k_step(c, _):
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < nch)
+        def _():
+          nslot = jax.lax.rem(c + 1, 2)
+          cls, cts = chunk_copies(i0, c0, j0, c + 1, nslot)
+          for cp in cls + cts:
+            cp.start()
+
+        cls, cts = chunk_copies(i0, c0, j0, c, slot)
+        for cp in cls + cts:
+          cp.wait()
+        for ii in range(ig):
+          for g in range(jg):
+            accbuf[ii, g] = accbuf[ii, g] + _pdot(
+                lrow[slot, ii], tstrip[slot, g], _MDIMS, precise)
+        return 0
+
+      jax.lax.fori_loop(0, nch, k_step, 0)
+
+      # ---- phase B: sequential in-VMEM corner ----
+      for ii in range(ig):
+        pltpu.make_async_copy(dinv_hbm.at[i0 + ii], dbuf.at[ii],
+                              sem_d.at[ii]).wait()
+        for kk in range(ii):
+          pltpu.make_async_copy(
+              l_hbm.at[pl.ds((i0 + ii) * block, block),
+                       pl.ds((i0 + kk) * block, block)],
+              lc.at[ii, kk], sem_lc.at[ii * ig + kk]).wait()
+        i = i0 + ii
+        for g in range(jg):
+          jv = j0 + g
+          corner = accbuf[ii, g]
+          for kk in range(ii):
+            corner = corner + _pdot(lc[ii, kk], ttile[kk, g], _MDIMS,
+                                    precise)
+          val = -_pdot(dbuf[ii], corner, _MDIMS, precise)
+          # Below the diagonal: the computed block. On it: D_i (the
+          # precomputed inverse). Above: zero (phase 0's fill is the
+          # persistent truth in HBM; the in-VMEM tile needs the zeros
+          # for later rows' corner products).
+          ttile[ii, g] = jnp.where(
+              i > jv, val,
+              jnp.where(i == jv, dbuf[ii],
+                        jnp.zeros((block, block), jnp.float32)))
+
+          @pl.when(i >= jv)
+          def _(ii=ii, g=g):
+            pltpu.make_async_copy(
+                ttile.at[ii, g],
+                tpm_hbm.at[j0 + g, pl.ds((i0 + ii) * block, block), :],
+                sem_w.at[ii * jg + g]).start()
+
+      # Drain the tile's writes: the NEXT tile's phase A strips (and
+      # every later tile) read these rows.
+      for ii in range(ig):
+        for g in range(jg):
+          @pl.when(i0 + ii >= j0 + g)
+          def _(ii=ii, g=g):
+            pltpu.make_async_copy(
+                ttile.at[ii, g],
+                tpm_hbm.at[j0 + g, pl.ds((i0 + ii) * block, block), :],
+                sem_w.at[ii * jg + g]).wait()
+      return 0
+
+    jax.lax.fori_loop(ti0, nb // ig, tile_loop, 0)
+    return 0
+
+  jax.lax.fori_loop(0, nb // jg, jg_loop, 0)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=('block', 'chunk', 'group',
+                   static_argnames=('block', 'chunk', 'group', 'rows',
                                     'precise', 'interpret'))
 def tri_inv_panels(l: jnp.ndarray,
                    block: int = BLOCK, chunk: int = CHUNK,
-                   group: int = GROUP,
+                   group: int = GROUP, rows: int = 1,
                    precise: bool = True,
                    interpret: bool = False) -> jnp.ndarray:
   """T = L^{-1} in panel-major (nb, n, block) layout.
@@ -213,6 +372,10 @@ def tri_inv_panels(l: jnp.ndarray,
     chunk: DMA chunk rows; chunk % block == 0 and n % chunk == 0.
     group: panels swept jointly per pass (shares the L row stream —
       see module docstring); auto-halved until it divides nb.
+    rows: row-blocks swept jointly per pass; rows > 1 selects the
+      two-dimensional tiled kernel (shares each T-strip chunk across
+      the tile's rows, sequential in-VMEM corner); auto-halved until
+      it divides nb.
     precise: X3 (3-pass split-operand) MXU products, matching the
       forward kernel's accuracy class; False = single-pass bf16.
 
@@ -227,6 +390,9 @@ def tri_inv_panels(l: jnp.ndarray,
   group = max(1, group)
   while group > 1 and nb % group:
     group //= 2
+  rows = max(1, rows)
+  while rows > 1 and nb % rows:
+    rows //= 2
   lf = l.astype(jnp.float32)
 
   # Batched diagonal-block inverses (XLA): one batched solve over the
@@ -236,6 +402,39 @@ def tri_inv_panels(l: jnp.ndarray,
   eye = jnp.broadcast_to(jnp.eye(block, dtype=jnp.float32), diag.shape)
   dinv = jax.lax.linalg.triangular_solve(
       diag, eye, left_side=True, lower=True)
+
+  if rows > 1:
+    ig, jg = rows, group
+    kernel = functools.partial(_kernel_triinv_tiled, n, block, chunk,
+                               ig, jg, precise)
+    tpm = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),          # L dense
+            pl.BlockSpec(memory_space=pl.ANY),          # diag inverses
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),    # T panels
+        out_shape=jax.ShapeDtypeStruct((nb, n, block), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, ig, block, chunk), jnp.float32),   # L rows
+            pltpu.VMEM((2, jg, chunk, block), jnp.float32),   # T strips
+            pltpu.VMEM((ig, jg, block, block), jnp.float32),  # phase-A acc
+            pltpu.VMEM((ig, jg, block, block), jnp.float32),  # out tile
+            pltpu.VMEM((ig, ig, block, block), jnp.float32),  # corner L
+            pltpu.VMEM((ig, block, block), jnp.float32),      # D_i
+            pltpu.VMEM((chunk, block), jnp.float32),          # zero tile
+            pltpu.SemaphoreType.DMA((2 * ig,)),               # L sems
+            pltpu.SemaphoreType.DMA((2 * jg,)),               # T sems
+            pltpu.SemaphoreType.DMA((ig,)),                   # D sems
+            pltpu.SemaphoreType.DMA((ig * ig,)),              # corner sems
+            pltpu.SemaphoreType.DMA((ig * jg,)),              # write sems
+            pltpu.SemaphoreType.DMA((2,)),                    # zero sems
+        ],
+        compiler_params=pallas_params.compiler_params(
+            has_side_effects=True),
+        interpret=interpret,
+    )(lf, dinv)
+    return tpm
 
   kernel = functools.partial(_kernel_triinv, n, block, chunk, group,
                              precise)

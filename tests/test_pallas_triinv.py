@@ -23,18 +23,24 @@ def _spd_chol(n, seed=0, ridge=2.0):
   return jnp.linalg.cholesky(a @ a.T + ridge * jnp.eye(n))
 
 
-@pytest.mark.parametrize('n,block,chunk,group', [
-    (512, 128, 256, 1),    # small, ungrouped
-    (512, 128, 256, 4),    # grouped: nb=4, one full group
-    (1536, 256, 512, 1),   # panel tops NOT chunk-aligned (odd j)
-    (1536, 256, 512, 2),   # grouped with non-chunk-aligned group tops
-    (1536, 256, 512, 4),   # nb=6 % 4 != 0 -> auto-halves to 2
-    (1024, 256, 512, 4),   # production block/chunk/group
+@pytest.mark.parametrize('n,block,chunk,group,rows', [
+    (512, 128, 256, 1, 1),    # small, ungrouped
+    (512, 128, 256, 4, 1),    # grouped: nb=4, one full group
+    (1536, 256, 512, 1, 1),   # panel tops NOT chunk-aligned (odd j)
+    (1536, 256, 512, 2, 1),   # grouped with non-chunk-aligned group tops
+    (1536, 256, 512, 4, 1),   # nb=6 % 4 != 0 -> auto-halves to 2
+    (1024, 256, 512, 4, 1),   # production block/chunk/group
+    (1024, 256, 512, 2, 2),   # 2-D tiled sweep (phase A + VMEM corner)
+    (1024, 256, 512, 4, 4),   # full production tile
+    (1024, 256, 256, 4, 4),   # tile tops chunk-aligned (chunk == block)
+    (1536, 256, 512, 4, 4),   # nb=6: rows AND group auto-halve to 2
+    (512, 128, 256, 2, 4),    # ig > jg, nb=4
 ])
-def test_tri_inv_panels_matches_solve(n, block, chunk, group):
+def test_tri_inv_panels_matches_solve(n, block, chunk, group, rows):
   l = _spd_chol(n, seed=n)
   tpm = pallas_triinv.tri_inv_panels(l, block=block, chunk=chunk,
-                                     group=group, interpret=True)
+                                     group=group, rows=rows,
+                                     interpret=True)
   nb = n // block
   want = jax.lax.linalg.triangular_solve(
       l, jnp.eye(n, dtype=l.dtype), left_side=True, lower=True)
@@ -78,9 +84,11 @@ def _bwd_route(l, x, delta, sv, triinv):
       bwd_cfg=(True, 'gemm', 'high', triinv))
 
 
-def test_se_core_bwd_pallas_route_matches_recursion_route():
-  """End-to-end fused backward with HYPERBO_BWD_TRIINV='pallas' vs '1'
-  — same kernel consuming T from the two producers."""
+@pytest.mark.parametrize('triinv', ['pallas', 'pallas2'])
+def test_se_core_bwd_pallas_route_matches_recursion_route(triinv):
+  """End-to-end fused backward with HYPERBO_BWD_TRIINV='pallas' (1-D
+  grouped sweep) / 'pallas2' (2-D tiled sweep) vs '1' — same kernel
+  consuming T from the different producers."""
   n, d = 1024, 4
   x = jax.random.uniform(jax.random.PRNGKey(11), (n, d), jnp.float32)
   delta = jax.random.normal(jax.random.PRNGKey(12), (n, 1), jnp.float32)
@@ -89,7 +97,7 @@ def test_se_core_bwd_pallas_route_matches_recursion_route():
   r2 = jnp.maximum(sq + sq.T - 2.0 * x @ x.T, 0.0)
   k = sv * jnp.exp(-0.5 * r2) + da * jnp.eye(n)
   l = jnp.linalg.cholesky(k)
-  dx_p, al_p, dsv_p, dda_p = _bwd_route(l, x, delta, sv, 'pallas')
+  dx_p, al_p, dsv_p, dda_p = _bwd_route(l, x, delta, sv, triinv)
   dx_r, al_r, dsv_r, dda_r = _bwd_route(l, x, delta, sv, '1')
   sc = float(jnp.max(jnp.abs(dx_r))) + 1e-8
   assert float(jnp.max(jnp.abs(dx_p - dx_r))) / sc < 1e-3
