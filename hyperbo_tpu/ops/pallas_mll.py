@@ -1199,11 +1199,20 @@ def _se_core_bwd(l, x_scaled, delta, sv, valid, kfam='se',
       # Panel-major Pallas inverse: writes T directly in the layout the
       # fused backward kernel consumes — no dense L^{-1}, no transpose.
       # 'pallas<R>' (e.g. 'pallas4') selects the 2-D tiled sweep with
-      # R row-blocks per pass; bare 'pallas' is the 1-D grouped sweep.
-      rows = int(triinv[6:]) if len(triinv) > 6 else 1
+      # R row-blocks per pass; 'pallas<R>x<G>' additionally overrides
+      # the panel group; bare 'pallas' is the 1-D grouped sweep.
+      rows, group = 1, pallas_triinv.GROUP
+      if len(triinv) > 6:
+        spec = triinv[6:]
+        if 'x' in spec:
+          rs, gs = spec.split('x', 1)
+          rows, group = int(rs), int(gs)
+        else:
+          rows = int(spec)
       tpm = pallas_triinv.tri_inv_panels(
-          l, block=block, chunk=pallas_triinv.CHUNK, rows=rows,
-          precise=(prec_mode != 'default'), interpret=interpret)
+          l, block=block, chunk=pallas_triinv.CHUNK, group=group,
+          rows=rows, precise=(prec_mode != 'default'),
+          interpret=interpret)
       alpha = pallas_triinv.alpha_from_panels(tpm, delta, precision=hi)
     else:
       linv = _tri_inv(l, blocked=(triinv != '0'))
