@@ -1200,17 +1200,20 @@ def _se_core_bwd(l, x_scaled, delta, sv, valid, kfam='se',
       # fused backward kernel consumes — no dense L^{-1}, no transpose.
       # 'pallas<R>' (e.g. 'pallas4') selects the 2-D tiled sweep with
       # R row-blocks per pass; 'pallas<R>x<G>' additionally overrides
-      # the panel group; bare 'pallas' is the 1-D grouped sweep.
-      rows, group = 1, pallas_triinv.GROUP
+      # the panel group and 'pallas<R>x<G>x<C>' the DMA chunk rows;
+      # bare 'pallas' is the 1-D grouped sweep.
+      rows, group, chunk = 1, pallas_triinv.GROUP, pallas_triinv.CHUNK
       if len(triinv) > 6:
-        spec = triinv[6:]
-        if 'x' in spec:
-          rs, gs = spec.split('x', 1)
-          rows, group = int(rs), int(gs)
-        else:
-          rows = int(spec)
+        parts = triinv[6:].split('x')
+        rows = int(parts[0])
+        if len(parts) > 1:
+          group = int(parts[1])
+        if len(parts) > 2:
+          chunk = int(parts[2])
+      if n % chunk:
+        chunk = pallas_triinv.CHUNK
       tpm = pallas_triinv.tri_inv_panels(
-          l, block=block, chunk=pallas_triinv.CHUNK, group=group,
+          l, block=block, chunk=chunk, group=group,
           rows=rows, precise=(prec_mode != 'default'),
           interpret=interpret)
       alpha = pallas_triinv.alpha_from_panels(tpm, delta, precision=hi)

@@ -35,6 +35,7 @@ def _spd_chol(n, seed=0, ridge=2.0):
     (1024, 256, 256, 4, 4),   # tile tops chunk-aligned (chunk == block)
     (1536, 256, 512, 4, 4),   # nb=6: rows AND group auto-halve to 2
     (512, 128, 256, 2, 4),    # ig > jg, nb=4
+    (2048, 256, 1024, 4, 4),  # wide DMA chunk (the r10 chunk ladder)
 ])
 def test_tri_inv_panels_matches_solve(n, block, chunk, group, rows):
   l = _spd_chol(n, seed=n)
