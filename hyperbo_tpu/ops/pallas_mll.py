@@ -1116,10 +1116,13 @@ def _bwd_env_config():
   value_and_grad) pallas beats the blocked recursion 26.9 vs 32.5 ms
   at n=8192 and 142.7 vs 181.5 ms at n=16384, values matching to
   ~1e-6 relative; the recursion remains the in-code fallback for
-  shapes off the kernel's chunk grid. (History: fused+recursion was
-  retuned on 2026-08-18 — 32.35 ms vs 52.7 ms old default vs 141 ms
-  dense at n=8192.) On CPU everything stays OFF: the interpret-mode
-  kernel is test-only and the XLA solve is the fast path there.
+  shapes off the kernel's chunk grid. Bare 'pallas' resolves to the
+  size-aware measured winners of the r9/r10 tile/chunk ladders
+  (rows=4, group=2, chunk 512/1024 below/at n=16384 — full VG 24.3 /
+  129.2 ms). (History: fused+recursion was retuned on 2026-08-18 —
+  32.35 ms vs 52.7 ms old default vs 141 ms dense at n=8192.) On CPU
+  everything stays OFF: the interpret-mode kernel is test-only and
+  the XLA solve is the fast path there.
   """
   import os
   import jax
@@ -1210,6 +1213,12 @@ def _se_core_bwd(l, x_scaled, delta, sv, valid, kfam='se',
           group = int(parts[1])
         if len(parts) > 2:
           chunk = int(parts[2])
+      else:
+        # Bare 'pallas': size-aware measured winners (r9/r10 ladders,
+        # PERF.md): the 2-D tile shares T-strip chunks across rows and
+        # the wider DMA chunk pays off once the panel chains are long.
+        rows, group = 4, 2
+        chunk = 1024 if n >= 16384 else 512
       if n % chunk:
         chunk = pallas_triinv.CHUNK
       tpm = pallas_triinv.tri_inv_panels(
