@@ -446,21 +446,53 @@ def bench_train():
       times.append(time.perf_counter() - t0)
     return min(times)
 
-  vg_fused = make_vg({'fused_mll': True if on_tpu else 'interpret'})
+  fused_cfg = {'fused_mll': True if on_tpu else 'interpret'}
   vg_dense = make_vg({})
-  try:
-    float(vg_fused(model0))
-  except Exception as e:  # noqa: BLE001
-    # Toolchain-drift insurance (see bench_chol's ladder): retry the
-    # identical program with a raised scoped-vmem ceiling.
-    log(f'fused VG failed ({type(e).__name__}); retrying with '
-        f'vmem copts: {str(e)[:160]}')
-    vg_fused = make_vg(
-        {'fused_mll': True if on_tpu else 'interpret'}).lower(
-            model0).compile(
-                compiler_options={'xla_tpu_scoped_vmem_limit_kib':
-                                  '17408'})
-    float(vg_fused(model0))
+
+  def compile_fused_ladder(build, arg, label):
+    # Toolchain-drift insurance (see bench_chol's ladder): walk the
+    # backward-route rungs from the library default down to the
+    # always-compiling recursion rather than losing the leg. Env knobs
+    # are trace-time reads, so each rung builds a FRESH jit.
+    ladder = [
+        ({}, 'default', None),
+        ({}, 'default+vmem17M',
+         {'xla_tpu_scoped_vmem_limit_kib': '17408'}),
+        # r11: the panel-major-L fwd residual is the newest construct;
+        # drop back to the r10-measured dense-L Pallas tri-inv, then
+        # the 'blocks' panel layout, then the blocked-GEMM recursion.
+        ({'HYPERBO_BWD_PANEL_L': '0'}, 'denseL-pallas', None),
+        ({'HYPERBO_TRIINV_PANEL_LAYOUT': 'blocks'}, 'panel-blocks',
+         None),
+        ({'HYPERBO_BWD_PANEL_L': '0', 'HYPERBO_BWD_TRIINV': '1'},
+         'recursion', None),
+    ]
+    last = None
+    for env, tag, copts in ladder:
+      saved = {k: os.environ.get(k) for k in env}
+      os.environ.update(env)
+      try:
+        vg = build()
+        if copts:
+          vg = vg.lower(arg).compile(compiler_options=copts)
+        float(vg(arg))
+        if tag != 'default':
+          log(f'{label} rung: {tag}')
+        return vg
+      except Exception as e:  # noqa: BLE001
+        last = e
+        log(f'{label} rung {tag} failed ({type(e).__name__}): '
+            f'{str(e)[:160]}')
+      finally:
+        for k, v in saved.items():
+          if v is None:
+            os.environ.pop(k, None)
+          else:
+            os.environ[k] = v
+    raise last
+
+  vg_fused = compile_fused_ladder(lambda: make_vg(fused_cfg), model0,
+                                  'fused VG')
   t_fused = timed_scalar(vg_fused, model0) / k_iters
   log(f'n={n} value_and_grad fused: {t_fused*1e3:.1f} ms/step')
   float(vg_dense(model0))
@@ -506,8 +538,9 @@ def bench_train():
           return total
         return vg_k, k2
 
-      vg_big, k2 = make_vg2()
-      float(vg_big(model0))
+      k2 = 2
+      vg_big = compile_fused_ladder(lambda: make_vg2()[0], model0,
+                                    'n=16384 VG')
       t_big = timed_scalar(vg_big, model0) / k2
       log(f'n={n2} value_and_grad fused: {t_big*1e3:.1f} ms/step')
       result['large_n'] = {

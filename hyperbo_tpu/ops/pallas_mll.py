@@ -24,6 +24,7 @@ nll = 0.5 * quad + logdet_half + 0.5 * n * log(2 pi).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -966,6 +967,14 @@ def mll_fused_g(x_scaled: jnp.ndarray, y: jnp.ndarray,
       compiler_params=pallas_params.compiler_params(has_side_effects=True),
       interpret=interpret,
   )(xa, xb, y_pm, sv, da)
+  if return_l == 'panels':
+    # Raw panel-major factor: no diag fix, no dense transpose — the
+    # consumer (ops/pallas_triinv with panel_input=True,
+    # diag_transposed=True) reads panel blocks directly and corrects
+    # the transposed diagonal storage inside its batched diag-inverse
+    # solve. Above-diagonal rows of every panel are exact zeros (the
+    # zero pass runs whenever L is exported).
+    return l_pm, quad[0, 0], ld[0, 0]
   if return_l:
     # The kernel stores diagonal (B, B) blocks transposed; fix them IN
     # the panel-major layout (l_pm[p] holds all n rows of column-panel
@@ -998,8 +1007,19 @@ def _poison_non_pd(l, nll):
   trainers' isfinite-freeze (same contract as pallas_batch_chol).
   Value-only evaluation (the no-grad primal) skips return_l and keeps
   the clamp semantics — only training paths pay the n^2 select.
+
+  Accepts L dense (n, n) or panel-major (nb, n, B) with transposed
+  diagonal-block storage — a block's diagonal entries are transpose-
+  invariant, so the detection is layout-independent.
   """
-  bad = jnp.min(jnp.diagonal(l)) <= 0.0
+  if l.ndim == 3:
+    nb, _, b = l.shape
+    idx = jnp.arange(nb)
+    diagd = jnp.diagonal(l.reshape(nb, nb, b, b)[idx, idx],
+                         axis1=-2, axis2=-1)
+    bad = jnp.min(diagd) <= 0.0
+  else:
+    bad = jnp.min(jnp.diagonal(l)) <= 0.0
   nanf = jnp.float32(jnp.nan)
   return jnp.where(bad, nanf, l), jnp.where(bad, nanf, nll)
 
@@ -1044,9 +1064,18 @@ def _se_nll_core_fn(block: int, half: int, group: int, interpret: bool,
     return 0.5 * quad + ld
 
   def fwd(x_scaled, delta, sv, da):
+    # Save L panel-major when the backward will consume it through the
+    # panel-input Pallas tri-inv (skips the n^2 dense transpose here
+    # AND makes every tri-inv L read contiguous); dense otherwise.
+    from hyperbo_tpu.ops import pallas_mll_bwd
+    ret_l = ('panels'
+             if (block == pallas_mll_bwd.BLOCK
+                 and _bwd_panel_l_route(x_scaled.shape[0], bwd_cfg))
+             else True)
     l, quad, ld = mll_fused_g(x_scaled, delta, sv, da, block=block,
                               half=half, group=group,
-                              sweep_unroll=sweep_unroll, return_l=True,
+                              sweep_unroll=sweep_unroll,
+                              return_l=ret_l,
                               kfam=kfam, pivot_mode=pivot_mode,
                               interpret=interpret)
     l, nll = _poison_non_pd(l, 0.5 * quad + ld)
@@ -1162,6 +1191,42 @@ def _bwd_fused_wanted(n, fused_flag):
   return n % pb.CHUNK == 0 and n <= pb.MAX_N
 
 
+def _norm_triinv(triinv):
+  # Back-compat: older probes/tests thread booleans through bwd_cfg.
+  if triinv is True:
+    return '1'
+  if triinv is False:
+    return '0'
+  return triinv
+
+
+def _bwd_panel_l_route(n, bwd_cfg):
+  """True when _se_core_bwd resolves (n, bwd_cfg) to the panel-major
+  Pallas triangular inverse. The custom-VJP fwd then saves the L
+  residual panel-major straight off the forward kernel
+  (mll_fused_g return_l='panels'): no n^2 dense transpose in the fwd,
+  and every L read inside the tri-inv sweep is a contiguous panel
+  block instead of a B-row strided window (the r9-measured overhead).
+  MUST mirror the dispatch condition in _se_core_bwd exactly.
+
+  HYPERBO_BWD_PANEL_L=0 (trace-time, like HYPERBO_TRIINV_PANEL_LAYOUT)
+  disables panel saving: the fwd exports dense L and the Pallas
+  tri-inv runs with its dense strided-window reads — the r10-measured
+  configuration, kept as an A/B hook and a toolchain-drift fallback."""
+  if bwd_cfg is None:
+    return False
+  if os.environ.get('HYPERBO_BWD_PANEL_L', '1') == '0':
+    return False
+  fused_flag, _, _, triinv = bwd_cfg
+  triinv = _norm_triinv(triinv)
+  if not (isinstance(triinv, str) and triinv.startswith('pallas')):
+    return False
+  if not _bwd_fused_wanted(n, fused_flag):
+    return False
+  from hyperbo_tpu.ops import pallas_mll_bwd
+  return n % pallas_triinv.CHUNK == 0 and n >= 2 * pallas_mll_bwd.BLOCK
+
+
 def _se_core_bwd(l, x_scaled, delta, sv, valid, kfam='se',
                  interpret=False, bwd_cfg=None):
   """Shared closed-form adjoints for the fused NLL cores.
@@ -1186,16 +1251,19 @@ def _se_core_bwd(l, x_scaled, delta, sv, valid, kfam='se',
   if bwd_cfg is None:
     bwd_cfg = _bwd_env_config()
   fused_flag, kinv_mode, prec_mode, triinv = bwd_cfg
-  # Back-compat: older probes/tests thread booleans through bwd_cfg.
-  if triinv is True:
-    triinv = '1'
-  elif triinv is False:
-    triinv = '0'
+  triinv = _norm_triinv(triinv)
   hi = (jax.lax.Precision.DEFAULT if prec_mode == 'default'
         else jax.lax.Precision.HIGH)
-  if _bwd_fused_wanted(l.shape[-1], fused_flag):
+  # l.ndim == 3: the fwd saved the residual panel-major (nb, n, B)
+  # because _bwd_panel_l_route held — it must resolve to the Pallas
+  # tri-inv branch below (no other consumer understands panels).
+  panel_l = l.ndim == 3
+  n = l.shape[1] if panel_l else l.shape[-1]
+  if panel_l:
+    assert _bwd_panel_l_route(n, (fused_flag, kinv_mode, prec_mode,
+                                  triinv)), (l.shape, bwd_cfg)
+  if _bwd_fused_wanted(n, fused_flag):
     from hyperbo_tpu.ops import pallas_mll_bwd
-    n = l.shape[-1]
     block = pallas_mll_bwd.BLOCK
     if (triinv.startswith('pallas') and n % pallas_triinv.CHUNK == 0
         and n >= 2 * block):
@@ -1221,10 +1289,15 @@ def _se_core_bwd(l, x_scaled, delta, sv, valid, kfam='se',
         chunk = 1024 if n >= 16384 else 512
       if n % chunk:
         chunk = pallas_triinv.CHUNK
+      # Trace-time env knob (like _bwd_env_config): how panel-input L
+      # blocks land in VMEM — 'wide' (dense-identical compute) or
+      # 'blocks' (per-kk dots). No effect on dense-L input.
+      layout = os.environ.get('HYPERBO_TRIINV_PANEL_LAYOUT', 'wide')
       tpm = pallas_triinv.tri_inv_panels(
           l, block=block, chunk=chunk, group=group,
           rows=rows, precise=(prec_mode != 'default'),
-          interpret=interpret)
+          panel_input=panel_l, diag_transposed=panel_l,
+          panel_layout=layout, interpret=interpret)
       alpha = pallas_triinv.alpha_from_panels(tpm, delta, precision=hi)
     else:
       linv = _tri_inv(l, blocked=(triinv != '0'))
@@ -1415,10 +1488,17 @@ def _se_nll_core_masked_fn(block: int, half: int, group: int,
     return 0.5 * quad + ld
 
   def fwd(x_scaled, delta, sv, da, valid):
+    # Panel-major residual when the backward takes the panel-input
+    # Pallas tri-inv (see _se_nll_core_fn.fwd).
+    from hyperbo_tpu.ops import pallas_mll_bwd
+    ret_l = ('panels'
+             if (block == pallas_mll_bwd.BLOCK
+                 and _bwd_panel_l_route(x_scaled.shape[0], bwd_cfg))
+             else True)
     l, quad, ld = mll_fused_g(x_scaled, delta, sv, da, block=block,
                               half=half, group=group,
                               sweep_unroll=sweep_unroll, valid=valid,
-                              return_l=True, kfam=kfam,
+                              return_l=ret_l, kfam=kfam,
                               pivot_mode=pivot_mode,
                               interpret=interpret)
     # Padded rows keep diag(L) = sqrt(da) > 0, so the non-PD check

@@ -41,6 +41,29 @@ moves it compute-bound. The extra all-zero strip rows a grouped pass
 reads for panels above their top cost 1.5(G-1)/nb of the MACs (7% at
 n=16384) — accepted for DMA-grid simplicity.
 
+`panel_input=True` takes L in the SAME panel-major (nb, n, B) layout
+the output uses (the fused forward kernel materializes L that way
+anyway): every L read then becomes a contiguous (B, B) panel-block
+copy instead of a B-row strided window into dense L (256 separate
+4 KB bursts per strip chunk). The strided window was the r9-measured
+per-chunk-step overhead: the kernels sharing this file's traffic
+profile but reading only contiguous panels (the chol forward, the
+SYRK backward) run at ~70-73%% of peak while the dense-L sweep sat at
+34-37%%. The T-strip reads are panel-major (contiguous) in EVERY
+mode, so only the L copies change. Two layouts (`panel_layout`):
+
+  * 'wide' — the cpb panel blocks DMA side-by-side into static
+    lane-offset windows of the SAME (B, chunk) row buffer the dense
+    path uses; the MXU compute is bit-identical to the dense path
+    (wide (B, chunk) x (chunk, B) dots).
+  * 'blocks' — panel blocks land in fully-indexed (cpb, B, B)
+    scratch and contract per-kk with (B, B) dots. Mosaic REJECTS a
+    single multi-contraction dot_general over (kk, k) ("lhs
+    contracting dims must be of size 1", r11 probe), so the chunk
+    accumulation runs as cpb separate MXU issues. Hedge for the
+    'wide' layout's lane-window DMA destinations, which are the
+    other toolchain-risk construct.
+
 Used by ops/pallas_mll._se_core_bwd (custom-VJP of the fused MLL;
 gradient semantics anchor: the reference differentiates this
 objective per pre-training step, /root/reference/hyperbo/gp_utils/
@@ -66,8 +89,14 @@ GROUP = 4
 
 _MDIMS = (((1,), (0,)), ((), ()))       # a @ b
 
+# Kernel layout modes (`lpm` kernel arg): 0 = dense (n, n) L input;
+# 1 = panel-major L, 'blocks' layout; 2 = panel-major L, 'wide' layout
+# (see module docstring — Mosaic rejects multi-contraction dot_general,
+# so mode 1 contracts per-kk and mode 2 keeps the dense wide dots).
+_LPM_DENSE, _LPM_BLOCKS, _LPM_WIDE = 0, 1, 2
 
-def _kernel_triinv(n, block, chunk, group, precise,
+
+def _kernel_triinv(n, block, chunk, group, precise, lpm,
                    l_hbm, dinv_hbm,
                    tpm_hbm,
                    lrow, tstrip, dbuf, zbuf, obuf,
@@ -75,6 +104,7 @@ def _kernel_triinv(n, block, chunk, group, precise,
   nb = n // block
   ncz = n // chunk
   G = group
+  cpb = chunk // block
 
   # ---- phase 0: zero-fill the whole output (see module docstring) ----
   zbuf[:] = jnp.zeros((chunk, block), jnp.float32)
@@ -116,9 +146,29 @@ def _kernel_triinv(n, block, chunk, group, precise,
   def chunk_copies(i, c0, j0, c, slot):
     ib = pl.multiple_of(i * block, block)
     r0 = (c0 + c) * chunk
-    cl = pltpu.make_async_copy(
-        l_hbm.at[pl.ds(ib, block), pl.ds(r0, chunk)], lrow.at[slot],
-        sem_l.at[slot])
+    if lpm:
+      # Panel-major L: the strip's chunk columns are cpb contiguous
+      # (B, B) panel blocks; rows at/right of the diagonal read zeros
+      # (fwd zero-pass) or the transposed diag block — both finite and
+      # multiplied by zero T rows (see module docstring). 'wide' lands
+      # them side-by-side in the dense path's (B, chunk) buffer;
+      # 'blocks' in fully-indexed (cpb, B, B) scratch.
+      q0 = (c0 + c) * cpb
+      if lpm == _LPM_WIDE:
+        cl = [pltpu.make_async_copy(
+            l_hbm.at[q0 + kk, pl.ds(ib, block), :],
+            lrow.at[slot, :, pl.ds(kk * block, block)],
+            sem_l.at[slot * cpb + kk]) for kk in range(cpb)]
+      else:
+        cl = [pltpu.make_async_copy(
+            l_hbm.at[q0 + kk, pl.ds(ib, block), :], lrow.at[slot, kk],
+            sem_l.at[slot * cpb + kk]) for kk in range(cpb)]
+    else:
+      cl = [pltpu.make_async_copy(
+          l_hbm.at[pl.ds(ib, block), pl.ds(r0, chunk)], lrow.at[slot],
+          sem_l.at[slot])]
+    # T panels are panel-major in every mode: the strip read is already
+    # one contiguous (chunk, B) block.
     cts = [pltpu.make_async_copy(
         tpm_hbm.at[j0 + g, pl.ds(r0, chunk), :], tstrip.at[slot, g],
         sem_t.at[slot * G + g]) for g in range(G)]
@@ -139,9 +189,8 @@ def _kernel_triinv(n, block, chunk, group, precise,
       # overshoot rows [iB, cend*chunk) are still zero at read time
       nch = jax.lax.div(i * block - 1, chunk) + 1 - c0
       cl0, cts0 = chunk_copies(i, c0, j0, 0, 0)
-      cl0.start()
-      for ct in cts0:
-        ct.start()
+      for cp in cl0 + cts0:
+        cp.start()
 
       def k_step(c, accs):
         slot = jax.lax.rem(c, 2)
@@ -150,14 +199,25 @@ def _kernel_triinv(n, block, chunk, group, precise,
         def _():
           nslot = jax.lax.rem(c + 1, 2)
           cl, cts = chunk_copies(i, c0, j0, c + 1, nslot)
-          cl.start()
-          for ct in cts:
-            ct.start()
+          for cp in cl + cts:
+            cp.start()
 
         cl, cts = chunk_copies(i, c0, j0, c, slot)
-        cl.wait()
-        for ct in cts:
-          ct.wait()
+        for cp in cl + cts:
+          cp.wait()
+        if lpm == _LPM_BLOCKS:
+          # Per-kk (B, B) dots — Mosaic has no multi-contraction
+          # dot_general, so the chunk accumulates over cpb MXU issues.
+          out = []
+          for g in range(G):
+            t = tstrip[slot, g]
+            acc = accs[g]
+            for kk in range(cpb):
+              acc = acc + _pdot(lrow[slot, kk],
+                                t[kk * block:(kk + 1) * block, :],
+                                _MDIMS, precise)
+            out.append(acc)
+          return tuple(out)
         return tuple(
             accs[g] + _pdot(lrow[slot], tstrip[slot, g], _MDIMS,
                             precise)
@@ -193,7 +253,7 @@ def _kernel_triinv(n, block, chunk, group, precise,
   jax.lax.fori_loop(0, nb // G, jg_loop, 0)
 
 
-def _kernel_triinv_tiled(n, block, chunk, ig, jg, precise,
+def _kernel_triinv_tiled(n, block, chunk, ig, jg, precise, lpm,
                          l_hbm, dinv_hbm,
                          tpm_hbm,
                          lrow, tstrip, accbuf, ttile, lc, dbuf, zbuf,
@@ -215,6 +275,7 @@ def _kernel_triinv_tiled(n, block, chunk, ig, jg, precise,
   """
   nb = n // block
   ncz = n // chunk
+  cpb = chunk // block
 
   # ---- phase 0: zero-fill the whole output (see module docstring) ----
   zbuf[:] = jnp.zeros((chunk, block), jnp.float32)
@@ -241,10 +302,28 @@ def _kernel_triinv_tiled(n, block, chunk, ig, jg, precise,
   # ---- the tile sweep ----
   def chunk_copies(i0, c0, j0, c, slot):
     r0 = (c0 + c) * chunk
-    cls = [pltpu.make_async_copy(
-        l_hbm.at[pl.ds((i0 + ii) * block, block), pl.ds(r0, chunk)],
-        lrow.at[slot, ii], sem_l.at[slot * ig + ii])
-        for ii in range(ig)]
+    if lpm:
+      # Panel-major L: contiguous (B, B) panel-block sources. 'wide'
+      # reassembles the dense path's (B, chunk) row buffers via static
+      # lane-offset windows; 'blocks' uses fully-indexed scratch.
+      q0 = (c0 + c) * cpb
+      if lpm == _LPM_WIDE:
+        cls = [pltpu.make_async_copy(
+            l_hbm.at[q0 + kk, pl.ds((i0 + ii) * block, block), :],
+            lrow.at[slot, ii, :, pl.ds(kk * block, block)],
+            sem_l.at[(slot * ig + ii) * cpb + kk])
+            for ii in range(ig) for kk in range(cpb)]
+      else:
+        cls = [pltpu.make_async_copy(
+            l_hbm.at[q0 + kk, pl.ds((i0 + ii) * block, block), :],
+            lrow.at[slot, ii, kk],
+            sem_l.at[(slot * ig + ii) * cpb + kk])
+            for ii in range(ig) for kk in range(cpb)]
+    else:
+      cls = [pltpu.make_async_copy(
+          l_hbm.at[pl.ds((i0 + ii) * block, block), pl.ds(r0, chunk)],
+          lrow.at[slot, ii], sem_l.at[slot * ig + ii])
+          for ii in range(ig)]
     cts = [pltpu.make_async_copy(
         tpm_hbm.at[j0 + g, pl.ds(r0, chunk), :], tstrip.at[slot, g],
         sem_t.at[slot * jg + g]) for g in range(jg)]
@@ -257,6 +336,17 @@ def _kernel_triinv_tiled(n, block, chunk, ig, jg, precise,
 
     def tile_loop(ti, _):
       i0 = ti * ig
+
+      def corner_copy(ii, kk):
+        # Panel-major L reads the corner block from panel i0+kk — one
+        # contiguous (B, B) block either way.
+        src = (l_hbm.at[i0 + kk, pl.ds((i0 + ii) * block, block), :]
+               if lpm else
+               l_hbm.at[pl.ds((i0 + ii) * block, block),
+                        pl.ds((i0 + kk) * block, block)])
+        return pltpu.make_async_copy(src, lc.at[ii, kk],
+                                     sem_lc.at[ii * ig + kk])
+
       # Prefetch the tile's diagonal inverses and corner L blocks —
       # they overlap the whole of phase A.
       for ii in range(ig):
@@ -264,10 +354,7 @@ def _kernel_triinv_tiled(n, block, chunk, ig, jg, precise,
                               sem_d.at[ii]).start()
       for ii in range(ig):
         for kk in range(ii):
-          pltpu.make_async_copy(
-              l_hbm.at[pl.ds((i0 + ii) * block, block),
-                       pl.ds((i0 + kk) * block, block)],
-              lc.at[ii, kk], sem_lc.at[ii * ig + kk]).start()
+          corner_copy(ii, kk).start()
 
       # ---- phase A: stream strip rows [c0*chunk, i0*block) ----
       accbuf[...] = jnp.zeros((ig, jg, block, block), jnp.float32)
@@ -293,10 +380,21 @@ def _kernel_triinv_tiled(n, block, chunk, ig, jg, precise,
         cls, cts = chunk_copies(i0, c0, j0, c, slot)
         for cp in cls + cts:
           cp.wait()
-        for ii in range(ig):
-          for g in range(jg):
-            accbuf[ii, g] = accbuf[ii, g] + _pdot(
-                lrow[slot, ii], tstrip[slot, g], _MDIMS, precise)
+        if lpm == _LPM_BLOCKS:
+          for ii in range(ig):
+            for g in range(jg):
+              t = tstrip[slot, g]
+              acc = accbuf[ii, g]
+              for kk in range(cpb):
+                acc = acc + _pdot(lrow[slot, ii, kk],
+                                  t[kk * block:(kk + 1) * block, :],
+                                  _MDIMS, precise)
+              accbuf[ii, g] = acc
+        else:
+          for ii in range(ig):
+            for g in range(jg):
+              accbuf[ii, g] = accbuf[ii, g] + _pdot(
+                  lrow[slot, ii], tstrip[slot, g], _MDIMS, precise)
         return 0
 
       jax.lax.fori_loop(0, nch, k_step, 0)
@@ -306,10 +404,7 @@ def _kernel_triinv_tiled(n, block, chunk, ig, jg, precise,
         pltpu.make_async_copy(dinv_hbm.at[i0 + ii], dbuf.at[ii],
                               sem_d.at[ii]).wait()
         for kk in range(ii):
-          pltpu.make_async_copy(
-              l_hbm.at[pl.ds((i0 + ii) * block, block),
-                       pl.ds((i0 + kk) * block, block)],
-              lc.at[ii, kk], sem_lc.at[ii * ig + kk]).wait()
+          corner_copy(ii, kk).wait()
         i = i0 + ii
         for g in range(jg):
           jv = j0 + g
@@ -354,20 +449,28 @@ def _kernel_triinv_tiled(n, block, chunk, ig, jg, precise,
 
 @functools.partial(jax.jit,
                    static_argnames=('block', 'chunk', 'group', 'rows',
-                                    'precise', 'interpret'))
+                                    'precise', 'panel_input',
+                                    'diag_transposed', 'panel_layout',
+                                    'interpret'))
 def tri_inv_panels(l: jnp.ndarray,
                    block: int = BLOCK, chunk: int = CHUNK,
                    group: int = GROUP, rows: int = 1,
                    precise: bool = True,
+                   panel_input: bool = False,
+                   diag_transposed: bool = False,
+                   panel_layout: str = 'wide',
                    interpret: bool = False) -> jnp.ndarray:
   """T = L^{-1} in panel-major (nb, n, block) layout.
 
   Args:
-    l: (n, n) lower-triangular factor. Values on/above the diagonal
-      are never allowed to influence the result, but they flow through
-      multiply-by-zero — they must be FINITE (NaN poison in L
-      propagates everywhere, which is the wanted behavior for the
-      non-PD poison path of the fused MLL).
+    l: (n, n) lower-triangular factor — or, with `panel_input`, the
+      SAME factor already panel-major (nb, n, block), the layout the
+      fused forward kernel writes (every in-kernel L read is then a
+      contiguous panel-block DMA; see module docstring). Values on/
+      above the diagonal are never allowed to influence the result,
+      but they flow through multiply-by-zero — they must be FINITE
+      (NaN poison in L propagates everywhere, which is the wanted
+      behavior for the non-PD poison path of the fused MLL).
     block: panel width B (output lane width); n % block == 0.
     chunk: DMA chunk rows; chunk % block == 0 and n % chunk == 0.
     group: panels swept jointly per pass (shares the L row stream —
@@ -378,12 +481,26 @@ def tri_inv_panels(l: jnp.ndarray,
       it divides nb.
     precise: X3 (3-pass split-operand) MXU products, matching the
       forward kernel's accuracy class; False = single-pass bf16.
+    panel_input: `l` is panel-major (nb, n, block); requires
+      l.shape[2] == block.
+    diag_transposed: the diagonal (B, B) blocks of `l` hold D^T
+      instead of D — the storage convention of the fused forward
+      kernel's panel output (ops/pallas_mll.mll_fused_g return_l
+      note). Only the batched diagonal-inverse solve looks at them
+      (the sweep never reads on/above-diagonal blocks of L), so the
+      fix is free.
+    panel_layout: 'wide' or 'blocks' — how panel-input L blocks land
+      in VMEM (module docstring). Ignored without panel_input.
 
   Returns:
     tpm: (nb, n, block) with tpm[p][r, c] = L^{-1}[r, p*block + c].
   """
-  n = l.shape[-1]
-  nb = n // block
+  if panel_input:
+    nb, n, bw = l.shape
+    assert bw == block and n == nb * block, (l.shape, block)
+  else:
+    n = l.shape[-1]
+    nb = n // block
   assert n % block == 0 and chunk % block == 0 and n % chunk == 0, (
       n, block, chunk)
   assert nb >= 2, 'use a direct solve below 2 blocks'
@@ -394,36 +511,54 @@ def tri_inv_panels(l: jnp.ndarray,
   while rows > 1 and nb % rows:
     rows //= 2
   lf = l.astype(jnp.float32)
+  cpb = chunk // block
 
   # Batched diagonal-block inverses (XLA): one batched solve over the
   # (nb, B, B) diagonal blocks — O(n B^2), negligible next to the sweep.
   idx = jnp.arange(nb)
-  diag = lf.reshape(nb, block, nb, block)[idx, :, idx, :]
+  if panel_input:
+    diag = lf.reshape(nb, nb, block, block)[idx, idx]
+  else:
+    diag = lf.reshape(nb, block, nb, block)[idx, :, idx, :]
   eye = jnp.broadcast_to(jnp.eye(block, dtype=jnp.float32), diag.shape)
-  dinv = jax.lax.linalg.triangular_solve(
-      diag, eye, left_side=True, lower=True)
+  if diag_transposed:
+    # Stored D^T (upper-triangular content): (D^T)^{-1} = (D^{-1})^T.
+    dinv = jnp.swapaxes(
+        jax.lax.linalg.triangular_solve(diag, eye, left_side=True,
+                                        lower=False), -1, -2)
+  else:
+    dinv = jax.lax.linalg.triangular_solve(
+        diag, eye, left_side=True, lower=True)
+
+  lpm = _LPM_DENSE
+  if panel_input:
+    assert panel_layout in ('wide', 'blocks'), panel_layout
+    lpm = _LPM_WIDE if panel_layout == 'wide' else _LPM_BLOCKS
 
   if rows > 1:
     ig, jg = rows, group
     kernel = functools.partial(_kernel_triinv_tiled, n, block, chunk,
-                               ig, jg, precise)
+                               ig, jg, precise, lpm)
+    lrow_shape = ((2, ig, cpb, block, block) if lpm == _LPM_BLOCKS
+                  else (2, ig, block, chunk))
     tpm = pl.pallas_call(
         kernel,
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),          # L dense
+            pl.BlockSpec(memory_space=pl.ANY),          # L dense|panels
             pl.BlockSpec(memory_space=pl.ANY),          # diag inverses
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),    # T panels
         out_shape=jax.ShapeDtypeStruct((nb, n, block), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, ig, block, chunk), jnp.float32),   # L rows
+            pltpu.VMEM(lrow_shape, jnp.float32),              # L rows
             pltpu.VMEM((2, jg, chunk, block), jnp.float32),   # T strips
             pltpu.VMEM((ig, jg, block, block), jnp.float32),  # phase-A acc
             pltpu.VMEM((ig, jg, block, block), jnp.float32),  # out tile
             pltpu.VMEM((ig, ig, block, block), jnp.float32),  # corner L
             pltpu.VMEM((ig, block, block), jnp.float32),      # D_i
             pltpu.VMEM((chunk, block), jnp.float32),          # zero tile
-            pltpu.SemaphoreType.DMA((2 * ig,)),               # L sems
+            pltpu.SemaphoreType.DMA(
+                (2 * cpb * ig if panel_input else 2 * ig,)),  # L sems
             pltpu.SemaphoreType.DMA((2 * jg,)),               # T sems
             pltpu.SemaphoreType.DMA((ig,)),                   # D sems
             pltpu.SemaphoreType.DMA((ig * ig,)),              # corner sems
@@ -437,23 +572,26 @@ def tri_inv_panels(l: jnp.ndarray,
     return tpm
 
   kernel = functools.partial(_kernel_triinv, n, block, chunk, group,
-                             precise)
+                             precise, lpm)
+  lrow_shape = ((2, cpb, block, block) if lpm == _LPM_BLOCKS
+                else (2, block, chunk))
   tpm = pl.pallas_call(
       kernel,
       in_specs=[
-          pl.BlockSpec(memory_space=pl.ANY),            # L dense
+          pl.BlockSpec(memory_space=pl.ANY),            # L dense|panels
           pl.BlockSpec(memory_space=pl.ANY),            # diag inverses
       ],
       out_specs=pl.BlockSpec(memory_space=pl.ANY),      # T panels
       out_shape=jax.ShapeDtypeStruct((nb, n, block), jnp.float32),
       scratch_shapes=[
-          pltpu.VMEM((2, block, chunk), jnp.float32),   # L row chunks
+          pltpu.VMEM(lrow_shape, jnp.float32),          # L row chunks
           pltpu.VMEM((2, group, chunk, block),
                      jnp.float32),                      # T panel chunks
           pltpu.VMEM((block, block), jnp.float32),      # D_i
           pltpu.VMEM((chunk, block), jnp.float32),      # zero tile
           pltpu.VMEM((group, block, block), jnp.float32),  # out blocks
-          pltpu.SemaphoreType.DMA((2,)),                # L chunk sems
+          pltpu.SemaphoreType.DMA(
+              (2 * cpb if panel_input else 2,)),        # L chunk sems
           pltpu.SemaphoreType.DMA((2 * group,)),        # T chunk sems
           pltpu.SemaphoreType.DMA,                      # D sem
           pltpu.SemaphoreType.DMA((group,)),            # write sems
