@@ -460,9 +460,10 @@ def bench_train():
          {'xla_tpu_scoped_vmem_limit_kib': '17408'}),
         # r11: the panel-major-L fwd residual is the newest construct;
         # drop back to the r10-measured dense-L Pallas tri-inv, then
-        # the 'blocks' panel layout, then the blocked-GEMM recursion.
+        # the alternate 'wide' panel layout (default is 'blocks' after
+        # the r11 ladder), then the blocked-GEMM recursion.
         ({'HYPERBO_BWD_PANEL_L': '0'}, 'denseL-pallas', None),
-        ({'HYPERBO_TRIINV_PANEL_LAYOUT': 'blocks'}, 'panel-blocks',
+        ({'HYPERBO_TRIINV_PANEL_LAYOUT': 'wide'}, 'panel-wide',
          None),
         ({'HYPERBO_BWD_PANEL_L': '0', 'HYPERBO_BWD_TRIINV': '1'},
          'recursion', None),

@@ -1291,8 +1291,11 @@ def _se_core_bwd(l, x_scaled, delta, sv, valid, kfam='se',
         chunk = pallas_triinv.CHUNK
       # Trace-time env knob (like _bwd_env_config): how panel-input L
       # blocks land in VMEM — 'wide' (dense-identical compute) or
-      # 'blocks' (per-kk dots). No effect on dense-L input.
-      layout = os.environ.get('HYPERBO_TRIINV_PANEL_LAYOUT', 'wide')
+      # 'blocks' (per-kk dots). No effect on dense-L input. 'blocks'
+      # measured fastest on hardware at both sizes (r11 ladder,
+      # PERF.md: 28.59 vs 28.92 ms n=8192, 57.55 vs 58.71 n=16384;
+      # full VG 21.43/119.00 vs 21.55/119.01).
+      layout = os.environ.get('HYPERBO_TRIINV_PANEL_LAYOUT', 'blocks')
       tpm = pallas_triinv.tri_inv_panels(
           l, block=block, chunk=chunk, group=group,
           rows=rows, precise=(prec_mode != 'default'),
