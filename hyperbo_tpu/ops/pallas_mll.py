@@ -1307,9 +1307,22 @@ def _se_core_bwd(l, x_scaled, delta, sv, valid, kfam='se',
       tpm = jnp.moveaxis(linv.reshape(n, n // block, block), 1, 0)
       alpha = jnp.matmul(linv.T, jnp.matmul(linv, delta, precision=hi),
                          precision=hi)
+    # Trace-time env knob (like HYPERBO_TRIINV_PANEL_LAYOUT): 'RxG' or
+    # 'RxGxC' selects the 2-D tiled SYRK pass with an RI x GJ pair tile
+    # (and an optional DMA-chunk override) — shares strip DMAs across
+    # the tile, (RI+GJ)/(2*RI*GJ) of the sequential kernel's traffic.
+    tile = os.environ.get('HYPERBO_BWD_TILE', '1x1')
+    tparts = tile.split('x')
+    brows = int(tparts[0])
+    bgroup = int(tparts[1]) if len(tparts) > 1 else 1
+    bchunk = (int(tparts[2]) if len(tparts) > 2
+              else pallas_mll_bwd.CHUNK)
+    if n % bchunk:
+      bchunk = pallas_mll_bwd.CHUNK
     d_x, dsv_raw, d_da = pallas_mll_bwd.mll_bwd_fused(
         tpm, x_scaled, alpha, sv, block=block,
-        chunk=pallas_mll_bwd.CHUNK, kfam=kfam, valid=valid,
+        chunk=bchunk, kfam=kfam, valid=valid,
+        rows=brows, group=bgroup,
         interpret=interpret)
     return d_x, alpha, dsv_raw / sv, d_da
   linv = _tri_inv(l, blocked=(triinv != '0'))

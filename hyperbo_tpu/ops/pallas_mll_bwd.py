@@ -189,13 +189,153 @@ def _kernel_bwd(n, block, chunk, precise, kfam, masked,
   co.wait()
 
 
+def _kernel_bwd_tiled(n, block, chunk, ri, gj, precise, kfam, masked,
+                      tpm_hbm, xa_hbm, xb_hbm, arow_ref, acol_ref,
+                      vrow_ref, vcol_ref, sv_ref,
+                      pacc_hbm, dsv_ref, dda_ref,
+                      ci, cj, xai, xbi, xbj, pacc,
+                      sem_c, sem_x, sem_out):
+  """Two-dimensional tiled pass over the block triangle of K^{-1}.
+
+  The sequential kernel (_kernel_bwd) re-streams BOTH panel strips for
+  every (i, j) block pair: (2/B) * 4 bytes per MAC. Tiling RI row
+  panels x GJ column panels per pass shares each strip chunk across
+  the tile — (RI + GJ)/(RI * GJ * B) * 4 bytes per MAC (2.7x less at
+  2x4) — and amortizes the per-chunk-step DMA-issue/wait overhead over
+  RI*GJ MXU dots, the same two levers that took the panel tri-inv
+  from 40%% to its current rate (ops/pallas_triinv, PERF.md r8/r9).
+  Pairs of a tile that land above the diagonal (j > i) are skipped at
+  consumption; their wasted strip MACs only arise in the ~nb/GJ
+  diagonal-straddling tiles. The k-range aligns to the tile TOP
+  (i0*B): rows above each panel's own diagonal are zero and drop out,
+  exactly like the sequential kernel's chunk-grid align-down.
+  """
+  nb = n // block
+  wdims = (((1,), (1,)), ((), ()))       # a @ b^T (contract lanes)
+  rdims = (((0,), (0,)), ((), ()))       # a^T @ b (contract sublanes)
+  mdims = (((1,), (0,)), ((), ()))       # a @ b
+  eye_b = (jax.lax.broadcasted_iota(jnp.int32, (block, block), 0) ==
+           jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
+           ).astype(jnp.float32)
+
+  pacc[:] = jnp.zeros((n, 128), jnp.float32)
+  dsv_ref[0, 0] = 0.0
+  dda_ref[0, 0] = 0.0
+
+  def strip_copies(i0, j0, k0, c, slot):
+    r0 = k0 + c * chunk
+    cis = [pltpu.make_async_copy(
+        tpm_hbm.at[i0 + ii, pl.ds(r0, chunk), :], ci.at[slot, ii],
+        sem_c.at[slot * (ri + gj) + ii]) for ii in range(ri)]
+    cjs = [pltpu.make_async_copy(
+        tpm_hbm.at[j0 + g, pl.ds(r0, chunk), :], cj.at[slot, g],
+        sem_c.at[slot * (ri + gj) + ri + g]) for g in range(gj)]
+    return cis + cjs
+
+  def it_loop(it, _):
+    i0 = it * ri
+    cxs = ([pltpu.make_async_copy(xa_hbm.at[i0 + ii], xai.at[ii],
+                                  sem_x.at[ii]) for ii in range(ri)]
+           + [pltpu.make_async_copy(xb_hbm.at[i0 + ii], xbi.at[ii],
+                                    sem_x.at[ri + ii])
+              for ii in range(ri)])
+    for cp in cxs:
+      cp.start()
+    # k-range: rows [align_down(i0*B, chunk), n) — rows of panel i0+ii
+    # above its own diagonal are exactly zero (T lower triangular), so
+    # the tile-top alignment only adds zero terms.
+    k0 = jax.lax.div(i0 * block, chunk) * chunk
+    nchunks = jax.lax.div(n - k0, chunk)
+    for cp in cxs:
+      cp.wait()
+    njt = jax.lax.div(i0 + ri - 1, gj) + 1
+
+    def jt_loop(jt, _):
+      j0 = jt * gj
+      cxj = [pltpu.make_async_copy(xb_hbm.at[j0 + g], xbj.at[g],
+                                   sem_x.at[2 * ri + g])
+             for g in range(gj)]
+      for cp in cxj:
+        cp.start()
+      for cp in strip_copies(i0, j0, k0, 0, 0):
+        cp.start()
+      for cp in cxj:
+        cp.wait()
+
+      def k_step(c, kaccs):
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+          nslot = jax.lax.rem(c + 1, 2)
+          for cp in strip_copies(i0, j0, k0, c + 1, nslot):
+            cp.start()
+
+        for cp in strip_copies(i0, j0, k0, c, slot):
+          cp.wait()
+        return tuple(
+            kaccs[ii * gj + g] + _pdot(ci[slot, ii], cj[slot, g],
+                                       rdims, precise)
+            for ii in range(ri) for g in range(gj))
+
+      kaccs = jax.lax.fori_loop(
+          0, nchunks, k_step,
+          tuple(jnp.zeros((block, block), jnp.float32)
+                for _ in range(ri * gj)))
+
+      # --- consume each below-diagonal K^{-1} block in VMEM ---
+      for ii in range(ri):
+        for g in range(gj):
+          iv = i0 + ii
+          jv = j0 + g
+
+          @pl.when(jv <= iv)
+          def _(ii=ii, g=g, iv=iv, jv=jv):
+            ib = pl.multiple_of(iv * block, block)
+            jb = pl.multiple_of(jv * block, block)
+            sqd = _pdot(xai[ii], xbj[g], wdims, precise)
+            km, nm = _km_nm(sqd, sv_ref[0, 0], kfam)
+            if masked:
+              pair = (vcol_ref[pl.ds(ib, block), :]
+                      * vrow_ref[pl.ds(jv, 1), :])
+              km = km * pair
+              nm = nm * pair
+            outer = (acol_ref[pl.ds(ib, block), :]
+                     * arow_ref[pl.ds(jv, 1), :])
+            gmat = 0.5 * kaccs[ii * gj + g] - 0.5 * outer
+            on_diag = (iv == jv).astype(jnp.float32)
+            dsv_ref[0, 0] += (2.0 - on_diag) * jnp.sum(gmat * km)
+
+            @pl.when(iv == jv)
+            def _():
+              dda_ref[0, 0] += jnp.sum(gmat * eye_b)
+            w = gmat * nm
+            pacc[pl.ds(ib, block), :] += _pdot(w, xbj[g], mdims,
+                                               precise)
+
+            @pl.when(jv < iv)
+            def _():
+              pacc[pl.ds(jb, block), :] += _pdot(w, xbi[ii], rdims,
+                                                 precise)
+      return 0
+
+    jax.lax.fori_loop(0, njt, jt_loop, 0)
+    return 0
+
+  jax.lax.fori_loop(0, nb // ri, it_loop, 0)
+  co = pltpu.make_async_copy(pacc, pacc_hbm, sem_out)
+  co.start()
+  co.wait()
+
+
 @functools.partial(jax.jit, static_argnames=('block', 'chunk', 'precise',
-                                             'kfam', 'interpret'))
+                                             'kfam', 'rows', 'group',
+                                             'interpret'))
 def mll_bwd_fused(tpm: jnp.ndarray, x_scaled: jnp.ndarray,
                   alpha: jnp.ndarray, signal_variance,
                   block: int = BLOCK, chunk: int = CHUNK,
                   precise: bool = True, kfam: str = 'se',
-                  valid=None,
+                  valid=None, rows: int = 1, group: int = 1,
                   interpret: bool = False):
   """Fused NLL adjoints from panel-major T = L^{-1}.
 
@@ -205,6 +345,9 @@ def mll_bwd_fused(tpm: jnp.ndarray, x_scaled: jnp.ndarray,
     x_scaled: (n, d) length-scaled inputs (same scaling as the forward).
     alpha: (n, 1) = K^{-1} (y - mu).
     signal_variance: scalar sv.
+    rows, group: RI x GJ pair tile of the 2-D tiled pass
+      (_kernel_bwd_tiled; shares strip DMAs across the tile). 1 x 1
+      selects the sequential kernel. Auto-halved until they divide nb.
 
   Returns:
     (d_x, d_sv_raw, d_da): d_x is the (n, d) input adjoint;
@@ -215,6 +358,12 @@ def mll_bwd_fused(tpm: jnp.ndarray, x_scaled: jnp.ndarray,
   nb = n // block
   assert tpm.shape == (nb, n, block), (tpm.shape, nb, n, block)
   assert n % chunk == 0 and chunk % block == 0, (n, chunk, block)
+  rows = max(1, rows)
+  while rows > 1 and nb % rows:
+    rows //= 2
+  group = max(1, group)
+  while group > 1 and nb % group:
+    group //= 2
   feat = 128
   assert d + 2 <= feat, d
   xs32 = x_scaled.astype(jnp.float32)
@@ -233,6 +382,50 @@ def mll_bwd_fused(tpm: jnp.ndarray, x_scaled: jnp.ndarray,
   vrow = v.reshape(nb, block)
   vcol = v.reshape(n, 1)
   sv = jnp.asarray(signal_variance, jnp.float32).reshape(1, 1)
+
+  if rows * group > 1:
+    ri, gj = rows, group
+    kernel = functools.partial(_kernel_bwd_tiled, n, block, chunk,
+                               ri, gj, precise, kfam, masked)
+    pacc, dsv, dda = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),            # tpm panels
+            pl.BlockSpec(memory_space=pl.ANY),            # xa tiles
+            pl.BlockSpec(memory_space=pl.ANY),            # xb tiles
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # alpha rows
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # alpha col
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # valid rows
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # valid col
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # sv
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),            # P accumulator
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # d_sv raw
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # d_da
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, feat), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, ri, chunk, block), jnp.float32),  # ci strips
+            pltpu.VMEM((2, gj, chunk, block), jnp.float32),  # cj strips
+            pltpu.VMEM((ri, block, feat), jnp.float32),      # xa i-tiles
+            pltpu.VMEM((ri, block, feat), jnp.float32),      # xb i-tiles
+            pltpu.VMEM((gj, block, feat), jnp.float32),      # xb j-tiles
+            pltpu.VMEM((n, feat), jnp.float32),              # P acc
+            pltpu.SemaphoreType.DMA((2 * (ri + gj),)),       # strip sems
+            pltpu.SemaphoreType.DMA((2 * ri + gj,)),         # x-tile sems
+            pltpu.SemaphoreType.DMA,                         # out sem
+        ],
+        compiler_params=pallas_params.compiler_params(
+            has_side_effects=True),
+        interpret=interpret,
+    )(tpm, xa, xb, arow, acol, vrow, vcol, sv)
+    d_x = 2.0 * (pacc[:, :d] - pacc[:, d:d + 1] * xs32)
+    return d_x, dsv[0, 0], dda[0, 0]
 
   kernel = functools.partial(_kernel_bwd, n, block, chunk, precise,
                              kfam, masked)

@@ -129,6 +129,67 @@ def test_bwd_fused_masked_matches_xla_chain():
   np.testing.assert_allclose(float(d_da), float(want_dda), rtol=1e-3)
 
 
+@pytest.mark.parametrize('rows,group,chunk',
+                         [(2, 2, 128), (2, 4, 128), (1, 2, 256),
+                          (4, 1, 128), (4, 4, 256)])
+def test_bwd_fused_tiled_matches_sequential(rows, group, chunk):
+  """The 2-D tiled pass (_kernel_bwd_tiled) computes the same adjoints
+  as the sequential kernel — including tiles straddling the diagonal
+  (skipped j > i pairs) and the tile-top k-alignment zero rows."""
+  n, d, block = 512, 3, 128
+  key = jax.random.PRNGKey(11)
+  x = jax.random.uniform(key, (n, d), jnp.float32)
+  delta = jax.random.normal(jax.random.fold_in(key, 1), (n, 1),
+                            jnp.float32)
+  sv, da = 1.3, 0.5
+  _, _, _, k64 = _f64_truth(x, delta, sv, da, 'se')
+  l = jnp.linalg.cholesky(jnp.asarray(k64, jnp.float32))
+  linv = jax.lax.linalg.triangular_solve(
+      l, jnp.eye(n, dtype=jnp.float32), left_side=True, lower=True)
+  tpm = jnp.moveaxis(linv.reshape(n, n // block, block), 1, 0)
+  alpha = linv.T @ (linv @ delta)
+  seq = pallas_mll_bwd.mll_bwd_fused(
+      tpm, x, alpha, jnp.float32(sv), block=block, chunk=block,
+      kfam='se', interpret=True)
+  til = pallas_mll_bwd.mll_bwd_fused(
+      tpm, x, alpha, jnp.float32(sv), block=block, chunk=chunk,
+      kfam='se', rows=rows, group=group, interpret=True)
+  for a, b in zip(seq, til):
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_bwd_fused_tiled_masked():
+  """Tiled pass under the packed/masked path matches the sequential
+  masked kernel."""
+  n, count, d, block = 512, 400, 3, 128
+  key = jax.random.PRNGKey(13)
+  x = jax.random.uniform(key, (n, d), jnp.float32)
+  valid = (jnp.arange(n) < count).astype(jnp.float32)
+  x = x * valid[:, None]
+  delta = jax.random.normal(jax.random.fold_in(key, 1), (n, 1),
+                            jnp.float32) * valid[:, None]
+  sv, da = jnp.float32(1.3), jnp.float32(0.5)
+  sq = jnp.sum(x * x, axis=1, keepdims=True)
+  r2 = jnp.maximum(sq + sq.T - 2.0 * x @ x.T, 0.0)
+  pair = valid[:, None] * valid[None, :]
+  k = sv * jnp.exp(-0.5 * r2) * pair + da * jnp.eye(n)
+  l = jnp.linalg.cholesky(k)
+  linv = jax.lax.linalg.triangular_solve(
+      l, jnp.eye(n, dtype=l.dtype), left_side=True, lower=True)
+  tpm = jnp.moveaxis(linv.reshape(n, n // block, block), 1, 0)
+  alpha = linv.T @ (linv @ delta)
+  seq = pallas_mll_bwd.mll_bwd_fused(
+      tpm, x, alpha, sv, block=block, chunk=128, kfam='se',
+      valid=valid, interpret=True)
+  til = pallas_mll_bwd.mll_bwd_fused(
+      tpm, x, alpha, sv, block=block, chunk=256, kfam='se',
+      valid=valid, rows=2, group=2, interpret=True)
+  for a, b in zip(seq, til):
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_bwd_fused_production_shape():
   """The exact configuration _se_core_bwd dispatches (block=256,
   chunk=512) at the smallest admissible n — closes the gap between the
