@@ -1319,10 +1319,14 @@ def _se_core_bwd(l, x_scaled, delta, sv, valid, kfam='se',
               else pallas_mll_bwd.CHUNK)
     if n % bchunk:
       bchunk = pallas_mll_bwd.CHUNK
+    # HYPERBO_BWD_PREC=default also drops the kernel's in-VMEM dots to
+    # single-pass bf16 (the SYRK is a pure reduction — unlike the
+    # factorization/tri-inv recursions the error does not compound),
+    # matching what the knob already does to the XLA-side products.
     d_x, dsv_raw, d_da = pallas_mll_bwd.mll_bwd_fused(
         tpm, x_scaled, alpha, sv, block=block,
         chunk=bchunk, kfam=kfam, valid=valid,
-        rows=brows, group=bgroup,
+        rows=brows, group=bgroup, precise=(prec_mode != 'default'),
         interpret=interpret)
     return d_x, alpha, dsv_raw / sv, d_da
   linv = _tri_inv(l, blocked=(triinv != '0'))
