@@ -462,6 +462,9 @@ def bench_train():
         # drop back to the r10-measured dense-L Pallas tri-inv, then
         # the alternate 'wide' panel layout (default is 'blocks' after
         # the r11 ladder), then the blocked-GEMM recursion.
+        # r12: the tiled SYRK backward is the newest construct; fall
+        # back to the sequential kernel first.
+        ({'HYPERBO_BWD_TILE': '1x1'}, 'seq-bwd', None),
         ({'HYPERBO_BWD_PANEL_L': '0'}, 'denseL-pallas', None),
         ({'HYPERBO_TRIINV_PANEL_LAYOUT': 'wide'}, 'panel-wide',
          None),

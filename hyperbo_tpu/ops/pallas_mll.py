@@ -1311,7 +1311,12 @@ def _se_core_bwd(l, x_scaled, delta, sv, valid, kfam='se',
     # 'RxGxC' selects the 2-D tiled SYRK pass with an RI x GJ pair tile
     # (and an optional DMA-chunk override) — shares strip DMAs across
     # the tile, (RI+GJ)/(2*RI*GJ) of the sequential kernel's traffic.
-    tile = os.environ.get('HYPERBO_BWD_TILE', '1x1')
+    # Defaults are the size-aware r12 ladder winners (PERF.md: full VG
+    # 21.4 -> 20.5 ms at n=8192 with 4x4x256, 119.5 -> 109.2 ms at
+    # n=16384 with 2x4x512); '1x1' restores the sequential kernel.
+    tile = os.environ.get(
+        'HYPERBO_BWD_TILE',
+        '2x4x512' if n >= 16384 else '4x4x256')
     tparts = tile.split('x')
     brows = int(tparts[0])
     bgroup = int(tparts[1]) if len(tparts) > 1 else 1
