@@ -1227,6 +1227,29 @@ def _bwd_panel_l_route(n, bwd_cfg):
   return n % pallas_triinv.CHUNK == 0 and n >= 2 * pallas_mll_bwd.BLOCK
 
 
+def _bwd_tile_config(n):
+  """SYRK pair-tile knob of the fused backward (trace-time env, like
+  HYPERBO_TRIINV_PANEL_LAYOUT): HYPERBO_BWD_TILE='RxG' or 'RxGxC'
+  selects the 2-D tiled pass with an RI x GJ pair tile (and an
+  optional DMA-chunk override) — shares strip DMAs across the tile,
+  (RI+GJ)/(2*RI*GJ) of the sequential kernel's traffic. Defaults are
+  the size-aware r12 ladder winners (PERF.md: full VG 21.4 -> 20.5 ms
+  at n=8192 with 4x4x256, 119.5 -> 109.2 ms at n=16384 with 2x4x512);
+  '1x1' restores the sequential kernel."""
+  from hyperbo_tpu.ops import pallas_mll_bwd
+  tile = os.environ.get(
+      'HYPERBO_BWD_TILE',
+      '2x4x512' if n >= 16384 else '4x4x256')
+  tparts = tile.split('x')
+  brows = int(tparts[0])
+  bgroup = int(tparts[1]) if len(tparts) > 1 else 1
+  bchunk = (int(tparts[2]) if len(tparts) > 2
+            else pallas_mll_bwd.CHUNK)
+  if n % bchunk:
+    bchunk = pallas_mll_bwd.CHUNK
+  return brows, bgroup, bchunk
+
+
 def _se_core_bwd(l, x_scaled, delta, sv, valid, kfam='se',
                  interpret=False, bwd_cfg=None):
   """Shared closed-form adjoints for the fused NLL cores.
@@ -1296,6 +1319,22 @@ def _se_core_bwd(l, x_scaled, delta, sv, valid, kfam='se',
       # PERF.md: 28.59 vs 28.92 ms n=8192, 57.55 vs 58.71 n=16384;
       # full VG 21.43/119.00 vs 21.55/119.01).
       layout = os.environ.get('HYPERBO_TRIINV_PANEL_LAYOUT', 'blocks')
+      brows, bgroup, bchunk = _bwd_tile_config(n)
+      # HYPERBO_BWD_JOINT=1 (trace-time) fuses tri-inv + alpha + SYRK
+      # into ONE kernel (ops/pallas_bwd_joint): u = T delta rides the
+      # tri-inv's serial corner, alpha streams only the nonzero half
+      # of T, and the padded (n, 1) alpha/valid VMEM inputs disappear.
+      from hyperbo_tpu.ops import pallas_bwd_joint
+      if (os.environ.get('HYPERBO_BWD_JOINT', '0') == '1'
+          and x_scaled.shape[1] + 2 <= pallas_bwd_joint.ULANE):
+        d_x, alpha, dsv_raw, d_da = pallas_bwd_joint.mll_bwd_joint(
+            l, x_scaled, delta, sv, valid, block=block,
+            ti_chunk=chunk, ti_rows=rows, ti_group=group,
+            ti_layout=layout, sy_chunk=bchunk, sy_rows=brows,
+            sy_group=bgroup, precise=(prec_mode != 'default'),
+            kfam=kfam, panel_input=panel_l, diag_transposed=panel_l,
+            interpret=interpret)
+        return d_x, alpha, dsv_raw / sv, d_da
       tpm = pallas_triinv.tri_inv_panels(
           l, block=block, chunk=chunk, group=group,
           rows=rows, precise=(prec_mode != 'default'),
@@ -1307,23 +1346,7 @@ def _se_core_bwd(l, x_scaled, delta, sv, valid, kfam='se',
       tpm = jnp.moveaxis(linv.reshape(n, n // block, block), 1, 0)
       alpha = jnp.matmul(linv.T, jnp.matmul(linv, delta, precision=hi),
                          precision=hi)
-    # Trace-time env knob (like HYPERBO_TRIINV_PANEL_LAYOUT): 'RxG' or
-    # 'RxGxC' selects the 2-D tiled SYRK pass with an RI x GJ pair tile
-    # (and an optional DMA-chunk override) — shares strip DMAs across
-    # the tile, (RI+GJ)/(2*RI*GJ) of the sequential kernel's traffic.
-    # Defaults are the size-aware r12 ladder winners (PERF.md: full VG
-    # 21.4 -> 20.5 ms at n=8192 with 4x4x256, 119.5 -> 109.2 ms at
-    # n=16384 with 2x4x512); '1x1' restores the sequential kernel.
-    tile = os.environ.get(
-        'HYPERBO_BWD_TILE',
-        '2x4x512' if n >= 16384 else '4x4x256')
-    tparts = tile.split('x')
-    brows = int(tparts[0])
-    bgroup = int(tparts[1]) if len(tparts) > 1 else 1
-    bchunk = (int(tparts[2]) if len(tparts) > 2
-              else pallas_mll_bwd.CHUNK)
-    if n % bchunk:
-      bchunk = pallas_mll_bwd.CHUNK
+      brows, bgroup, bchunk = _bwd_tile_config(n)
     # HYPERBO_BWD_PREC=default also drops the kernel's in-VMEM dots to
     # single-pass bf16 (the SYRK is a pure reduction — unlike the
     # factorization/tri-inv recursions the error does not compound),

@@ -194,7 +194,8 @@ def _kernel_bwd_tiled(n, block, chunk, ri, gj, precise, kfam, masked,
                       vrow_ref, vcol_ref, sv_ref,
                       pacc_hbm, dsv_ref, dda_ref,
                       ci, cj, xai, xbi, xbj, pacc,
-                      sem_c, sem_x, sem_out):
+                      sem_c, sem_x, sem_out,
+                      col_transpose=False, init_pacc=True):
   """Two-dimensional tiled pass over the block triangle of K^{-1}.
 
   The sequential kernel (_kernel_bwd) re-streams BOTH panel strips for
@@ -209,6 +210,14 @@ def _kernel_bwd_tiled(n, block, chunk, ri, gj, precise, kfam, masked,
   diagonal-straddling tiles. The k-range aligns to the tile TOP
   (i0*B): rows above each panel's own diagonal are zero and drop out,
   exactly like the sequential kernel's chunk-grid align-down.
+
+  `col_transpose` / `init_pacc` support the embedding caller
+  (ops/pallas_bwd_joint) where alpha lives in a (nb, B) VMEM scratch
+  computed in-kernel: with col_transpose the (B, 1) column forms of
+  alpha (and valid) are synthesized per row-block from the row buffers
+  by a depth-1 MXU dot against ones (acol_ref / vcol_ref are then
+  unused), and init_pacc=False preserves a pre-loaded P accumulator
+  (the joint kernel parks u = T delta in its top lane).
   """
   nb = n // block
   wdims = (((1,), (1,)), ((), ()))       # a @ b^T (contract lanes)
@@ -217,8 +226,10 @@ def _kernel_bwd_tiled(n, block, chunk, ri, gj, precise, kfam, masked,
   eye_b = (jax.lax.broadcasted_iota(jnp.int32, (block, block), 0) ==
            jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
            ).astype(jnp.float32)
+  ones11 = jnp.ones((1, 1), jnp.float32)
 
-  pacc[:] = jnp.zeros((n, 128), jnp.float32)
+  if init_pacc:
+    pacc[:] = jnp.zeros((n, 128), jnp.float32)
   dsv_ref[0, 0] = 0.0
   dda_ref[0, 0] = 0.0
 
@@ -249,6 +260,15 @@ def _kernel_bwd_tiled(n, block, chunk, ri, gj, precise, kfam, masked,
     for cp in cxs:
       cp.wait()
     njt = jax.lax.div(i0 + ri - 1, gj) + 1
+    if col_transpose:
+      # (B, 1) column forms of alpha/valid for the tile's row-blocks,
+      # from the (nb, B) row buffers: one depth-1 X3 dot against ones
+      # per row (exact — the Dekker split reproduces f32 bit-for-bit).
+      acol_t = [_pdot(arow_ref[pl.ds(i0 + ii, 1), :], ones11, rdims,
+                      precise) for ii in range(ri)]
+      vcol_t = ([_pdot(vrow_ref[pl.ds(i0 + ii, 1), :], ones11, rdims,
+                       precise) for ii in range(ri)]
+                if masked else None)
 
     def jt_loop(jt, _):
       j0 = jt * gj
@@ -296,11 +316,13 @@ def _kernel_bwd_tiled(n, block, chunk, ri, gj, precise, kfam, masked,
             sqd = _pdot(xai[ii], xbj[g], wdims, precise)
             km, nm = _km_nm(sqd, sv_ref[0, 0], kfam)
             if masked:
-              pair = (vcol_ref[pl.ds(ib, block), :]
+              pair = ((vcol_t[ii] if col_transpose
+                       else vcol_ref[pl.ds(ib, block), :])
                       * vrow_ref[pl.ds(jv, 1), :])
               km = km * pair
               nm = nm * pair
-            outer = (acol_ref[pl.ds(ib, block), :]
+            outer = ((acol_t[ii] if col_transpose
+                      else acol_ref[pl.ds(ib, block), :])
                      * arow_ref[pl.ds(jv, 1), :])
             gmat = 0.5 * kaccs[ii * gj + g] - 0.5 * outer
             on_diag = (iv == jv).astype(jnp.float32)

@@ -257,7 +257,8 @@ def _kernel_triinv_tiled(n, block, chunk, ig, jg, precise, lpm,
                          l_hbm, dinv_hbm,
                          tpm_hbm,
                          lrow, tstrip, accbuf, ttile, lc, dbuf, zbuf,
-                         sem_l, sem_t, sem_d, sem_lc, sem_w, sem_z):
+                         sem_l, sem_t, sem_d, sem_lc, sem_w, sem_z,
+                         jg_hook=None, block_hook=None):
   """Two-dimensional tiled panel sweep: IG row-blocks x JG panels.
 
   The 1-D grouped sweep (_kernel_triinv) re-streams panel strip rows
@@ -272,6 +273,13 @@ def _kernel_triinv_tiled(n, block, chunk, ig, jg, precise, lpm,
   finishes each row from the in-VMEM tile (corner L blocks and the
   already-finished tile rows), placing diagonal-block inverses
   in-tile — no separate diagonal pass.
+
+  `jg_hook(j0)` / `block_hook(i0, j0, ii, g)` let a caller embedding
+  this body in a larger kernel (ops/pallas_bwd_joint) piggyback work on
+  the sweep: jg_hook runs at the top of each panel-group pass,
+  block_hook right after `ttile[ii, g]` holds the FINAL value of T
+  block (row-block i0+ii, panel j0+g) — including diagonal (D_i) and
+  above-diagonal (zero) blocks.
   """
   nb = n // block
   ncz = n // chunk
@@ -333,6 +341,8 @@ def _kernel_triinv_tiled(n, block, chunk, ig, jg, precise, lpm,
     j0 = jgi * jg
     c0 = jax.lax.div(j0 * block, chunk)
     ti0 = jax.lax.div(j0, ig)   # first tile touching the group
+    if jg_hook is not None:
+      jg_hook(j0)
 
     def tile_loop(ti, _):
       i0 = ti * ig
@@ -421,6 +431,8 @@ def _kernel_triinv_tiled(n, block, chunk, ig, jg, precise, lpm,
               i > jv, val,
               jnp.where(i == jv, dbuf[ii],
                         jnp.zeros((block, block), jnp.float32)))
+          if block_hook is not None:
+            block_hook(i0, j0, ii, g)
 
           @pl.when(i >= jv)
           def _(ii=ii, g=g):
@@ -515,20 +527,7 @@ def tri_inv_panels(l: jnp.ndarray,
 
   # Batched diagonal-block inverses (XLA): one batched solve over the
   # (nb, B, B) diagonal blocks — O(n B^2), negligible next to the sweep.
-  idx = jnp.arange(nb)
-  if panel_input:
-    diag = lf.reshape(nb, nb, block, block)[idx, idx]
-  else:
-    diag = lf.reshape(nb, block, nb, block)[idx, :, idx, :]
-  eye = jnp.broadcast_to(jnp.eye(block, dtype=jnp.float32), diag.shape)
-  if diag_transposed:
-    # Stored D^T (upper-triangular content): (D^T)^{-1} = (D^{-1})^T.
-    dinv = jnp.swapaxes(
-        jax.lax.linalg.triangular_solve(diag, eye, left_side=True,
-                                        lower=False), -1, -2)
-  else:
-    dinv = jax.lax.linalg.triangular_solve(
-        diag, eye, left_side=True, lower=True)
+  dinv = diag_inverses(lf, block, panel_input, diag_transposed)
 
   lpm = _LPM_DENSE
   if panel_input:
@@ -601,6 +600,27 @@ def tri_inv_panels(l: jnp.ndarray,
       interpret=interpret,
   )(lf, dinv)
   return tpm
+
+
+def diag_inverses(lf: jnp.ndarray, block: int, panel_input: bool,
+                  diag_transposed: bool) -> jnp.ndarray:
+  """(nb, B, B) inverses of L's diagonal blocks — one batched XLA
+  triangular solve, O(n B^2). Shared by tri_inv_panels and the joint
+  backward kernel (ops/pallas_bwd_joint)."""
+  nb = lf.shape[0] if panel_input else lf.shape[-1] // block
+  idx = jnp.arange(nb)
+  if panel_input:
+    diag = lf.reshape(nb, nb, block, block)[idx, idx]
+  else:
+    diag = lf.reshape(nb, block, nb, block)[idx, :, idx, :]
+  eye = jnp.broadcast_to(jnp.eye(block, dtype=jnp.float32), diag.shape)
+  if diag_transposed:
+    # Stored D^T (upper-triangular content): (D^T)^{-1} = (D^{-1})^T.
+    return jnp.swapaxes(
+        jax.lax.linalg.triangular_solve(diag, eye, left_side=True,
+                                        lower=False), -1, -2)
+  return jax.lax.linalg.triangular_solve(
+      diag, eye, left_side=True, lower=True)
 
 
 def alpha_from_panels(tpm: jnp.ndarray, delta: jnp.ndarray,
