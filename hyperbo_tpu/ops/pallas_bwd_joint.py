@@ -1,5 +1,16 @@
 """Joint fused backward: tri-inv + alpha + SYRK in ONE Pallas kernel.
 
+REFUTED ON HARDWARE (2026-08-19, r13/r14 probes; PERF.md): on the v5e
+toolchain the joint kernel returns WRONG d_x (standalone rel 0.13-0.41
+vs the verified two-kernel route; the value shifts with the SYRK tile
+config, so this is a Mosaic scheduling/semantics divergence — every
+interpret-mode test in tests/test_pallas_bwd_joint.py passes), and the
+full value_and_grad A/B is timing-NEUTRAL (n=8192: 24.0 vs 24.5 ms;
+n=16384: 109.6 vs 109.5 — the XLA scheduler already hides the alpha
+glue the fusion targets). Kept for future toolchains / root-causing;
+stays OPT-IN via HYPERBO_BWD_JOINT=1 and must NOT be defaulted until a
+hardware parity run passes.
+
 The production backward of the fused MLL (ops/pallas_mll._se_core_bwd)
 runs three device programs off the forward kernel's panel-major L:
 

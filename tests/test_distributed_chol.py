@@ -208,3 +208,82 @@ def test_mll_distributed_multi_draw():
   logdet_half = float(jnp.sum(jnp.log(jnp.diagonal(lref))))
   want = 0.5 * quad + m * (logdet_half + 0.5 * n * np.log(2 * np.pi))
   np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_mll_distributed_fused_xla_matches_dense():
+  """Coarse-block fused-route NLL (xla local backend) equals dense."""
+  from hyperbo_tpu.core import defs
+  from hyperbo_tpu.core.warp import DEFAULT_WARP_FUNC
+  from hyperbo_tpu.models import kernel, mean
+  from hyperbo_tpu.models import objectives as obj
+  from hyperbo_tpu.parallel import large
+
+  key = jax.random.PRNGKey(7)
+  n, d = 1024, 4
+  x = jax.random.uniform(key, (n, d))
+  y = jax.random.normal(jax.random.PRNGKey(8), (n, 2))
+  params = defs.GPParams(model={
+      'constant': 0.1, 'lengthscale': jnp.ones(d) * 0.5,
+      'signal_variance': 0.3, 'noise_variance': -2.0})
+  wf = DEFAULT_WARP_FUNC
+  mesh = mesh_lib.create_mesh(8)
+  got = float(large.mll_distributed_fused(
+      mean.constant, kernel.squared_exponential, params, x, y, mesh,
+      warp_func=wf, backend='xla'))
+  want = float(large.mll_distributed(
+      mean.constant, kernel.squared_exponential, params, x, y, mesh,
+      warp_func=wf, block=64))
+  np.testing.assert_allclose(got, want, rtol=2e-4)
+
+
+def test_mll_distributed_fused_matern_xla():
+  from hyperbo_tpu.core import defs
+  from hyperbo_tpu.core.warp import DEFAULT_WARP_FUNC
+  from hyperbo_tpu.models import kernel, mean
+  from hyperbo_tpu.models import objectives as obj
+  from hyperbo_tpu.parallel import large
+
+  key = jax.random.PRNGKey(9)
+  n, d = 512, 3
+  x = jax.random.uniform(key, (n, d))
+  y = jax.random.normal(jax.random.PRNGKey(10), (n, 1))
+  params = defs.GPParams(model={
+      'constant': 0.0, 'lengthscale': jnp.ones(d) * 0.6,
+      'signal_variance': 0.4, 'noise_variance': -2.0})
+  wf = DEFAULT_WARP_FUNC
+  mesh = mesh_lib.create_mesh(8)
+  got = float(large.mll_distributed_fused(
+      mean.zero, kernel.matern52, params, x, y, mesh,
+      warp_func=wf, backend='xla'))
+  want = float(obj.neg_log_marginal_likelihood(
+      mean_func=mean.zero, cov_func=kernel.matern52,
+      params=params, dataset={0: defs.SubDataset(x, y)}, warp_func=wf))
+  np.testing.assert_allclose(got, want, rtol=2e-4)
+
+
+def test_mll_distributed_fused_pallas_interpret():
+  """Pallas local backend on a 2-device mesh (m=512 engages the fused
+  MLL kernel for D_0, the HBM Cholesky for D_1 and the panel tri-inv
+  for both W blocks; interpret mode on CPU)."""
+  from hyperbo_tpu.core import defs
+  from hyperbo_tpu.core.warp import DEFAULT_WARP_FUNC
+  from hyperbo_tpu.models import kernel, mean
+  from hyperbo_tpu.models import objectives as obj
+  from hyperbo_tpu.parallel import large
+
+  key = jax.random.PRNGKey(11)
+  n, d = 1024, 4
+  x = jax.random.uniform(key, (n, d))
+  y = jax.random.normal(jax.random.PRNGKey(12), (n, 1))
+  params = defs.GPParams(model={
+      'constant': 0.2, 'lengthscale': jnp.ones(d) * 0.5,
+      'signal_variance': 0.3, 'noise_variance': -2.0})
+  wf = DEFAULT_WARP_FUNC
+  mesh = mesh_lib.create_mesh(2)
+  got = float(large.mll_distributed_fused(
+      mean.constant, kernel.squared_exponential, params, x, y, mesh,
+      warp_func=wf, backend='pallas', interpret=True))
+  want = float(obj.neg_log_marginal_likelihood(
+      mean_func=mean.constant, cov_func=kernel.squared_exponential,
+      params=params, dataset={0: defs.SubDataset(x, y)}, warp_func=wf))
+  np.testing.assert_allclose(got, want, rtol=5e-4)
