@@ -133,3 +133,30 @@ def test_joint_dispatch_env(monkeypatch):
                              atol=3e-4, rtol=1e-3)
   np.testing.assert_allclose(float(joint[2]), float(base[2]), rtol=1e-3)
   np.testing.assert_allclose(float(joint[3]), float(base[3]), rtol=1e-3)
+
+
+def test_joint_never_engages_by_default(monkeypatch):
+  """The joint megakernel is REFUTED on hardware (wrong d_x,
+  tile-config-dependent; PERF.md r13/r14) — it must stay opt-in.
+  Guard: without HYPERBO_BWD_JOINT=1 the backward must not call it,
+  whatever the rest of the config says."""
+  import jax
+  import jax.numpy as jnp
+  from hyperbo_tpu.ops import pallas_bwd_joint as pj
+  from hyperbo_tpu.ops import pallas_mll
+
+  monkeypatch.delenv('HYPERBO_BWD_JOINT', raising=False)
+  called = []
+  monkeypatch.setattr(
+      pj, 'mll_bwd_joint',
+      lambda *a, **k: called.append(True) or (_ for _ in ()).throw(
+          AssertionError('joint kernel engaged without opt-in')))
+  n, d = 1024, 4
+  x = jax.random.uniform(jax.random.PRNGKey(0), (n, d), jnp.float32)
+  y = jax.random.normal(jax.random.PRNGKey(1), (n, 1), jnp.float32)
+  core = pallas_mll._se_nll_core_fn(
+      256, 512, 2, True, 2, 'se', 'octv', False,
+      (True, 'gemm', 'high', 'pallas'))
+  val, grad = jax.value_and_grad(lambda xv: core(xv, y, 1.3, 0.1))(x)
+  assert not called
+  assert bool(jnp.isfinite(val)) and bool(jnp.all(jnp.isfinite(grad)))
