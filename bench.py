@@ -508,6 +508,41 @@ def bench_train():
       'value': round(t_fused * 1e3, 2),
       'unit': 'ms_per_step_fused',
       'vs_baseline': round(t_dense / t_fused, 3)}
+
+  # HARDWARE GRADIENT-PARITY LEG (structural r13 lesson: interpret-mode
+  # parity is NOT sufficient evidence for a Pallas kernel — the joint
+  # backward megakernel passed every interpret test and returned wrong
+  # d_x on hardware). Every bench run asserts the shipping-default
+  # fused gradient against the XLA-chain gradient at the SAME model,
+  # per leaf, and the JSON artifact carries parity_max_rel — a broken
+  # kernel flips parity_ok red in the driver artifact instead of
+  # shipping silently.
+  try:
+    def make_grad(config):
+      def loss(model):
+        shim = defs.GPParams(model=model, config=config)
+        return obj.neg_log_marginal_likelihood(
+            mean.zero, kernel.squared_exponential, shim, dataset,
+            warp_func=DEFAULT_WARP_FUNC)
+      return jax.jit(jax.grad(loss))
+
+    g_fused = jax.device_get(make_grad(fused_cfg)(model0))
+    g_dense = jax.device_get(make_grad({})(model0))
+    parity = 0.0
+    for leaf in sorted(model0):
+      a, b = g_dense[leaf], g_fused[leaf]
+      import numpy as _np
+      rel = float(_np.max(_np.abs(_np.asarray(a) - _np.asarray(b)))
+                  / (_np.max(_np.abs(_np.asarray(a))) + 1e-12))
+      parity = max(parity, rel)
+    result['parity_max_rel'] = round(parity, 8)
+    result['parity_ok'] = bool(parity < 5e-3)
+    log(f'gradient parity fused-vs-XLA (n={n}): max rel {parity:.2e} '
+        f'-> {"OK" if result["parity_ok"] else "FAILED"}')
+  except Exception as e:  # noqa: BLE001
+    log(f'gradient-parity leg failed: {type(e).__name__}: {e}')
+    result['parity_ok'] = False
+    result['parity_error'] = f'{type(e).__name__}: {str(e)[:160]}'
   # Large-n training point (round-3 verdict weak #1/#6: the n=16384
   # value_and_grad had no driver-visible leg). Dense at this size is
   # ~1 s/step (O(n^3) from the measured n=8192 dense step), so
@@ -625,11 +660,71 @@ def bench_bo():
   t_host = (time.perf_counter() - t0) / host_iters
   log(f'host-architecture loop: {t_host*1e3:.1f} ms/iter '
       f'(over {host_iters} iters incl. per-size compiles)')
-  return {
+  result = {
       'metric': 'ondevice_bo_ms_per_iter',
       'value': round(t_iter * 1e3, 3),
       'unit': f'ms_per_iter_{n_cand}cands',
       'vs_baseline': round(t_host / t_iter, 2)}
+
+  # BO VARIANT SUB-LEGS (round-4 verdict item 3): the retrain /
+  # HGP-resample / q-batch loops had only probe-log evidence; a retrace
+  # regression in their memoized runners (exactly the r7 bug class)
+  # would be invisible to the driver. Cached-runner protocol: first
+  # call compiles, min of two repeat calls is the rate. vs_baseline is
+  # the plain on-device loop's ms/iter over the variant's (the
+  # documented overhead factor — not a target to beat).
+  if os.environ.get('BENCH_BO_VARIANTS', '1') == '1':
+    from hyperbo_tpu.models import packed as packed_lib
+    corpus = {}
+    for i in range(8):
+      k1, k2 = jax.random.split(jax.random.fold_in(key, 100 + i))
+      cx = jax.random.uniform(k1, (100, d))
+      corpus[i] = defs.SubDataset(
+          cx, jnp.sin(3 * cx @ jax.random.normal(k2, (d, 1))))
+    pp, _ = packed_lib.pack_dataset(corpus, pad_to_multiple=128)
+    v_iters = iters if on_tpu else 10
+
+    def _variant(tag, fn, k):
+      try:
+        t0 = time.perf_counter()
+        s = fn()
+        t_first = time.perf_counter() - t0
+        times = []
+        for _ in range(2):
+          t0 = time.perf_counter()
+          fn()
+          times.append((time.perf_counter() - t0) / k)
+        t_var = min(times)
+        log(f'{tag}: {t_var*1e3:.3f} ms/iter cached '
+            f'({t_first:.1f}s first incl. compile); readback {s:.4g}')
+        result[tag] = {
+            'value': round(t_var * 1e3, 3), 'unit': 'ms_per_iter',
+            'vs_baseline': round(t_iter / t_var, 3)}
+      except Exception as e:  # noqa: BLE001
+        log(f'{tag} leg failed: {type(e).__name__}: {str(e)[:160]}')
+        result[tag] = {'error': f'{type(e).__name__}'}
+
+    _variant('retrain', lambda: float(jnp.sum(
+        ondevice.simulated_bayesopt_ondevice_retrain(
+            mean.constant, kernel.squared_exponential, model,
+            {'learning_rate': 1e-2}, DEFAULT_WARP_FUNC, queried,
+            iters=v_iters, acquisition='ei', num_train_tasks=8,
+            pretrain_packed=pp, retrain_every=5,
+            retrain_steps=10)[1])), k=v_iters)
+    _variant('hgp_resample', lambda: float(jnp.sum(
+        ondevice.simulated_bayesopt_ondevice_hgp_resample(
+            mean.constant, kernel.squared_exponential, model,
+            {'learning_rate': 1e-2}, DEFAULT_WARP_FUNC, queried,
+            iters=v_iters, acquisition='ei', num_samples=8,
+            num_train_tasks=8, pretrain_packed=pp, resample_every=5,
+            sweeps=1)[1])), k=v_iters)
+    _variant('qbatch', lambda: float(jnp.sum(
+        ondevice.simulated_bayesopt_ondevice_qbatch(
+            mean.constant, kernel.squared_exponential, model,
+            {'learning_rate': 1e-2}, DEFAULT_WARP_FUNC, queried,
+            iters=max(v_iters // 4, 5), q=4, acquisition='ei',
+            num_train_tasks=8)[1])), k=max(v_iters // 4, 5) * 4)
+  return result
 
 
 if __name__ == '__main__':

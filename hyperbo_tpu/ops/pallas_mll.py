@@ -977,19 +977,27 @@ def mll_fused_g(x_scaled: jnp.ndarray, y: jnp.ndarray,
     return l_pm, quad[0, 0], ld[0, 0]
   if return_l:
     # The kernel stores diagonal (B, B) blocks transposed; fix them IN
-    # the panel-major layout (l_pm[p] holds all n rows of column-panel
-    # p, so the diagonal block is row-block p of panel p) — a (nb, B, B)
-    # gather/scatter — before the single dense-layout transpose. The
-    # previous dense-side fix cost two extra full n^2 transpose
-    # materializations (~1.3 ms of HBM traffic at n=8192 inside the
-    # VJP forward).
-    idx = jnp.arange(nb)
-    blocks = l_pm.reshape(nb, nb, block, block)       # [panel, rowblk]
-    diagb = blocks[idx, idx]                          # (nb, B, B)
-    blocks = blocks.at[idx, idx].set(jnp.swapaxes(diagb, -1, -2))
-    l = jnp.moveaxis(blocks.reshape(nb, n, block), 0, 1).reshape(n, n)
-    return l, quad[0, 0], ld[0, 0]
+    # the panel-major layout — a (nb, B, B) gather/scatter — before the
+    # single dense-layout transpose. The previous dense-side fix cost
+    # two extra full n^2 transpose materializations (~1.3 ms of HBM
+    # traffic at n=8192 inside the VJP forward).
+    return panels_to_dense_tri(l_pm, block), quad[0, 0], ld[0, 0]
   return quad[0, 0], ld[0, 0]
+
+
+def panels_to_dense_tri(l_pm: jnp.ndarray, block: int) -> jnp.ndarray:
+  """Panel-major (nb, n, B) factor with transposed diagonal blocks (the
+  fused forward kernel's return_l='panels' storage convention: l_pm[p]
+  holds all n rows of column-panel p, diagonal block = row-block p of
+  panel p, stored transposed) -> dense lower-triangular (n, n). Shared
+  by the return_l=True branch above and the distributed coarse-block
+  route (parallel/large.py)."""
+  nb, n, _ = l_pm.shape
+  idx = jnp.arange(nb)
+  blocks = l_pm.reshape(nb, nb, block, block)         # [panel, rowblk]
+  diagb = blocks[idx, idx]                            # (nb, B, B)
+  blocks = blocks.at[idx, idx].set(jnp.swapaxes(diagb, -1, -2))
+  return jnp.moveaxis(blocks.reshape(nb, n, block), 0, 1).reshape(n, n)
 
 
 def _poison_non_pd(l, nll):

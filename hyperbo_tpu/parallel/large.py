@@ -1,4 +1,4 @@
-"""Mesh-distributed large-n GP marginal likelihood.
+"""Mesh-distributed large-n GP marginal likelihood — value AND gradient.
 
 For n beyond one chip's comfort (BASELINE.md configs[4]: n=16384 Gram +
 blocked Cholesky), the pipeline shards over the mesh:
@@ -7,16 +7,36 @@ blocked Cholesky), the pipeline shards over the mesh:
     its (n/P x n) block from its slice of x against the all-gathered x
     (shard_map; O(n d) ICI traffic),
   * the factorization runs through the block-cyclic distributed
-    Cholesky (parallel.distributed_chol; O(n^2) ICI traffic),
+    Cholesky (parallel.distributed_chol; O(n^2) ICI traffic) or the
+    coarse-block fused-kernel route (mll_distributed_fused),
   * logdet + quadratic form close out on the replicated factor.
+
+Both NLL entry points carry a CUSTOM VJP so multi-chip large-n
+PRE-TRAINING works (round-4 verdict item 1): the backward never
+differentiates through the factorization loop. Instead it reuses the
+forward's row-sharded factor L and the closed-form NLL adjoint
+
+    G = dNLL/dK = 0.5 (k K^{-1} - alpha alpha^T),  alpha = K^{-1} delta
+    dNLL/d delta = alpha
+
+(the same VJP semantics as the reference's inverse_spdmatrix_vector_
+product, hyperbo/basics/linalg.py:139-171, and the single-chip fused
+backward, ops/pallas_mll._se_core_bwd), computing K^{-1} row-sharded
+via a distributed triangular inverse + masked-psum LAUUM, then chains
+onto (params.model, x, y) with ONE jax.vjp of the shard-local Gram
+row-block — so any cov_func (SE/Matern, raw or MLP/Kumar-embedded)
+gets exact hyperparameter, embedding-network and input gradients
+without per-family adjoint code.
 
 On a single chip everything degenerates to the dense path (and n=16384
 fits one v5e: 104 ms measured, PERF.md). This module exists for the
-multi-chip regime and is validated against the dense pipeline on the
-virtual CPU mesh.
+multi-chip regime and is validated (values and gradients) against the
+dense pipeline on the virtual CPU mesh.
 """
 
 from __future__ import annotations
+
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -28,10 +48,18 @@ try:
 except ImportError:  # pragma: no cover
   from jax.experimental.shard_map import shard_map
 
+from hyperbo_tpu.core import defs
 from hyperbo_tpu.core.warp import retrieve_params
 from hyperbo_tpu.ops import chol as chol_ops
 from hyperbo_tpu.parallel import distributed_chol
 from hyperbo_tpu.parallel._smap import shard_map_unchecked
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _params_like(params, model):
+  """GPParams sharing `params`'s static config but a (traced) model."""
+  return defs.GPParams(config=params.config, model=model)
 
 
 def gram_rowsharded(cov_func, params, x, mesh: Mesh, warp_func=None,
@@ -55,6 +83,200 @@ def gram_rowsharded(cov_func, params, x, mesh: Mesh, warp_func=None,
                    out_specs=P(axis_name))(x_sharded)
 
 
+# ---------------------------------------------------------------------------
+# Distributed NLL backward machinery (shared by both entry points).
+#
+# Everything below runs INSIDE a shard_map body: `my` is the device's
+# coarse block-row index, row-sharded matrices are the device's (m, n)
+# row block, and the P-step loops are Python-static (P = mesh size).
+# ---------------------------------------------------------------------------
+
+
+def _alpha_backsub(l_rows, w_stack, z, my, num, m, k, axis_name):
+  """alpha = L^{-T} z by block back-substitution over the mesh.
+
+  l_rows: this device's (m, n) row block of L; w_stack: (P, m, m)
+  replicated diagonal-block inverses W_j = L_jj^{-1}; z = L^{-1} delta
+  (n, k) replicated. P psums of (m, k) — O(n k) ICI traffic.
+  """
+  a_full = jnp.zeros((num * m, k), jnp.float32)
+  for j in reversed(range(num)):
+    l_j = lax.slice(l_rows, (0, j * m), (m, (j + 1) * m))
+    a_my = lax.dynamic_slice(a_full, (my * m, 0), (m, k))
+    contrib = jnp.where(my > j,
+                        lax.dot_general(l_j, a_my, (((0,), (0,)), ((), ())),
+                                        precision=_HI),
+                        0.0)
+    s_j = lax.psum(contrib, axis_name)
+    z_j = lax.slice(z, (j * m, 0), ((j + 1) * m, k))
+    a_j = lax.dot_general(w_stack[j], z_j - s_j, (((0,), (0,)), ((), ())),
+                          precision=_HI)
+    a_full = lax.dynamic_update_slice(a_full, a_j, (j * m, 0))
+  return a_full
+
+
+def _tri_inv_rows_doubling(t_loc, l_rows, my, num, m, axis_name):
+  """Row-sharded T = L^{-1} by recursive block doubling (P power of 2).
+
+  On entry t_loc holds the block-diagonal inverse (this device's W at
+  its own diagonal block). Each level merges sibling groups via
+    [[A, 0], [B, C]]^{-1} = [[Ta, 0], [-Tc B Ta, Tc]]
+  with the two (s, s) GEMMs row-sharded over the group and two
+  (m, s) -> (n, s) all_gathers per level (O(n^2 log P) ICI total).
+  Devices in the lo half of a pair compute a discarded Y (SPMD waste);
+  the useful FLOPs are n^3/3 like the serial inverse but the critical
+  path is log P GEMM rounds instead of P.
+  """
+  lvl = 1
+  while lvl < num:
+    s = lvl * m
+    a0 = (my // (2 * lvl)) * (2 * lvl) * m   # pair base offset (traced)
+    lo_cols = lax.dynamic_slice(t_loc, (0, a0), (m, s))
+    gat = lax.all_gather(lo_cols, axis_name, tiled=True)      # (n, s)
+    ta = lax.dynamic_slice(gat, (a0, 0), (s, s))              # T[lo, lo]
+    b_loc = lax.dynamic_slice(l_rows, (0, a0), (m, s))        # L[my, lo]
+    x_loc = lax.dot_general(b_loc, ta, (((1,), (0,)), ((), ())),
+                            precision=_HI)
+    gx = lax.all_gather(x_loc, axis_name, tiled=True)         # (n, s)
+    xs = lax.dynamic_slice(gx, (a0 + s, 0), (s, s))           # B @ Ta
+    tc_cols = lax.dynamic_slice(t_loc, (0, a0 + s), (m, s))
+    y_loc = -lax.dot_general(tc_cols, xs, (((1,), (0,)), ((), ())),
+                             precision=_HI)
+    in_hi = (my % (2 * lvl)) >= lvl
+    t_loc = lax.dynamic_update_slice(
+        t_loc, jnp.where(in_hi, y_loc, lo_cols), (0, a0))
+    lvl *= 2
+  return t_loc
+
+
+def _tri_inv_rows_serial(t_loc, l_rows, my, num, m, axis_name):
+  """Row-sharded T = L^{-1}, serial block-row loop (any P; fallback for
+  non-power-of-2 meshes). Step i computes T[i, :i] = -W_i L[i, :i]
+  T[:i, :i] — the GEMM runs on every device (SPMD) but only device i
+  keeps the result, so wall-clock is the full n^3/3 path."""
+  for i in range(1, num):
+    iw = i * m
+    gat = lax.all_gather(lax.slice(t_loc, (0, 0), (m, iw)), axis_name,
+                         tiled=True)
+    tprev = lax.slice(gat, (0, 0), (iw, iw))
+    prod = lax.dot_general(lax.slice(l_rows, (0, 0), (m, iw)), tprev,
+                           (((1,), (0,)), ((), ())), precision=_HI)
+    w_my = lax.dynamic_slice(t_loc, (0, my * m), (m, m))
+    new = -lax.dot_general(w_my, prod, (((1,), (0,)), ((), ())),
+                           precision=_HI)
+    upd = jnp.where(my == i, new, lax.slice(t_loc, (0, 0), (m, iw)))
+    t_loc = t_loc.at[:, :iw].set(upd)
+  return t_loc
+
+
+def _kinv_rows(t_loc, my, num, m, axis_name):
+  """Row-sharded K^{-1} = T^T T (LAUUM): for each block row i, the
+  (m, n) partial products T[k, i-block]^T T[k, :] are psum-reduced over
+  devices k >= i and kept by device i. P psums of (m, n) — O(n^2) ICI
+  traffic, n^3/P local MACs."""
+  n = t_loc.shape[1]
+  kinv = jnp.zeros((m, n), jnp.float32)
+  for i in range(num):
+    tb = lax.slice(t_loc, (0, i * m), (m, (i + 1) * m))
+    tb = jnp.where(my >= i, tb, 0.0)
+    part = lax.dot_general(tb, t_loc, (((0,), (0,)), ((), ())),
+                           precision=_HI)
+    row_i = lax.psum(part, axis_name)
+    kinv = kinv + jnp.where(my == i, row_i, 0.0)
+  return kinv
+
+
+def _dist_nll_grads(mean_func, cov_func, params, warp_func, mesh,
+                    axis_name, eps, x, y, l_rows, w_stack=None, z=None,
+                    alpha=None):
+  """(d_model, d_x, d_y) of the distributed NLL from its saved factor.
+
+  l_rows: row-sharded (n, n) lower-triangular factor of K (global
+  shape; shard_map re-slices it). Either `alpha` (= K^{-1} delta,
+  replicated) or the pair (w_stack, z) from the fused forward must be
+  given — the latter reconstructs alpha by distributed
+  back-substitution. Returns cotangents WITHOUT the outer scalar
+  (caller multiplies the upstream cotangent in).
+  """
+  num = mesh.shape[axis_name]
+  n = x.shape[0]
+  m = n // num
+  model = params.model
+
+  def delta_fn(mo, x_, y_):
+    p = _params_like(params, mo)
+    return (y_ - jnp.atleast_2d(mean_func(p, x_, warp_func=warp_func))
+            ).astype(jnp.float32)
+
+  delta, delta_vjp = jax.vjp(delta_fn, model, x, y)
+  k_draws = delta.shape[1]
+
+  def body(mo, x_loc, l_loc, *opt):
+    my = lax.axis_index(axis_name)
+    if alpha is None:
+      w_st, z_rep = opt
+      a_full = _alpha_backsub(l_loc, w_st, z_rep, my, num, m, k_draws,
+                              axis_name)
+      w_my = lax.dynamic_index_in_dim(w_st, my, 0, keepdims=False)
+    else:
+      a_full, = opt
+      a_full = a_full.astype(jnp.float32)
+      # Diagonal-block inverse for the triangular-inverse seed.
+      d_blk = lax.dynamic_slice(l_loc, (0, my * m), (m, m))
+      w_my = jax.lax.linalg.triangular_solve(
+          d_blk, jnp.eye(m, dtype=l_loc.dtype), left_side=True,
+          lower=True)
+    t_loc = lax.dynamic_update_slice(
+        jnp.zeros((m, n), jnp.float32), w_my.astype(jnp.float32),
+        (0, my * m))
+    l32 = l_loc.astype(jnp.float32)
+    if num & (num - 1) == 0:
+      t_loc = _tri_inv_rows_doubling(t_loc, l32, my, num, m, axis_name)
+    else:
+      t_loc = _tri_inv_rows_serial(t_loc, l32, my, num, m, axis_name)
+    kinv_loc = _kinv_rows(t_loc, my, num, m, axis_name)
+    a_my = lax.dynamic_slice(a_full, (my * m, 0), (m, k_draws))
+    g_rows = 0.5 * (k_draws * kinv_loc
+                    - lax.dot_general(a_my, a_full,
+                                      (((1,), (1,)), ((), ())),
+                                      precision=_HI))
+    # Chain onto (model, x) through the shard-local Gram row block —
+    # the diagonal ridge rides inside so noise_variance (and its warp)
+    # gets its trace(G) adjoint for free.
+    x_full = lax.all_gather(x_loc, axis_name, tiled=True)
+    grows = my * m + jnp.arange(m)
+    diag_mask = (jnp.arange(n)[None, :] == grows[:, None]).astype(
+        jnp.float32)
+
+    def krow_fn(mo_, xl, xf):
+      p = _params_like(params, mo_)
+      nv, = retrieve_params(p, ['noise_variance'], warp_func=warp_func)
+      ridge = jnp.squeeze(nv) + eps
+      return (cov_func(p, xl, xf, warp_func=warp_func)
+              + diag_mask * ridge)
+
+    krow, krow_vjp = jax.vjp(krow_fn, mo, x_loc, x_full)
+    d_model, d_xl, d_xf = krow_vjp(g_rows.astype(krow.dtype))
+    d_model = jax.tree_util.tree_map(
+        lambda t: lax.psum(t, axis_name), d_model)
+    d_xf = lax.psum(d_xf, axis_name)
+    d_x_loc = d_xl + lax.dynamic_slice(
+        d_xf, (my * m,) + (0,) * (d_xf.ndim - 1), (m,) + d_xf.shape[1:])
+    return d_model, d_x_loc, a_full
+
+  opt_args = (alpha,) if alpha is not None else (w_stack, z)
+  opt_specs = (P(),) if alpha is not None else (P(), P())
+  d_model_cov, d_x_cov, a_rep = shard_map_unchecked(
+      body, mesh=mesh,
+      in_specs=(P(), P(axis_name), P(axis_name)) + opt_specs,
+      out_specs=(P(), P(axis_name), P()))(
+          model, x, l_rows, *opt_args)
+  # delta chain: dNLL/d delta = alpha.
+  d_model_mean, d_x_mean, d_y = delta_vjp(a_rep)
+  d_model = jax.tree_util.tree_map(jnp.add, d_model_cov, d_model_mean)
+  return d_model, d_x_cov + d_x_mean, d_y
+
+
 def mll_distributed(mean_func, cov_func, params, x, y, mesh: Mesh,
                     warp_func=None, block: int = 256,
                     axis_name: str = 'task', eps: float = 1e-6,
@@ -67,39 +289,63 @@ def mll_distributed(mean_func, cov_func, params, x, y, mesh: Mesh,
   default; ops.chol routing applies to the per-step diagonal blocks, so
   large-block runs factorize them through the Pallas HBM kernel), then
   logdet + quadratic form on the replicated factor.
+
+  Differentiable w.r.t. (params.model, x, y) via a custom VJP: the
+  backward reuses the replicated factor (sliced row-sharded) and the
+  already-computed alpha = K^{-1} delta, so jax.grad never unrolls the
+  block-cyclic factorization loop (matching the reference's custom-VJP
+  discipline at hyperbo/basics/linalg.py:139-171).
   """
-  noise_variance, = retrieve_params(params, ['noise_variance'],
-                                    warp_func=warp_func)
-  n = x.shape[0]
-  kmat = gram_rowsharded(cov_func, params, x, mesh, warp_func=warp_func,
-                         axis_name=axis_name)
-  kmat = kmat + jnp.eye(n, dtype=kmat.dtype) * (noise_variance + eps)
-  chol = distributed_chol.distributed_cholesky(
-      kmat, mesh, block=block, axis_name=axis_name,
-      panel_solver=panel_solver)
-  delta = y - jnp.atleast_2d(mean_func(params, x, warp_func=warp_func))
-  kinvy = chol_ops.cho_solve(chol, delta)
-  # Joint NLL of m independent draws: trace(delta^T K^{-1} delta), with
-  # the logdet and 2pi terms counted once per draw. (The host per-task
-  # path keeps the reference's sum-over-(m, m) form for parity — for
-  # m = 1 the two coincide; this new entry point uses the correct
-  # multi-draw form.)
-  m = delta.shape[1]
-  quad = jnp.sum(delta * kinvy)
-  logdet_half = jnp.sum(jnp.log(jnp.diagonal(chol)))
-  return 0.5 * quad + m * (logdet_half + 0.5 * n * jnp.log(2 * jnp.pi))
+
+  def _forward(model, x_, y_):
+    p = _params_like(params, model)
+    noise_variance, = retrieve_params(p, ['noise_variance'],
+                                      warp_func=warp_func)
+    n = x_.shape[0]
+    kmat = gram_rowsharded(cov_func, p, x_, mesh, warp_func=warp_func,
+                           axis_name=axis_name)
+    kmat = kmat + jnp.eye(n, dtype=kmat.dtype) * (noise_variance + eps)
+    chol = distributed_chol.distributed_cholesky(
+        kmat, mesh, block=block, axis_name=axis_name,
+        panel_solver=panel_solver)
+    delta = y_ - jnp.atleast_2d(mean_func(p, x_, warp_func=warp_func))
+    kinvy = chol_ops.cho_solve(chol, delta)
+    # Joint NLL of m independent draws: trace(delta^T K^{-1} delta),
+    # with the logdet and 2pi terms counted once per draw. (The host
+    # per-task path keeps the reference's sum-over-(m, m) form for
+    # parity — for m = 1 the two coincide; this new entry point uses
+    # the correct multi-draw form.)
+    m = delta.shape[1]
+    quad = jnp.sum(delta * kinvy)
+    logdet_half = jnp.sum(jnp.log(jnp.diagonal(chol)))
+    nll = 0.5 * quad + m * (logdet_half + 0.5 * n * jnp.log(2 * jnp.pi))
+    return nll, (chol, kinvy)
+
+  @jax.custom_vjp
+  def core(model, x_, y_):
+    return _forward(model, x_, y_)[0]
+
+  def fwd(model, x_, y_):
+    nll, (chol, kinvy) = _forward(model, x_, y_)
+    return nll, (model, x_, y_, chol, kinvy)
+
+  def bwd(res, g):
+    model, x_, y_, chol, kinvy = res
+    d_model, d_x, d_y = _dist_nll_grads(
+        mean_func, cov_func, _params_like(params, model), warp_func,
+        mesh, axis_name, eps, x_, y_, chol, alpha=kinvy)
+    scale = lambda t: jax.tree_util.tree_map(lambda a: g * a, t)
+    return scale(d_model), scale(d_x), scale(d_y)
+
+  core.defvjp(fwd, bwd)
+  return core(params.model, x, y)
 
 
 def _panels_to_dense_tri(lp: jnp.ndarray, block: int) -> jnp.ndarray:
-  """Panel-major (nb, n, B) factor with transposed diagonal blocks
-  (the fused forward kernel's return_l='panels' storage convention,
-  ops/pallas_mll.mll_fused_g) -> dense lower-triangular (n, n)."""
-  nb, n, _ = lp.shape
-  idx = jnp.arange(nb)
-  blocks = lp.reshape(nb, nb, block, block)
-  diagb = blocks[idx, idx]
-  blocks = blocks.at[idx, idx].set(jnp.swapaxes(diagb, -1, -2))
-  return jnp.moveaxis(blocks.reshape(nb, n, block), 0, 1).reshape(n, n)
+  """Panel-major factor -> dense lower-triangular (shared helper in
+  ops/pallas_mll; thin alias kept for in-module callers)."""
+  from hyperbo_tpu.ops import pallas_mll
+  return pallas_mll.panels_to_dense_tri(lp, block)
 
 
 def mll_distributed_fused(mean_func, cov_func, params, x, y, mesh: Mesh,
@@ -135,14 +381,26 @@ def mll_distributed_fused(mean_func, cov_func, params, x, y, mesh: Mesh,
   instead of the plain-XLA pipeline's. Value parity with the dense
   per-task NLL (reference hyperbo/gp_utils/objectives.py:144-156) is
   f32-reorder class; parity is tested on the 8-device CPU mesh in
-  tests/test_parallel.py and exercised by the dryrun.
+  tests/test_distributed_chol.py and exercised by the dryrun.
+
+  Differentiable w.r.t. (params.model, x, y) on BOTH backends via a
+  custom VJP (round-4 verdict item 1): the forward additionally
+  exports its row-sharded factor, the replicated W_j = L_jj^{-1}
+  blocks and z = L^{-1} delta; the backward reconstructs alpha by
+  distributed back-substitution, builds K^{-1} row-sharded
+  (block-doubling triangular inverse + masked-psum LAUUM, all MXU
+  GEMMs inside shard_map), forms G = 0.5 (k K^{-1} - alpha alpha^T)
+  per row block and chains onto the inputs with one jax.vjp of the
+  shard-local Gram row block. Gradient parity vs the dense NLL
+  gradient is tested on the CPU mesh (tests/test_distributed_grad.py).
 
   Args:
     backend: 'pallas' (shard-local Pallas kernels), 'xla' (plain XLA
       local ops — same coarse algorithm, any platform), or 'auto'
       (pallas on TPU, xla elsewhere). The pallas backend requires
       m % 512 == 0 (kernel block/chunk geometry); smaller shards fall
-      back to XLA local ops automatically.
+      back to XLA local ops (with a warning when 'pallas' was
+      explicitly requested).
     interpret: force Pallas interpret mode (defaults to True off-TPU).
   """
   from hyperbo_tpu.ops import pallas_chol_hbm
@@ -150,6 +408,7 @@ def mll_distributed_fused(mean_func, cov_func, params, x, y, mesh: Mesh,
   from hyperbo_tpu.ops import pallas_triinv
 
   platform = jax.devices()[0].platform
+  explicit_pallas = backend == 'pallas'
   if backend == 'auto':
     backend = 'pallas' if platform == 'tpu' else 'xla'
   if interpret is None:
@@ -159,19 +418,14 @@ def mll_distributed_fused(mean_func, cov_func, params, x, y, mesh: Mesh,
   n = x.shape[0]
   assert n % num == 0, (n, num)
   m = n // num
-  hi = jax.lax.Precision.HIGHEST
-  noise_variance, = retrieve_params(params, ['noise_variance'],
-                                    warp_func=warp_func)
-  ridge = jnp.squeeze(noise_variance) + eps
-  delta = y - jnp.atleast_2d(mean_func(params, x, warp_func=warp_func))
-  k_draws = delta.shape[1]
+  hi = _HI
 
   use_pallas_local = backend == 'pallas' and m >= 512 and m % 512 == 0
-  # First-block fast path: the fused MLL kernel serves D_0 = K(x_0,
-  # x_0) + ridge I directly from x (in-kernel Gram; L panels feed the
-  # panel-input tri-inv with no dense transpose). Later diagonal
-  # blocks are Schur-updated dense matrices, which the HBM-streaming
-  # Cholesky kernel factorizes.
+  if explicit_pallas and not use_pallas_local:
+    warnings.warn(
+        f'mll_distributed_fused: backend="pallas" requested but the '
+        f'shard width m={m} is not a multiple of 512 — running plain '
+        f'XLA local ops instead.', stacklevel=2)
   fused0 = False
   kfam = None
   if use_pallas_local and cov_func is not None:
@@ -180,15 +434,6 @@ def mll_distributed_fused(mean_func, cov_func, params, x, y, mesh: Mesh,
       fused0 = True
     except ValueError:
       fused0 = False
-  if fused0:
-    lengthscale, signal_variance = retrieve_params(
-        params, ['lengthscale', 'signal_variance'], warp_func=warp_func)
-    emb0 = pallas_mll._se_embed(params, x[:m], cov_func, warp_func)
-    xs0 = (emb0 / lengthscale).astype(jnp.float32)
-    sv0 = jnp.squeeze(signal_variance)
-  else:
-    xs0 = jnp.zeros((1, 1), jnp.float32)  # placeholder operand
-    sv0 = jnp.float32(0.0)
   sweep_unroll = 2 if interpret else 32
 
   def _chol_local(d_blk):
@@ -209,55 +454,109 @@ def mll_distributed_fused(mean_func, cov_func, params, x, y, mesh: Mesh,
     return jax.lax.linalg.triangular_solve(
         l_blk, jnp.eye(m, dtype=l_blk.dtype), left_side=True, lower=True)
 
-  def body(x_loc, delta_full):
-    my = lax.axis_index(axis_name)
-    x_full = lax.all_gather(x_loc, axis_name, tiled=True)
-    a_loc = cov_func(params, x_loc, x_full, warp_func=warp_func)
-    gcols = jnp.arange(n)
-    grows = my * m + jnp.arange(m)
-    a_loc = a_loc + (gcols[None, :] == grows[:, None]) * ridge
-    acc = jnp.zeros_like(delta_full)
-    quad = jnp.float32(0.0)
-    ldet = jnp.float32(0.0)
-    for j in range(num):
-      c0 = j * m
-      cand = lax.slice(a_loc, (0, c0), (m, c0 + m))
-      if j == 0 and fused0:
-        lp, _, ld0 = pallas_mll.mll_fused_g(
-            xs0, lax.slice(delta_full, (0, 0), (m, 1)), sv0, ridge,
-            block=256, half=min(512, m), group=2,
-            sweep_unroll=sweep_unroll, return_l='panels', kfam=kfam,
-            interpret=interpret)
-        l_exact = _panels_to_dense_tri(lp, 256)
-        w = _winv_local(lp=lp)
-        ldj = ld0
-      else:
-        gathered_d = lax.all_gather(cand, axis_name)  # (P, m, m)
-        d_blk = gathered_d[j]
-        l_exact = _chol_local(d_blk)
-        w = _winv_local(l_blk=l_exact)
-        ldj = jnp.sum(jnp.log(jnp.diagonal(l_exact)))
-      l_pj = jax.lax.dot_general(cand, w, (((1,), (1,)), ((), ())),
-                                 precision=hi)
-      l_pj = jnp.where(my > j, l_pj, jnp.where(my == j, l_exact, 0.0))
-      panel = lax.all_gather(l_pj, axis_name, tiled=True)  # (n, m)
-      d_j = lax.slice(delta_full, (c0, 0), (c0 + m, k_draws))
-      acc_j = lax.slice(acc, (c0, 0), (c0 + m, k_draws))
-      z_j = jax.lax.dot_general(w, d_j - acc_j, (((1,), (0,)), ((), ())),
-                                precision=hi)
-      quad = quad + jnp.sum(z_j * z_j)
-      ldet = ldet + ldj
-      acc = acc + jax.lax.dot_general(panel, z_j,
-                                      (((1,), (0,)), ((), ())),
-                                      precision=hi)
-      if j + 1 < num:
-        tail = lax.slice(panel, ((j + 1) * m, 0), (n, m))
-        upd = jax.lax.dot_general(l_pj, tail, (((1,), (1,)), ((), ())),
-                                  precision=hi)
-        a_loc = a_loc.at[:, (j + 1) * m:].add(-upd)
-    return quad, ldet
+  def _forward(model, x_, y_, want_residuals):
+    p = _params_like(params, model)
+    noise_variance, = retrieve_params(p, ['noise_variance'],
+                                      warp_func=warp_func)
+    ridge = jnp.squeeze(noise_variance) + eps
+    delta = y_ - jnp.atleast_2d(mean_func(p, x_, warp_func=warp_func))
+    k_draws = delta.shape[1]
+    if fused0:
+      lengthscale, signal_variance = retrieve_params(
+          p, ['lengthscale', 'signal_variance'], warp_func=warp_func)
+      emb0 = pallas_mll._se_embed(p, x_[:m], cov_func, warp_func)
+      xs0 = (emb0 / lengthscale).astype(jnp.float32)
+      sv0 = jnp.squeeze(signal_variance)
+    else:
+      xs0 = jnp.zeros((1, 1), jnp.float32)  # placeholder operand
+      sv0 = jnp.float32(0.0)
 
-  quad, ldet = shard_map_unchecked(
-      body, mesh=mesh, in_specs=(P(axis_name), P()),
-      out_specs=(P(), P()))(x, delta.astype(jnp.float32))
-  return 0.5 * quad + k_draws * (ldet + 0.5 * n * jnp.log(2 * jnp.pi))
+    def body(x_loc, delta_full):
+      my = lax.axis_index(axis_name)
+      x_full = lax.all_gather(x_loc, axis_name, tiled=True)
+      a_loc = cov_func(p, x_loc, x_full, warp_func=warp_func)
+      gcols = jnp.arange(n)
+      grows = my * m + jnp.arange(m)
+      a_loc = a_loc + (gcols[None, :] == grows[:, None]) * ridge
+      acc = jnp.zeros_like(delta_full)
+      quad = jnp.float32(0.0)
+      ldet = jnp.float32(0.0)
+      l_rows = jnp.zeros((m, n), jnp.float32) if want_residuals else None
+      w_list = []
+      z_list = []
+      for j in range(num):
+        c0 = j * m
+        cand = lax.slice(a_loc, (0, c0), (m, c0 + m))
+        if j == 0 and fused0:
+          lp, _, ld0 = pallas_mll.mll_fused_g(
+              xs0, lax.slice(delta_full, (0, 0), (m, 1)), sv0, ridge,
+              block=256, half=min(512, m), group=2,
+              sweep_unroll=sweep_unroll, return_l='panels', kfam=kfam,
+              interpret=interpret)
+          l_exact = _panels_to_dense_tri(lp, 256)
+          w = _winv_local(lp=lp)
+          ldj = ld0
+        else:
+          # Broadcast only device j's Schur-updated diagonal block
+          # (everyone else's candidate is masked out of the psum) —
+          # O(m^2) ICI per step instead of gathering all P candidates.
+          d_blk = lax.psum(jnp.where(my == j, cand, 0.0), axis_name)
+          l_exact = _chol_local(d_blk)
+          w = _winv_local(l_blk=l_exact)
+          ldj = jnp.sum(jnp.log(jnp.diagonal(l_exact)))
+        l_pj = jax.lax.dot_general(cand, w, (((1,), (1,)), ((), ())),
+                                   precision=hi)
+        l_pj = jnp.where(my > j, l_pj, jnp.where(my == j, l_exact, 0.0))
+        panel = lax.all_gather(l_pj, axis_name, tiled=True)  # (n, m)
+        d_j = lax.slice(delta_full, (c0, 0), (c0 + m, k_draws))
+        acc_j = lax.slice(acc, (c0, 0), (c0 + m, k_draws))
+        z_j = jax.lax.dot_general(w, d_j - acc_j,
+                                  (((1,), (0,)), ((), ())),
+                                  precision=hi)
+        quad = quad + jnp.sum(z_j * z_j)
+        ldet = ldet + ldj
+        acc = acc + jax.lax.dot_general(panel, z_j,
+                                        (((1,), (0,)), ((), ())),
+                                        precision=hi)
+        if j + 1 < num:
+          tail = lax.slice(panel, ((j + 1) * m, 0), (n, m))
+          upd = jax.lax.dot_general(l_pj, tail, (((1,), (1,)), ((), ())),
+                                    precision=hi)
+          a_loc = a_loc.at[:, (j + 1) * m:].add(-upd)
+        if want_residuals:
+          l_rows = l_rows.at[:, c0:c0 + m].set(l_pj.astype(jnp.float32))
+          w_list.append(w.astype(jnp.float32))
+          z_list.append(z_j.astype(jnp.float32))
+      if want_residuals:
+        return (quad, ldet, l_rows, jnp.stack(w_list),
+                jnp.concatenate(z_list, axis=0))
+      return quad, ldet
+
+    out_specs = ((P(), P(), P(axis_name), P(), P()) if want_residuals
+                 else (P(), P()))
+    out = shard_map_unchecked(
+        body, mesh=mesh, in_specs=(P(axis_name), P()),
+        out_specs=out_specs)(x_, delta.astype(jnp.float32))
+    quad, ldet = out[0], out[1]
+    nll = 0.5 * quad + k_draws * (ldet + 0.5 * n * jnp.log(2 * jnp.pi))
+    return (nll,) + tuple(out[2:])
+
+  @jax.custom_vjp
+  def core(model, x_, y_):
+    return _forward(model, x_, y_, want_residuals=False)[0]
+
+  def fwd(model, x_, y_):
+    nll, l_rows, w_stack, z = _forward(model, x_, y_,
+                                       want_residuals=True)
+    return nll, (model, x_, y_, l_rows, w_stack, z)
+
+  def bwd(res, g):
+    model, x_, y_, l_rows, w_stack, z = res
+    d_model, d_x, d_y = _dist_nll_grads(
+        mean_func, cov_func, _params_like(params, model), warp_func,
+        mesh, axis_name, eps, x_, y_, l_rows, w_stack=w_stack, z=z)
+    scale = lambda t: jax.tree_util.tree_map(lambda a: g * a, t)
+    return scale(d_model), scale(d_x), scale(d_y)
+
+  core.defvjp(fwd, bwd)
+  return core(params.model, x, y)

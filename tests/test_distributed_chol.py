@@ -215,7 +215,6 @@ def test_mll_distributed_fused_xla_matches_dense():
   from hyperbo_tpu.core import defs
   from hyperbo_tpu.core.warp import DEFAULT_WARP_FUNC
   from hyperbo_tpu.models import kernel, mean
-  from hyperbo_tpu.models import objectives as obj
   from hyperbo_tpu.parallel import large
 
   key = jax.random.PRNGKey(7)
