@@ -433,6 +433,26 @@ def _partial_kl_one_task(mean_func, cov_func, params, x, y, n_mask,
   return tr + mahalanobis + logdet
 
 
+def per_task_divergence_packed(
+    mean_func, cov_func, params, packed: PackedAlignedDataset,
+    warp_func=None, partial: bool = True,
+    eps: float = 0.0) -> jnp.ndarray:
+  """(T,) per-task EKL values of a packed aligned batch (unmasked).
+
+  The shared compute core of `multivariate_normal_divergence_packed`,
+  exposed (like `per_task_nll_packed`) so explicit task-DP programs
+  (parallel.mesh.make_ekl_loss_sharded) can evaluate their local task
+  shard per device under shard_map and psum the reduction themselves.
+  """
+  kl_fn = _partial_kl_one_task if partial else _full_kl_one_task
+  return jax.vmap(
+      lambda x, y, nm, mm, cn, cm: kl_fn(
+          mean_func, cov_func, params, x, y, nm, mm, cn, cm, warp_func,
+          eps))(
+              packed.x, packed.y, packed.n_mask, packed.m_mask,
+              packed.count_n, packed.count_m)
+
+
 def multivariate_normal_divergence_packed(
     mean_func, cov_func, params, packed: PackedAlignedDataset,
     warp_func=None, partial: bool = True,
@@ -446,13 +466,9 @@ def multivariate_normal_divergence_packed(
   the task axis. `eps` is the diagonal ridge the host path adds to both
   covariances (GP.stats uses 1e-6).
   """
-  kl_fn = _partial_kl_one_task if partial else _full_kl_one_task
-  per_task = jax.vmap(
-      lambda x, y, nm, mm, cn, cm: kl_fn(
-          mean_func, cov_func, params, x, y, nm, mm, cn, cm, warp_func,
-          eps))(
-              packed.x, packed.y, packed.n_mask, packed.m_mask,
-              packed.count_n, packed.count_m)
+  per_task = per_task_divergence_packed(
+      mean_func, cov_func, params, packed, warp_func=warp_func,
+      partial=partial, eps=eps)
   per_task = jnp.where(packed.task_mask, per_task, 0.0)
   num = jnp.maximum(jnp.sum(packed.task_mask), 1)
   return jnp.sum(per_task) / num

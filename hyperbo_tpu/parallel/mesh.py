@@ -109,6 +109,73 @@ def make_packed_loss_sharded(mean_func, cov_func, config, mesh: Mesh,
   return loss_fn
 
 
+def make_ekl_loss_sharded(mean_func, cov_func, config, mesh: Mesh,
+                          warp_func=None, axis_name: str = 'task',
+                          partial: bool = True, eps: float = 0.0):
+  """Mean EKL over a task-sharded PackedAlignedDataset (shard_map).
+
+  The empirical-KL objective (reference
+  hyperbo/gp_utils/objectives.py:29-101: sample-MVN vs model-MVN
+  divergence per aligned task) as an explicit task-DP program: each
+  device evaluates the masked partial/full KL on its local task shard
+  (models/packed._{partial,full}_kl_one_task) and two psums (KL sum +
+  valid-task count) ride ICI. Value/grad match
+  `multivariate_normal_divergence_packed` on the same aligned batch.
+
+  Returns:
+    loss_fn(model, aligned_batch) -> scalar, jit/grad-compatible.
+  """
+  from hyperbo_tpu.core import defs  # local import to avoid cycle
+
+  def local(model, batch):
+    shim = defs.GPParams(model=model, config=config)
+    per_task = packed_lib.per_task_divergence_packed(
+        mean_func, cov_func, shim, batch, warp_func=warp_func,
+        partial=partial, eps=eps)
+    per_task = jnp.where(batch.task_mask, per_task, 0.0)
+    total = jax.lax.psum(jnp.sum(per_task), axis_name)
+    num = jax.lax.psum(jnp.sum(batch.task_mask.astype(jnp.int32)),
+                       axis_name)
+    return total / jnp.maximum(num, 1)
+
+  return shard_map_unchecked(local, mesh=mesh,
+                             in_specs=(P(), P(axis_name)),
+                             out_specs=P())
+
+
+def make_nll_ekl_loss_sharded(mean_func, cov_func, config, mesh: Mesh,
+                              ekl_weight: float, warp_func=None,
+                              axis_name: str = 'task',
+                              partial: bool = True, eps: float = 0.0):
+  """Composite NLL + c·EKL objective, both terms task-sharded.
+
+  The HBO_NLLKL method family (reference
+  hyperbo/gp_utils/objectives.py:213-246: `add(nll, mul(c, regkl))`)
+  on the mesh: the NLL rides `make_packed_loss_sharded` (fused Pallas
+  kernels shard-local), the EKL rides `make_ekl_loss_sharded`, and the
+  two packed batches shard independently over the same task axis.
+
+  Returns:
+    loss_fn(model, packed_batch, aligned_batch) -> scalar. Pass
+    aligned_batch=None to drop the EKL term (plain sharded NLL).
+  """
+  nll_fn = make_packed_loss_sharded(mean_func, cov_func, config, mesh,
+                                    warp_func=warp_func,
+                                    axis_name=axis_name)
+  ekl_fn = make_ekl_loss_sharded(mean_func, cov_func, config, mesh,
+                                 warp_func=warp_func,
+                                 axis_name=axis_name, partial=partial,
+                                 eps=eps)
+
+  def loss_fn(model, packed_batch, aligned_batch=None):
+    total = nll_fn(model, packed_batch)
+    if aligned_batch is not None and ekl_weight:
+      total = total + ekl_weight * ekl_fn(model, aligned_batch)
+    return total
+
+  return loss_fn
+
+
 def fit_adam_packed_sharded(mean_func, cov_func, model_params, packed,
                             config, mesh: Mesh, warp_func=None, key=None,
                             axis_name: str = 'task',

@@ -227,3 +227,88 @@ def test_ondevice_bo_with_mesh_matches_single():
       num_train_tasks=3, mesh=mesh)
   np.testing.assert_array_equal(np.asarray(sel1), np.asarray(sel2))
   np.testing.assert_allclose(np.asarray(yo1), np.asarray(yo2), atol=1e-5)
+
+
+def _aligned_dataset(key, num_tasks=6, d=2):
+  """Aligned tasks with unequal (n, m) — real n/m padding on the mesh."""
+  gt = GPParams(model={'constant': 1., 'lengthscale': jnp.array([.4] * d),
+                       'signal_variance': 1.0, 'noise_variance': 0.01})
+  sizes = [(9 + t, 3 + (t % 3)) for t in range(num_tasks)]
+  dataset = {}
+  for t, (n, m) in enumerate(sizes):
+    key, k1, k2 = jax.random.split(key, 3)
+    vx = jax.random.uniform(k1, (n, d))
+    vy = gp.sample_from_gp(k2, mean.constant, kernel.squared_exponential,
+                           gt, vx, warp_func=WF, num_samples=m)
+    dataset[f'a{t}'] = SubDataset(vx, vy, aligned=t)
+  return dataset
+
+
+@pytest.mark.parametrize('partial', [True, False])
+def test_sharded_ekl_matches_dense_value_and_grad(partial):
+  """Task-sharded EKL (round-4 verdict item 5: the HBO_NLLKL family on
+  the mesh) == multivariate_normal_divergence_packed, value AND grad."""
+  dataset = _aligned_dataset(jax.random.PRNGKey(40))
+  mesh = mesh_lib.create_mesh(8)
+  packed, _ = packed_lib.pack_aligned_dataset(
+      dataset, pad_to_multiple=4, num_tasks_multiple=8)
+  model = {'constant': 0.8, 'lengthscale': jnp.array([0.1, -0.2]),
+           'signal_variance': 0.3, 'noise_variance': -3.}
+  eps = 1e-6
+
+  def dense_loss(model, batch):
+    shim = GPParams(model=model, config={})
+    return packed_lib.multivariate_normal_divergence_packed(
+        mean.constant, kernel.squared_exponential, shim, batch,
+        warp_func=WF, partial=partial, eps=eps)
+
+  sharded_loss = mesh_lib.make_ekl_loss_sharded(
+      mean.constant, kernel.squared_exponential, {}, mesh,
+      warp_func=WF, partial=partial, eps=eps)
+  sharded = mesh_lib.shard_packed(packed, mesh)
+  v_dense, g_dense = jax.value_and_grad(dense_loss)(model, packed)
+  v_shard, g_shard = jax.jit(jax.value_and_grad(sharded_loss))(
+      model, sharded)
+  np.testing.assert_allclose(float(v_shard), float(v_dense), rtol=2e-4)
+  for k in g_dense:
+    scale = np.max(np.abs(np.asarray(g_dense[k]))) + 1e-8
+    np.testing.assert_allclose(np.asarray(g_shard[k]),
+                               np.asarray(g_dense[k]),
+                               rtol=0, atol=3e-3 * scale, err_msg=k)
+
+
+def test_sharded_nll_ekl_composite_matches_dense():
+  """nll + c*EKL composite (reference objectives.py:213-246
+  nll_regkl) rides the mesh: value+grad vs the single-device sum."""
+  nll_data = _dataset(jax.random.PRNGKey(41))
+  ekl_data = _aligned_dataset(jax.random.PRNGKey(42))
+  mesh = mesh_lib.create_mesh(8)
+  packed, _ = mesh_lib.pad_tasks_for_mesh(nll_data, mesh)
+  aligned, _ = packed_lib.pack_aligned_dataset(
+      ekl_data, pad_to_multiple=4, num_tasks_multiple=8)
+  model = {'constant': 1., 'lengthscale': jnp.zeros(2),
+           'signal_variance': 0., 'noise_variance': -3.}
+  c = 0.1
+
+  def dense_loss(model):
+    shim = GPParams(model=model, config={})
+    return (packed_lib.neg_log_marginal_likelihood_packed(
+        mean.constant, kernel.squared_exponential, shim, packed,
+        warp_func=WF)
+            + c * packed_lib.multivariate_normal_divergence_packed(
+                mean.constant, kernel.squared_exponential, shim,
+                aligned, warp_func=WF, partial=True, eps=1e-6))
+
+  sharded_loss = mesh_lib.make_nll_ekl_loss_sharded(
+      mean.constant, kernel.squared_exponential, {}, mesh,
+      ekl_weight=c, warp_func=WF, partial=True, eps=1e-6)
+  v_dense, g_dense = jax.value_and_grad(dense_loss)(model)
+  v_shard, g_shard = jax.jit(jax.value_and_grad(sharded_loss))(
+      model, mesh_lib.shard_packed(packed, mesh),
+      mesh_lib.shard_packed(aligned, mesh))
+  np.testing.assert_allclose(float(v_shard), float(v_dense), rtol=2e-4)
+  for k in g_dense:
+    scale = np.max(np.abs(np.asarray(g_dense[k]))) + 1e-8
+    np.testing.assert_allclose(np.asarray(g_shard[k]),
+                               np.asarray(g_dense[k]),
+                               rtol=0, atol=3e-3 * scale, err_msg=k)
