@@ -1365,6 +1365,21 @@ def _se_core_bwd(l, x_scaled, delta, sv, valid, kfam='se',
         rows=brows, group=bgroup, precise=(prec_mode != 'default'),
         interpret=interpret)
     return d_x, alpha, dsv_raw / sv, d_da
+  if (fused_flag and not panel_l
+      and os.environ.get('HYPERBO_BWD_COARSE', '1') == '1'):
+    # Beyond MAX_N: coarse two-level backward — the existing kernels
+    # per <= MAX_N diagonal block, XLA GEMMs (64-bit-safe offsets) for
+    # every cross term. Replaces the dense O(n^3)-rate fallback
+    # (9.04 s/step at n=32768, PERF.md r15) without new Mosaic surface
+    # (the r14 int32-offset refutation class). HYPERBO_BWD_COARSE=0
+    # (trace-time) restores the dense chain.
+    from hyperbo_tpu.ops import coarse_bwd as cb
+    if cb.coarse_split(n):
+      d_x, alpha, dsv_raw, d_da = cb.coarse_bwd(
+          l, x_scaled, delta, sv, valid=valid, kfam=kfam,
+          precise=(prec_mode != 'default'), triinv=triinv,
+          interpret=interpret)
+      return d_x, alpha, dsv_raw / sv, d_da
   linv = _tri_inv(l, blocked=(triinv != '0'))
   kinv = _kinv_from_linv(linv, hi, mode=kinv_mode)
   # alpha via the explicit inverse (2n^2 matvec) instead of two chained
