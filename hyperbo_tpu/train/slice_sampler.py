@@ -22,6 +22,7 @@ evaluations are O(small-n) GP NLLs, so the host loop is not a bottleneck.
 from __future__ import annotations
 
 import logging
+import os
 from typing import Any, Callable, Dict, List, Optional
 
 import jax
@@ -144,19 +145,46 @@ def _coord_update(log_prob, x, i, ll, key, width, max_steps_out, max_shrink):
   def logp_at(v):
     return log_prob(x.at[i].set(v))
 
-  def out_cond(side_sign):
-    def cond(state):
-      edge, j = state
-      return (j < max_steps_out) & (logp_at(edge) > log_y)
-    def body(state):
-      edge, j = state
-      return edge + side_sign * width, j + 1
-    return cond, body
+  # Both stepping-out sides advance in ONE while_loop with a batched
+  # 2-edge log-prob eval: identical decisions and identical per-side
+  # trip bounds as two sequential loops (stepping out is deterministic
+  # given log_y), but the SERIAL eval depth drops from L + R to
+  # max(L, R) — and under the chains vmap, to the max over lanes AND
+  # sides instead of the sum of per-side lane maxima. Each log-prob
+  # here is a full corpus NLL, so serial depth is the cost driver
+  # (PERF.md round-5 HGP-resample dissection).
+  # HYPERBO_SLICE_STEPOUT=serial (trace-time) restores the two
+  # sequential per-side loops — the A/B hook for that dissection.
+  if os.environ.get('HYPERBO_SLICE_STEPOUT', 'fused') == 'serial':
+    def one_side(side_sign, edge0):
+      def cond(state):
+        edge, j = state
+        return (j < max_steps_out) & (logp_at(edge) > log_y)
+      def body(state):
+        edge, j = state
+        return edge + side_sign * width, j + 1
+      edge, _ = jax.lax.while_loop(cond, body, (edge0, 0))
+      return edge
+    left = one_side(-1.0, left0)
+    right = one_side(1.0, right0)
+  else:
+    sides = jnp.array([-1.0, 1.0], jnp.float32)
 
-  cond_l, body_l = out_cond(-1.0)
-  left, _ = jax.lax.while_loop(cond_l, body_l, (left0, 0))
-  cond_r, body_r = out_cond(1.0)
-  right, _ = jax.lax.while_loop(cond_r, body_r, (right0, 0))
+    def out_cond(state):
+      edges, grow, j = state
+      return jnp.any(grow & (j < max_steps_out))
+
+    def out_body(state):
+      edges, grow, j = state
+      lls = jax.vmap(logp_at)(edges)
+      step = grow & (j < max_steps_out) & (lls > log_y)
+      return edges + jnp.where(step, sides * width, 0.0), step, j + step
+
+    (edges, _, _) = jax.lax.while_loop(
+        out_cond, out_body,
+        (jnp.stack([left0, right0]), jnp.array([True, True]),
+         jnp.zeros((2,), jnp.int32)))
+    left, right = edges[0], edges[1]
 
   def shrink_cond(state):
     _, _, _, _, _, done, j = state
