@@ -48,9 +48,14 @@ _SQRT3 = 3.0 ** 0.5
 _SQRT5 = 5.0 ** 0.5
 
 # Production configuration (the shape _se_core_bwd dispatches) and the
-# largest n the VMEM budget admits: the (n, 128) f32 P-accumulator is
-# n * 512 bytes (8 MB at n=16384), plus ~2.4 MB of strips/tiles, under
-# the toolchain's 16 MB scoped-vmem limit (PERF.md round 4).
+# largest n this kernel serves: the (n, 128) f32 P-accumulator is
+# n * 512 bytes (8 MB at n=16384, plus ~2.4 MB of strips/tiles —
+# PERF.md round 4), and at n = 32768 the panel-major T tensor reaches
+# 2^32 bytes, where Mosaic's int32 byte-offset arithmetic silently
+# wraps (hardware-refuted, PERF.md r14). Beyond MAX_N the coarse
+# two-level backward (ops/coarse_bwd) runs this kernel per <= MAX_N
+# diagonal block — n=32768 value_and_grad at 1.01 s/step vs the dense
+# chain's 9.04 s (PERF.md r17).
 BLOCK = 256
 CHUNK = 512
 MAX_N = 16384
