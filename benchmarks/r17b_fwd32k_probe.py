@@ -135,6 +135,42 @@ def main():
     out['fused_error'] = f'{type(e).__name__}: {str(e)[:300]}'
     _abort_if_terminal_down(e, 'fused_fwd')
   save()
+
+  # --- red-flip validation of the bench gradient-parity leg ----------
+  # (round-4 verdict item 6 acceptance: "a deliberately broken kernel
+  # env flag flips it red".) HYPERBO_BWD_JOINT=1 enables the joint
+  # backward megakernel, hardware-refuted in r13 (wrong d_x despite
+  # clean interpret parity) and guard-tested opt-in — exactly the bug
+  # class the parity leg exists to catch. With it on, fused-vs-dense
+  # d_x parity at n=8192 must blow past the 5e-3 bench threshold.
+  try:
+    from hyperbo_tpu.ops import pallas_mll as pm
+    n8, d8 = 8192, 4
+    k8 = jax.random.PRNGKey(4)
+    x8 = jax.random.uniform(k8, (n8, d8), jnp.float32) * 2.0
+    dl8 = jnp.sin(3.0 * x8 @ jax.random.normal(
+        jax.random.fold_in(k8, 1), (d8, 1)))
+    core = pm._se_nll_core_fn(256, 512, 2, False, 32, 'se', 'octv',
+                              False, pm._bwd_env_config())
+
+    def gx(xv):
+      return core(xv, dl8, jnp.float32(1.2), jnp.float32(0.3))
+
+    g_ok = np.asarray(jax.jit(jax.grad(gx))(x8))
+    os.environ['HYPERBO_BWD_JOINT'] = '1'
+    g_broken = np.asarray(jax.jit(jax.grad(gx))(x8))
+    os.environ['HYPERBO_BWD_JOINT'] = '0'
+    rel = float(np.max(np.abs(g_broken - g_ok))
+                / (np.max(np.abs(g_ok)) + 1e-12))
+    out['redflip_joint_rel'] = rel
+    out['redflip_detected'] = bool(rel > 5e-3)
+    log(f'red-flip (HYPERBO_BWD_JOINT=1) d_x rel {rel:.3e} -> '
+        f'{"DETECTED (leg works)" if rel > 5e-3 else "NOT DETECTED"}')
+  except Exception as e:  # noqa: BLE001
+    log(f'red-flip leg FAILED: {type(e).__name__}: {str(e)[:300]}')
+    out['redflip_error'] = f'{type(e).__name__}: {str(e)[:300]}'
+    _abort_if_terminal_down(e, 'redflip')
+  save()
   log('DONE')
 
 
