@@ -204,3 +204,35 @@ def test_hgp_predict_stacked_matches_loop():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(var_s[i]), np.asarray(var),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fused_stepout_bitexact_vs_serial(monkeypatch):
+  """The fused 2-edge stepping-out while_loop (the library default) must
+  reproduce the two sequential per-side loops DECISION-EXACTLY: stepping
+  out is deterministic given log_y, so the chains are bit-identical.
+  Guards the HYPERBO_SLICE_STEPOUT A/B hook (PERF.md round-5
+  HGP-resample dissection) against semantic drift."""
+  import numpy as np
+  from hyperbo_tpu.train import slice_sampler
+
+  def log_prob(v):
+    # Banana-ish target so stepping out/shrinkage trip counts vary
+    # per coordinate and per sweep.
+    return (-0.5 * jnp.sum(v * v)
+            - 2.0 * (v[1] - v[0] ** 2) ** 2)
+
+  x0 = jnp.array([0.3, -0.7, 1.1], jnp.float32)
+  key = jax.random.PRNGKey(11)
+
+  outs = {}
+  for mode in ('serial', 'fused'):
+    monkeypatch.setenv('HYPERBO_SLICE_STEPOUT', mode)
+    # Fresh trace per mode: the env knob is read at trace time.
+    xs, lls = jax.jit(
+        lambda x, k: slice_sampler._run_chain(
+            log_prob, x, k, total=6, width=0.8, max_steps_out=5,
+            max_shrink=20))(x0, key)
+    outs[mode] = (np.asarray(xs), np.asarray(lls))
+
+  np.testing.assert_array_equal(outs['fused'][0], outs['serial'][0])
+  np.testing.assert_array_equal(outs['fused'][1], outs['serial'][1])
