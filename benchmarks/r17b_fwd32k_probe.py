@@ -1,19 +1,24 @@
-"""Forward-export validation at n = 32768 (closing an evidence gap).
+"""Forward-export validation at n = 32768 + bench-parity red-flip.
 
-Every n=32768 gradient comparison so far (r14, r15, r17 leg 1) consumed
-the SAME fused-forward L export — a 4 GiB panel-major tensor written by
-the Pallas kernel, i.e. exactly the >= 2^31-byte offset class that
-broke the backward SYRK kernel (PERF.md r14). If the export wrapped,
-both sides of those comparisons would be wrong in common mode.
+Leg 1 (red-flip, n=8192): round-4 verdict item 6 acceptance — "a
+deliberately broken kernel env flag flips it red". HYPERBO_BWD_JOINT=1
+enables the joint backward megakernel, hardware-refuted in r13 (wrong
+d_x despite clean interpret parity) and guard-tested opt-in — exactly
+the bug class bench.py's gradient-parity leg exists to catch. With it
+on, fused-vs-XLA d_x parity must blow past the 5e-3 bench threshold.
 
-This probe checks the forward INDEPENDENTLY against a pure-XLA dense
-pipeline (no Pallas anywhere, 64-bit-safe):
-  1. NLL value: fused kernel vs dense K -> lax.linalg.cholesky ->
-     triangular solve logdet/quad.
-  2. L export: sampled 512x512 blocks of the fused dense-L export vs
-     the XLA factor — corners chosen to hit the highest byte offsets
-     of the panel-major write (last panel, last row block) where an
-     int32 wrap would land.
+Leg 2 (forward export, n=32768): every n=32768 gradient comparison so
+far (r14, r15, r17) consumed the SAME fused-forward L export — a 4 GiB
+tensor written through exactly the >= 2^31-byte offset class that broke
+the backward SYRK kernel (PERF.md r14). If the export wrapped, both
+sides of those comparisons would be wrong in common mode. A pure-XLA
+dense Cholesky reference at this n crashes the compile helper
+("response body closed", first r17b attempt), so the export is checked
+against its DEFINING equation instead — no factorization needed:
+sampled 512-row corner blocks (chosen to hit the highest byte offsets
+of the write) must satisfy (L L^T)[blk] == K[blk] with K built directly
+from x. GEMM-only, compiles small, and garbage rows from an int32 wrap
+cannot satisfy it.
 
 Run: nohup python benchmarks/r17b_fwd32k_probe.py > /tmp/r17b.log 2>&1 &
 Verdict JSON: /tmp/r17b_verdict.json
@@ -38,6 +43,8 @@ from benchmarks._transport import make_abort
 
 _abort_if_terminal_down = make_abort(log)
 
+HI = None  # set in main (needs jax imported)
+
 
 def main():
   import jax
@@ -45,6 +52,7 @@ def main():
   import numpy as np
   from hyperbo_tpu.ops import pallas_mll
 
+  hi = jax.lax.Precision.HIGHEST
   out = {}
 
   def save():
@@ -54,104 +62,16 @@ def main():
   log('devices:', jax.devices())
   log(f'warmup ok ({float(jnp.sum(jnp.ones((64, 64))))})')
 
-  n, d = 32768, 4
-  key = jax.random.PRNGKey(0)
-  x = jax.random.uniform(key, (n, d), jnp.float32) * 2.0
-  delta = jnp.sin(3.0 * x @ jax.random.normal(
-      jax.random.fold_in(key, 1), (d, 1)))
-  sv, da = jnp.float32(1.2), jnp.float32(0.3)
-
-  blocks = [(0, 0), (n - 512, 0), (n - 512, n - 1024),
-            (n - 512, n - 512), (n // 2, n // 2 - 512)]
-
+  # --- leg 1: red-flip validation of the bench gradient-parity leg ---
   try:
-    @jax.jit
-    def dense_ref(xv, dv):
-      sq = jnp.sum(xv * xv, axis=1, keepdims=True)
-      r2 = jnp.maximum(
-          sq + sq.T - 2.0 * jnp.matmul(xv, xv.T,
-                                       precision=jax.lax.Precision.HIGH),
-          0.0)
-      kmat = sv * jnp.exp(-0.5 * r2) + da * jnp.eye(n, dtype=jnp.float32)
-      l = jax.lax.linalg.cholesky(kmat)
-      z = jax.lax.linalg.triangular_solve(l, dv, left_side=True,
-                                          lower=True)
-      nll = (0.5 * jnp.sum(z * z)
-             + jnp.sum(jnp.log(jnp.diagonal(l))))
-      samp = jnp.stack([
-          jax.lax.dynamic_slice(l, (r, c), (512, 512))
-          for r, c in blocks])
-      return nll, samp
-
-    t0 = time.time()
-    nll_x, samp_x = dense_ref(x, delta)
-    nll_x = float(nll_x)
-    samp_x = np.asarray(samp_x)
-    log(f'dense XLA pipeline: nll_core {nll_x:.4f} '
-        f'({time.time() - t0:.1f}s incl compile)')
-    out['nll_dense'] = nll_x
-  except Exception as e:  # noqa: BLE001
-    log(f'dense reference FAILED: {type(e).__name__}: {str(e)[:300]}')
-    out['dense_error'] = f'{type(e).__name__}: {str(e)[:300]}'
-    save()
-    _abort_if_terminal_down(e, 'dense_ref')
-    return
-
-  try:
-    @jax.jit
-    def fused_fwd(xv, dv):
-      l, quad, ld = pallas_mll.mll_fused_g(
-          xv, dv, sv, da, block=256, half=512, group=2,
-          sweep_unroll=32, return_l=True, kfam='se',
-          pivot_mode='octv', interpret=False)
-      nll = 0.5 * quad + ld
-      samp = jnp.stack([
-          jax.lax.dynamic_slice(l, (r, c), (512, 512))
-          for r, c in blocks])
-      return nll, samp
-
-    t0 = time.time()
-    nll_f, samp_f = fused_fwd(x, delta)
-    nll_f = float(nll_f)
-    samp_f = np.asarray(samp_f)
-    log(f'fused forward (return_l): nll_core {nll_f:.4f} '
-        f'({time.time() - t0:.1f}s incl compile)')
-    out['nll_fused'] = nll_f
-    out['nll_rel'] = abs(nll_f - nll_x) / (abs(nll_x) + 1e-12)
-    rels = []
-    for bi, (r, c) in enumerate(blocks):
-      aa, bb = samp_f[bi], samp_x[bi]
-      rel = float(np.max(np.abs(aa - bb)) / (np.max(np.abs(bb)) + 1e-12))
-      rels.append(rel)
-      log(f'L block ({r},{c}): max rel {rel:.3e}')
-    out['l_block_rels'] = rels
-    out['l_export_ok'] = bool(max(rels) < 5e-3)
-    out['nll_ok'] = bool(out['nll_rel'] < 1e-4)
-    log(f'VERDICT: nll rel {out["nll_rel"]:.3e} '
-        f'(ok={out["nll_ok"]}), L export max rel {max(rels):.3e} '
-        f'(ok={out["l_export_ok"]})')
-  except Exception as e:  # noqa: BLE001
-    log(f'fused forward FAILED: {type(e).__name__}: {str(e)[:300]}')
-    out['fused_error'] = f'{type(e).__name__}: {str(e)[:300]}'
-    _abort_if_terminal_down(e, 'fused_fwd')
-  save()
-
-  # --- red-flip validation of the bench gradient-parity leg ----------
-  # (round-4 verdict item 6 acceptance: "a deliberately broken kernel
-  # env flag flips it red".) HYPERBO_BWD_JOINT=1 enables the joint
-  # backward megakernel, hardware-refuted in r13 (wrong d_x despite
-  # clean interpret parity) and guard-tested opt-in — exactly the bug
-  # class the parity leg exists to catch. With it on, fused-vs-dense
-  # d_x parity at n=8192 must blow past the 5e-3 bench threshold.
-  try:
-    from hyperbo_tpu.ops import pallas_mll as pm
     n8, d8 = 8192, 4
     k8 = jax.random.PRNGKey(4)
     x8 = jax.random.uniform(k8, (n8, d8), jnp.float32) * 2.0
     dl8 = jnp.sin(3.0 * x8 @ jax.random.normal(
         jax.random.fold_in(k8, 1), (d8, 1)))
-    core = pm._se_nll_core_fn(256, 512, 2, False, 32, 'se', 'octv',
-                              False, pm._bwd_env_config())
+    core = pallas_mll._se_nll_core_fn(
+        256, 512, 2, False, 32, 'se', 'octv', False,
+        pallas_mll._bwd_env_config())
 
     def gx(xv):
       return core(xv, dl8, jnp.float32(1.2), jnp.float32(0.3))
@@ -170,6 +90,73 @@ def main():
     log(f'red-flip leg FAILED: {type(e).__name__}: {str(e)[:300]}')
     out['redflip_error'] = f'{type(e).__name__}: {str(e)[:300]}'
     _abort_if_terminal_down(e, 'redflip')
+  save()
+
+  # --- leg 2: n=32768 L export vs its defining equation --------------
+  n, d = 32768, 4
+  key = jax.random.PRNGKey(0)
+  x = jax.random.uniform(key, (n, d), jnp.float32) * 2.0
+  delta = jnp.sin(3.0 * x @ jax.random.normal(
+      jax.random.fold_in(key, 1), (d, 1)))
+  sv, da = jnp.float32(1.2), jnp.float32(0.3)
+  # Corners of the panel-major write where an int32 byte-offset wrap
+  # would land (last panel, last row block) + start + middle controls.
+  blocks = [(0, 0), (n - 512, 0), (n - 512, n - 1024),
+            (n - 512, n - 512), (n // 2, n // 2 - 512)]
+
+  try:
+    @jax.jit
+    def fused_check(xv, dv):
+      l, quad, ld = pallas_mll.mll_fused_g(
+          xv, dv, sv, da, block=256, half=512, group=2,
+          sweep_unroll=32, return_l=True, kfam='se',
+          pivot_mode='octv', interpret=False)
+      nll = 0.5 * quad + ld
+      rels = []
+      for r, c in blocks:
+        lr = jax.lax.dynamic_slice(l, (r, 0), (512, n))
+        lc = jax.lax.dynamic_slice(l, (c, 0), (512, n))
+        prod = jnp.matmul(lr, lc.T, precision=hi)
+        xr = jax.lax.dynamic_slice(xv, (r, 0), (512, d))
+        xc = jax.lax.dynamic_slice(xv, (c, 0), (512, d))
+        sqr = jnp.sum(xr * xr, axis=1, keepdims=True)
+        sqc = jnp.sum(xc * xc, axis=1, keepdims=True)
+        r2 = jnp.maximum(
+            sqr + sqc.T - 2.0 * jnp.matmul(xr, xc.T, precision=hi), 0.0)
+        kblk = sv * jnp.exp(-0.5 * r2)
+        if r == c:
+          kblk = kblk + da * jnp.eye(512, dtype=jnp.float32)
+        # The product only covers the lower-triangular overlap; for
+        # r >= c every sampled pair is fully in range, so compare the
+        # region where the true K block is realized by L L^T: rows of
+        # block r vs cols of block c with col-index <= row-index
+        # globally. For r > c + 511 the whole block qualifies; for
+        # r == c it is the lower triangle (mask the rest).
+        if r == c:
+          mask = jnp.tril(jnp.ones((512, 512), jnp.float32))
+          prod = prod * mask + kblk * (1.0 - mask)
+        diff = jnp.max(jnp.abs(prod - kblk))
+        scale = jnp.max(jnp.abs(kblk))
+        rels.append(diff / (scale + 1e-12))
+      return nll, jnp.stack(rels)
+
+    t0 = time.time()
+    nll_f, rels = fused_check(x, delta)
+    nll_f = float(nll_f)
+    rels = [float(v) for v in np.asarray(rels)]
+    log(f'fused forward (return_l): nll_core {nll_f:.4f} '
+        f'({time.time() - t0:.1f}s incl compile)')
+    out['nll_fused'] = nll_f
+    for (r, c), rel in zip(blocks, rels):
+      log(f'L-export defining-eq block ({r},{c}): max rel {rel:.3e}')
+    out['l_block_rels'] = rels
+    out['l_export_ok'] = bool(max(rels) < 5e-3)
+    log(f'VERDICT: L export defining-equation max rel '
+        f'{max(rels):.3e} (ok={out["l_export_ok"]})')
+  except Exception as e:  # noqa: BLE001
+    log(f'fused forward FAILED: {type(e).__name__}: {str(e)[:300]}')
+    out['fused_error'] = f'{type(e).__name__}: {str(e)[:300]}'
+    _abort_if_terminal_down(e, 'fused_fwd')
   save()
   log('DONE')
 
