@@ -560,3 +560,81 @@ def mll_distributed_fused(mean_func, cov_func, params, x, y, mesh: Mesh,
 
   core.defvjp(fwd, bwd)
   return core(params.model, x, y)
+
+
+def make_large_loss_sharded(mean_func, cov_func, config, mesh: Mesh,
+                            warp_func=None, axis_name: str = 'task',
+                            route: str = 'fused', backend: str = 'auto',
+                            eps: float = 1e-6, block: int = 256):
+  """Build `loss_fn(model, (x, y)) -> scalar` over the distributed NLL.
+
+  The large-n analog of `parallel.mesh.make_packed_loss_sharded`: one
+  task whose Gram matrix is row-sharded over the mesh instead of many
+  tasks sharded across it. The loss is `mll_distributed_fused`
+  (route='fused', shard-local Pallas kernels on TPU) or
+  `mll_distributed` (route='cyclic', block-cyclic factorization), each
+  carrying the custom VJP, MINUS the `config['priors']` hyperprior
+  log-densities — the reference NLL's regularization semantics
+  (hyperbo/gp_utils/objectives.py:198-207); the prior terms are O(p)
+  and ride replicated outside the shard_map.
+  """
+  from hyperbo_tpu.models.objectives import _hyperprior_log_prob
+  assert route in ('fused', 'cyclic'), route
+
+  def loss_fn(model, batch):
+    x_, y_ = batch
+    p = defs.GPParams(model=model, config=config)
+    if route == 'fused':
+      nll = mll_distributed_fused(
+          mean_func, cov_func, p, x_, y_, mesh, warp_func=warp_func,
+          axis_name=axis_name, eps=eps, backend=backend)
+    else:
+      nll = mll_distributed(
+          mean_func, cov_func, p, x_, y_, mesh, warp_func=warp_func,
+          axis_name=axis_name, eps=eps, block=block)
+    return nll - _hyperprior_log_prob(p, warp_func)
+
+  return loss_fn
+
+
+def fit_adam_large_sharded(mean_func, cov_func, model_params, x, y,
+                           config, mesh: Mesh, warp_func=None, key=None,
+                           axis_name: str = 'task', route: str = 'fused',
+                           backend: str = 'auto', eps: float = 1e-6,
+                           callback=None):
+  """Multi-chip large-n GP pre-training: Adam through the distributed NLL.
+
+  The missing top of the multi-chip training stack: `mll_distributed*`
+  made the loss differentiable; this runs the actual optimization the
+  reference does on one device (hyperbo/gp_utils/gp.py:114-157, adam
+  path) for a task whose n exceeds a single chip. x is placed
+  row-sharded over the mesh and stays there for the whole run (a
+  scan-invariant operand — no per-step transfer); y and the parameter /
+  optimizer-state pytrees ride replicated; every step is full-batch
+  (the reference subsamples tasks, not rows — one large task has no
+  task axis to subsample) value_and_grad through the distributed
+  factorization, gradients psum over ICI inside the custom VJP.
+
+  Delegates to `train.adam.fit_adam_scan`, so the NaN-freeze,
+  checkpoint-chunking/callback and `config['return_state']` resume
+  semantics are exactly the single-chip trainer's.
+
+  Args:
+    model_params: initial trainable model dict (GPParams.model).
+    x: (n, d) inputs, n % mesh size == 0. y: (n, k) draws.
+    config: needs 'learning_rate' and 'max_training_step'; honors
+      'priors', 'checkpoint_every', 'opt_state', 'return_state'.
+    route/backend: see `make_large_loss_sharded`.
+
+  Returns:
+    (model_params, losses) — or (model_params, losses, opt_state) with
+    config['return_state'].
+  """
+  from hyperbo_tpu.train import adam as adam_lib
+  loss_fn = make_large_loss_sharded(
+      mean_func, cov_func, config, mesh, warp_func=warp_func,
+      axis_name=axis_name, route=route, backend=backend, eps=eps)
+  x = jax.device_put(x, NamedSharding(mesh, P(axis_name)))
+  y = jax.device_put(y, NamedSharding(mesh, P()))
+  return adam_lib.fit_adam_scan(loss_fn, model_params, (x, y), None,
+                                config, key=key, callback=callback)

@@ -1,0 +1,117 @@
+"""Multi-chip large-n pre-training (`parallel.large.fit_adam_large_sharded`).
+
+The distributed-MLL custom VJP (tests/test_distributed_grad.py) makes
+the loss differentiable; these tests assert the full TRAINER built on it
+— the reference's adam path (hyperbo/gp_utils/gp.py:114-157) for one
+task row-sharded over the mesh — computes the same optimization
+trajectory as the single-device dense trainer, including the hyperprior
+regularization semantics (hyperbo/gp_utils/objectives.py:198-207).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hyperbo_tpu.core import defs
+from hyperbo_tpu.core.warp import DEFAULT_WARP_FUNC, retrieve_params
+from hyperbo_tpu.models import kernel, mean
+from hyperbo_tpu.parallel import large
+from hyperbo_tpu.parallel import mesh as mesh_lib
+from hyperbo_tpu.train import adam as adam_lib
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason='needs 8 (virtual) devices')
+
+_WF = DEFAULT_WARP_FUNC
+_EPS = 1e-6
+
+
+def _problem(n=64, d=3, k=2, seed=0):
+  x = jax.random.uniform(jax.random.PRNGKey(seed), (n, d))
+  y = jax.random.normal(jax.random.PRNGKey(seed + 1), (n, k))
+  model = {'constant': jnp.float32(0.3),
+           'lengthscale': jnp.ones(d) * 0.4,
+           'signal_variance': jnp.float32(0.2),
+           'noise_variance': jnp.float32(-2.0)}
+  return x, y, model
+
+
+def _dense_loss_fn(config):
+  """Single-device full-batch loss with the distributed trainer's
+  semantics (multi-draw NLL - hyperprior log-prob)."""
+  from hyperbo_tpu.models.objectives import _hyperprior_log_prob
+
+  def f(model, batch):
+    x, y = batch
+    p = defs.GPParams(model=model, config=config)
+    n, k = x.shape[0], y.shape[1]
+    nv, = retrieve_params(p, ['noise_variance'], warp_func=_WF)
+    kmat = kernel.squared_exponential(p, x, warp_func=_WF) + (
+        jnp.squeeze(nv) + _EPS) * jnp.eye(n)
+    delta = y - jnp.atleast_2d(mean.constant(p, x, warp_func=_WF))
+    l = jnp.linalg.cholesky(kmat)
+    kinvy = jax.scipy.linalg.cho_solve((l, True), delta)
+    nll = (0.5 * jnp.sum(delta * kinvy)
+           + k * (jnp.sum(jnp.log(jnp.diagonal(l)))
+                  + 0.5 * n * jnp.log(2 * jnp.pi)))
+    return nll - _hyperprior_log_prob(p, _WF)
+
+  return f
+
+
+def test_fit_adam_large_sharded_matches_dense_trainer():
+  """Same initial params + full-batch loss + Adam => the mesh trainer
+  must reproduce the dense single-device trajectory step by step."""
+  x, y, model = _problem()
+  config = {'learning_rate': 1e-2, 'max_training_step': 6}
+  mesh = mesh_lib.create_mesh(8)
+
+  got_model, got_losses = large.fit_adam_large_sharded(
+      mean.constant, kernel.squared_exponential, model, x, y, config,
+      mesh, warp_func=_WF, route='fused', backend='xla',
+      key=jax.random.PRNGKey(4))
+  want_model, want_losses = adam_lib.fit_adam_scan(
+      _dense_loss_fn(config), model, (x, y), None, config,
+      key=jax.random.PRNGKey(4))
+
+  np.testing.assert_allclose(np.asarray(got_losses),
+                             np.asarray(want_losses), rtol=2e-4)
+  for name in sorted(model):
+    np.testing.assert_allclose(
+        np.asarray(got_model[name]), np.asarray(want_model[name]),
+        atol=2e-4 * (np.max(np.abs(np.asarray(want_model[name]))) + 1.0),
+        rtol=0, err_msg=f'model leaf {name}')
+  assert float(got_losses[-1]) < float(got_losses[0])
+
+
+def test_fit_adam_large_sharded_block_cyclic_route():
+  """route='cyclic' (block-cyclic distributed Cholesky) trains too."""
+  x, y, model = _problem(seed=10)
+  config = {'learning_rate': 1e-2, 'max_training_step': 4}
+  mesh = mesh_lib.create_mesh(8)
+  got_model, losses = large.fit_adam_large_sharded(
+      mean.constant, kernel.squared_exponential, model, x, y, config,
+      mesh, warp_func=_WF, route='cyclic')
+  _, want_losses = adam_lib.fit_adam_scan(
+      _dense_loss_fn(config), model, (x, y), None, config)
+  np.testing.assert_allclose(np.asarray(losses),
+                             np.asarray(want_losses), rtol=2e-4)
+  assert all(np.isfinite(np.asarray(losses)))
+  assert any(float(jnp.max(jnp.abs(got_model[k2] - model[k2]))) > 0
+             for k2 in model)
+
+
+def test_fit_adam_large_sharded_priors():
+  """config['priors'] regularizes the mesh loss exactly like the
+  reference NLL path (first scan loss == dense NLL - log p(theta))."""
+  from hyperbo_tpu.models import priors as priors_lib
+  x, y, model = _problem(seed=20, k=1)
+  config = {'learning_rate': 1e-2, 'max_training_step': 2,
+            'priors': priors_lib.DEFAULT_PRIORS}
+  mesh = mesh_lib.create_mesh(8)
+  _, losses = large.fit_adam_large_sharded(
+      mean.constant, kernel.squared_exponential, model, x, y, config,
+      mesh, warp_func=_WF, route='fused', backend='xla')
+  want0 = float(_dense_loss_fn(config)(model, (x, y)))
+  np.testing.assert_allclose(float(losses[0]), want0, rtol=1e-4)
