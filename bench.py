@@ -706,7 +706,10 @@ def bench_bo():
             f'({t_first:.1f}s first incl. compile); readback {s:.4g}')
         result[tag] = {
             'value': round(t_var * 1e3, 3), 'unit': 'ms_per_iter',
-            'vs_baseline': round(t_iter / t_var, 3)}
+            'vs_baseline': round(t_iter / t_var, 3),
+            'note': 'vs_baseline = plain-loop ms/iter over this '
+                    'variant (documented overhead factor, not a '
+                    'target to beat)'}
       except Exception as e:  # noqa: BLE001
         log(f'{tag} leg failed: {type(e).__name__}: {str(e)[:160]}')
         result[tag] = {'error': f'{type(e).__name__}'}

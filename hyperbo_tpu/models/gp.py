@@ -152,6 +152,40 @@ def infer_parameters(mean_func,
     return init_params
 
   if method == 'adam':
+    dmesh = params.config.get('distributed_mesh')
+    if dmesh is not None:
+      # Multi-chip large-n route (config['distributed_mesh'] = a
+      # jax.sharding.Mesh): one task whose Gram matrix is row-sharded
+      # over the mesh, trained through the distributed NLL's custom VJP
+      # (parallel.large.fit_adam_large_sharded). The reference has no
+      # analog — its adam path (hyperbo/gp_utils/gp.py:114-157) is
+      # single-device; semantics here (full-batch steps, NaN-freeze,
+      # priors, checkpoint chunks) match it at mesh scale.
+      from hyperbo_tpu.parallel import large as large_lib
+      spec = getattr(objective, '_packed_spec', None)
+      subs = [s for s in dataset.values() if s.x.shape[0] > 0]
+      nper = dmesh.shape[params.config.get('distributed_axis', 'task')]
+      if (spec is not None and spec[0] == 'nll' and len(subs) == 1
+          and subs[0].aligned is None and subs[0].x.shape[0] % nper == 0):
+        _, subkey = jax.random.split(key, 2)
+        model, losses = large_lib.fit_adam_large_sharded(
+            mean_func, cov_func, params.model, subs[0].x, subs[0].y,
+            params.config, dmesh, warp_func=warp_func, key=subkey,
+            axis_name=params.config.get('distributed_axis', 'task'),
+            route=params.config.get('distributed_route', 'fused'),
+            backend=params.config.get('distributed_backend', 'auto'),
+            callback=callback)[:2]
+        if bool(jnp.isfinite(losses[-1])):
+          params.model = model
+        params_io.log_params_loss(
+            step=max_training_step, params=params, loss=losses[-1],
+            warp_func=warp_func, params_save_file=get_params_path())
+        return params
+      logging.warning(
+          'distributed_mesh set but the objective/dataset does not fit '
+          'the large-n route (need plain NLL, exactly one non-aligned '
+          'task, n %% mesh size == 0) — falling back to the '
+          'single-device adam path.')
     packed_build = _build_packed_training(
         objective, dataset, params.config, mean_func, cov_func,
         warp_func)

@@ -102,6 +102,30 @@ def test_fit_adam_large_sharded_block_cyclic_route():
              for k2 in model)
 
 
+def test_gp_class_routes_distributed_mesh():
+  """GP.train() with config['distributed_mesh'] runs the multi-chip
+  trainer and produces the dense single-device trajectory's params."""
+  from hyperbo_tpu.models import gp as gp_lib
+  x, y, model = _problem(k=1, seed=30)
+  mesh = mesh_lib.create_mesh(8)
+  config = {'method': 'adam', 'learning_rate': 1e-2,
+            'max_training_step': 5, 'batch_size': x.shape[0],
+            'objective': 'nll', 'distributed_mesh': mesh,
+            'distributed_backend': 'xla'}
+  m = gp_lib.GP({'big': defs.SubDataset(x, y)}, mean.constant,
+                kernel.squared_exponential,
+                defs.GPParams(model=dict(model), config=config), _WF)
+  m.initialize_params(jax.random.PRNGKey(0))
+  m.train()
+  want_model, _ = adam_lib.fit_adam_scan(
+      _dense_loss_fn(config), model, (x, y), None, config)
+  for name in sorted(model):
+    np.testing.assert_allclose(
+        np.asarray(m.params.model[name]), np.asarray(want_model[name]),
+        atol=2e-4 * (np.max(np.abs(np.asarray(want_model[name]))) + 1.0),
+        rtol=0, err_msg=f'model leaf {name}')
+
+
 def test_fit_adam_large_sharded_priors():
   """config['priors'] regularizes the mesh loss exactly like the
   reference NLL path (first scan loss == dense NLL - log p(theta))."""
