@@ -170,19 +170,42 @@ def _tri_inv_rows_serial(t_loc, l_rows, my, num, m, axis_name):
 
 
 def _kinv_rows(t_loc, my, num, m, axis_name):
-  """Row-sharded K^{-1} = T^T T (LAUUM): for each block row i, the
-  (m, n) partial products T[k, i-block]^T T[k, :] are psum-reduced over
-  devices k >= i and kept by device i. P psums of (m, n) — O(n^2) ICI
-  traffic, n^3/P local MACs."""
+  """Row-sharded K^{-1} = T^T T (LAUUM), triangularity-aware.
+
+  num == 1 (static): t_loc IS the full lower-triangular T, so reuse the
+  single-chip blocked SYRK (`ops.pallas_mll._kinv_from_linv`,
+  mode='syrk'): column block j only contracts T's rows >= j — n^3 MACs
+  instead of the full GEMM's 2n^3.
+
+  num > 1: for each STATIC block row i only the LOWER part
+  K^{-1}[i, :i+1] = psum_k T[k, i]^T T[k, :i+1] is computed (the right
+  operand width (i+1)m is static, so the GEMM genuinely shrinks); the
+  strictly-upper blocks of each device's row come from symmetry —
+  every device already holds the psum'd lower rows, so block
+  (my, i > my) is the transpose of row i's block at column my. Halves
+  both local MACs (sum_i 2 m^2 (i+1) m ~= m n^2 vs 2 m n^2) and ICI
+  traffic (psums of (m, (i+1)m) vs (m, n)) at large P."""
   n = t_loc.shape[1]
+  if num == 1:
+    from hyperbo_tpu.ops.pallas_mll import _kinv_from_linv
+    return _kinv_from_linv(t_loc, _HI, mode='syrk')
   kinv = jnp.zeros((m, n), jnp.float32)
   for i in range(num):
-    tb = lax.slice(t_loc, (0, i * m), (m, (i + 1) * m))
+    iw = (i + 1) * m
+    tb = lax.slice(t_loc, (0, i * m), (m, iw))
     tb = jnp.where(my >= i, tb, 0.0)
-    part = lax.dot_general(tb, t_loc, (((0,), (0,)), ((), ())),
+    t_lo = lax.slice(t_loc, (0, 0), (m, iw))
+    part = lax.dot_general(tb, t_lo, (((0,), (0,)), ((), ())),
                            precision=_HI)
-    row_i = lax.psum(part, axis_name)
-    kinv = kinv + jnp.where(my == i, row_i, 0.0)
+    row_lo = lax.psum(part, axis_name)            # (m, iw), replicated
+    kinv = kinv + jnp.where(
+        my == i, jnp.pad(row_lo, ((0, 0), (0, n - iw))), 0.0)
+    # Mirror: devices my < i read their column block of row i and
+    # transpose it into static columns [i*m, (i+1)*m). The
+    # dynamic_slice start clamps in-bounds when my >= i (masked out).
+    blk = lax.dynamic_slice(row_lo, (0, jnp.minimum(my, i) * m), (m, m))
+    kinv = kinv.at[:, i * m:iw].add(
+        jnp.where(my < i, jnp.swapaxes(blk, 0, 1), 0.0))
   return kinv
 
 

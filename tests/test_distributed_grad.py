@@ -168,6 +168,33 @@ def test_fused_grad_pallas_interpret():
   _assert_tree_close(g_f, g_d, 5e-3, 'd_model (pallas interpret)')
 
 
+def test_fused_grad_mesh1_matches_dense():
+  """1-device mesh (the real-hardware validation mesh): the backward's
+  num==1 static path (blocked-SYRK LAUUM reusing the forward's full
+  T = L^{-1}) must match the dense gradient."""
+  n, d, k = 256, 3, 2
+  x = jax.random.uniform(jax.random.PRNGKey(41), (n, d))
+  y = jax.random.normal(jax.random.PRNGKey(42), (n, k))
+  model = {'constant': jnp.float32(0.3),
+           'lengthscale': jnp.ones(d) * 0.4,
+           'signal_variance': jnp.float32(0.2),
+           'noise_variance': jnp.float32(-2.0)}
+  mesh = mesh_lib.create_mesh(1)
+
+  def dist(model, x, y):
+    p = defs.GPParams(model=model)
+    return large.mll_distributed_fused(
+        mean.constant, kernel.squared_exponential, p, x, y, mesh,
+        warp_func=_WF, backend='xla')
+
+  dense = _dense_nll_fn(kernel.squared_exponential, mean.constant)
+  g_d = jax.grad(dense, argnums=(0, 1, 2))(model, x, y)
+  g_f = jax.grad(dist, argnums=(0, 1, 2))(model, x, y)
+  _assert_tree_close(g_f[0], g_d[0], 5e-3, 'd_model (mesh1)')
+  _assert_tree_close(g_f[1], g_d[1], 1e-3, 'd_x (mesh1)')
+  _assert_tree_close(g_f[2], g_d[2], 1e-3, 'd_y (mesh1)')
+
+
 def test_block_cyclic_grad_matches_dense():
   """jax.grad of mll_distributed (block-cyclic route): the custom VJP
   replaces mechanical differentiation through the factorization loop."""
