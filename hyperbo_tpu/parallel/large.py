@@ -57,6 +57,21 @@ from hyperbo_tpu.parallel._smap import shard_map_unchecked
 _HI = jax.lax.Precision.HIGHEST
 
 
+def _bwd_precision():
+  """Matmul precision for the distributed-NLL backward's XLA GEMMs.
+
+  HYPERBO_DIST_BWD_PREC (trace-time): 'highest' (6-pass bf16 — full
+  f32-faithful), 'high' (3-pass — the same accuracy class as the
+  single-chip Pallas kernels' Dekker-split X3 dots), or 'default'.
+  The forward stays HIGHEST/X3 regardless (value parity). Read at
+  trace time like the single-chip HYPERBO_BWD_PREC knob."""
+  import os
+  name = os.environ.get('HYPERBO_DIST_BWD_PREC', 'highest').lower()
+  return {'highest': jax.lax.Precision.HIGHEST,
+          'high': jax.lax.Precision.HIGH,
+          'default': jax.lax.Precision.DEFAULT}[name]
+
+
 def _params_like(params, model):
   """GPParams sharing `params`'s static config but a (traced) model."""
   return defs.GPParams(config=params.config, model=model)
@@ -105,12 +120,12 @@ def _alpha_backsub(l_rows, w_stack, z, my, num, m, k, axis_name):
     a_my = lax.dynamic_slice(a_full, (my * m, 0), (m, k))
     contrib = jnp.where(my > j,
                         lax.dot_general(l_j, a_my, (((0,), (0,)), ((), ())),
-                                        precision=_HI),
+                                        precision=_bwd_precision()),
                         0.0)
     s_j = lax.psum(contrib, axis_name)
     z_j = lax.slice(z, (j * m, 0), ((j + 1) * m, k))
     a_j = lax.dot_general(w_stack[j], z_j - s_j, (((0,), (0,)), ((), ())),
-                          precision=_HI)
+                          precision=_bwd_precision())
     a_full = lax.dynamic_update_slice(a_full, a_j, (j * m, 0))
   return a_full
 
@@ -136,12 +151,12 @@ def _tri_inv_rows_doubling(t_loc, l_rows, my, num, m, axis_name):
     ta = lax.dynamic_slice(gat, (a0, 0), (s, s))              # T[lo, lo]
     b_loc = lax.dynamic_slice(l_rows, (0, a0), (m, s))        # L[my, lo]
     x_loc = lax.dot_general(b_loc, ta, (((1,), (0,)), ((), ())),
-                            precision=_HI)
+                            precision=_bwd_precision())
     gx = lax.all_gather(x_loc, axis_name, tiled=True)         # (n, s)
     xs = lax.dynamic_slice(gx, (a0 + s, 0), (s, s))           # B @ Ta
     tc_cols = lax.dynamic_slice(t_loc, (0, a0 + s), (m, s))
     y_loc = -lax.dot_general(tc_cols, xs, (((1,), (0,)), ((), ())),
-                             precision=_HI)
+                             precision=_bwd_precision())
     in_hi = (my % (2 * lvl)) >= lvl
     t_loc = lax.dynamic_update_slice(
         t_loc, jnp.where(in_hi, y_loc, lo_cols), (0, a0))
@@ -160,10 +175,10 @@ def _tri_inv_rows_serial(t_loc, l_rows, my, num, m, axis_name):
                          tiled=True)
     tprev = lax.slice(gat, (0, 0), (iw, iw))
     prod = lax.dot_general(lax.slice(l_rows, (0, 0), (m, iw)), tprev,
-                           (((1,), (0,)), ((), ())), precision=_HI)
+                           (((1,), (0,)), ((), ())), precision=_bwd_precision())
     w_my = lax.dynamic_slice(t_loc, (0, my * m), (m, m))
     new = -lax.dot_general(w_my, prod, (((1,), (0,)), ((), ())),
-                           precision=_HI)
+                           precision=_bwd_precision())
     upd = jnp.where(my == i, new, lax.slice(t_loc, (0, 0), (m, iw)))
     t_loc = t_loc.at[:, :iw].set(upd)
   return t_loc
@@ -188,7 +203,7 @@ def _kinv_rows(t_loc, my, num, m, axis_name):
   n = t_loc.shape[1]
   if num == 1:
     from hyperbo_tpu.ops.pallas_mll import _kinv_from_linv
-    return _kinv_from_linv(t_loc, _HI, mode='syrk')
+    return _kinv_from_linv(t_loc, _bwd_precision(), mode='syrk')
   kinv = jnp.zeros((m, n), jnp.float32)
   for i in range(num):
     iw = (i + 1) * m
@@ -196,7 +211,7 @@ def _kinv_rows(t_loc, my, num, m, axis_name):
     tb = jnp.where(my >= i, tb, 0.0)
     t_lo = lax.slice(t_loc, (0, 0), (m, iw))
     part = lax.dot_general(tb, t_lo, (((0,), (0,)), ((), ())),
-                           precision=_HI)
+                           precision=_bwd_precision())
     row_lo = lax.psum(part, axis_name)            # (m, iw), replicated
     kinv = kinv + jnp.where(
         my == i, jnp.pad(row_lo, ((0, 0), (0, n - iw))), 0.0)
@@ -262,7 +277,7 @@ def _dist_nll_grads(mean_func, cov_func, params, warp_func, mesh,
     g_rows = 0.5 * (k_draws * kinv_loc
                     - lax.dot_general(a_my, a_full,
                                       (((1,), (1,)), ((), ())),
-                                      precision=_HI))
+                                      precision=_bwd_precision()))
     # Chain onto (model, x) through the shard-local Gram row block —
     # the diagonal ridge rides inside so noise_variance (and its warp)
     # gets its trace(G) adjoint for free.

@@ -47,12 +47,17 @@ def timed(fn: Callable[..., Any], *args,
   the only reliable completion barrier through remote-tunnel backends.
   """
   def force(out):
-    leaves = jax.tree.leaves(out)
-    acc = 0.0
-    for leaf in leaves:
+    # Accumulate one element per leaf ON DEVICE (async dispatches),
+    # then pull ONE scalar: through the axon tunnel every host
+    # readback costs a full RTT (~26 ms measured), so per-leaf float()
+    # readbacks inflated multi-leaf outputs (a value_and_grad's 6
+    # leaves carried ~150 ms of pure RTT — the r18b/r18c finding).
+    acc = None
+    for leaf in jax.tree.leaves(out):
       if hasattr(leaf, 'ravel'):
-        acc += float(jnp.asarray(leaf).ravel()[0])
-    return acc
+        v = jnp.asarray(leaf).ravel()[0]
+        acc = v if acc is None else acc + v
+    return float(acc) if acc is not None else 0.0
 
   val = force(fn(*args))  # warmup/compile
   times = []
