@@ -36,6 +36,7 @@ import time
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_cache')
 
 WATCHDOG_S = float(os.environ.get('BENCH_WATCHDOG_S', 1500))
+_T0 = time.time()
 MODE = os.environ.get('BENCH_MODE', 'both')
 NOMINAL_FP32_TFLOPS = {'TPU v5 lite': 55.0}
 _RESULT = {'metric': f'{MODE}_bench_incomplete', 'value': 0.0,
@@ -737,6 +738,80 @@ def bench_bo():
   return result
 
 
+def bench_dist_train():
+  """Multi-chip pre-training leg: the distributed-NLL Adam step under a
+  1-device mesh (the only real-TPU mesh here; the 8-device CPU mesh
+  covers multi-device correctness in the dryrun). Protocol: ONE jitted
+  8-step scan (the fit_adam_large_sharded program), single scalar
+  readback, min of 2 re-calls — the r18 lesson: every extra host
+  readback through the relay costs a ~26 ms RTT. vs_baseline compares
+  against the measured dense single-chip value_and_grad (the pipeline
+  a reference user would train large-n with)."""
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+  import optax
+  from jax.sharding import Mesh
+  from hyperbo_tpu.core.warp import DEFAULT_WARP_FUNC
+  from hyperbo_tpu.models import kernel, mean
+  from hyperbo_tpu.parallel import large
+
+  on_tpu = jax.devices()[0].platform == 'tpu'
+  n, d, steps = (8192, 4, 8) if on_tpu else (512, 4, 4)
+  x = jax.random.uniform(jax.random.PRNGKey(0), (n, d), jnp.float32)
+  y = jax.random.normal(jax.random.PRNGKey(1), (n, 1), jnp.float32)
+  model = {'constant': jnp.float32(0.3),
+           'lengthscale': jnp.ones(d, jnp.float32) * 0.4,
+           'signal_variance': jnp.float32(0.2),
+           'noise_variance': jnp.float32(-2.0)}
+  mesh = Mesh(np.array(jax.devices()[:1]), ('task',))
+  loss_fn = large.make_large_loss_sharded(
+      mean.constant, kernel.squared_exponential, {}, mesh,
+      warp_func=DEFAULT_WARP_FUNC)
+  opt = optax.adam(1e-2)
+
+  @jax.jit
+  def run(model, x, y):
+    def step(carry, _):
+      mo, st = carry
+      loss, g = jax.value_and_grad(loss_fn)(mo, (x, y))
+      upd, st = opt.update(g, st)
+      return (optax.apply_updates(mo, upd), st), loss
+    (_, _), losses = jax.lax.scan(step, (model, opt.init(model)),
+                                  None, length=steps)
+    return losses[0], losses[-1]
+
+  t0 = time.perf_counter()
+  l0, lN = run(model, x, y)
+  l0, lN = float(l0), float(lN)
+  t_first = time.perf_counter() - t0
+  ts = []
+  for _ in range(2):
+    t0 = time.perf_counter()
+    float(run(model, x, y)[1])
+    ts.append((time.perf_counter() - t0) / steps)
+  t_step = min(ts)
+  assert np.isfinite(lN) and lN < l0, (l0, lN)
+  # Measured dense single-chip VG at the same n (bench train leg
+  # protocol): 130.1 ms on the 2026-08-20 toolchain.
+  dense_ms = 130.1 if on_tpu else None
+  out = {'metric': 'dist_train_ms_per_step', 'value': round(t_step * 1e3, 2),
+         'unit': 'ms_per_step_mesh1_n8192' if on_tpu else
+                 'ms_per_step_mesh1_cpu_smoke',
+         'first_s': round(t_first, 1),
+         'note': 'fit_adam_large_sharded program, scan-8, single '
+                 'readback; mesh(1) — the 8-device path is '
+                 'dryrun/CPU-mesh-validated'}
+  if dense_ms is not None:
+    out['vs_baseline'] = round(dense_ms / (t_step * 1e3), 3)
+    out['baseline'] = 'measured dense single-chip n=8192 VG ms'
+  else:
+    out['vs_baseline'] = 1.0
+  log(f'dist-train (mesh(1), n={n}): {t_step*1e3:.1f} ms/step '
+      f'({t_first:.1f}s first incl. compile); loss {l0:.1f} -> {lN:.1f}')
+  return out
+
+
 if __name__ == '__main__':
   threading.Thread(target=watchdog, daemon=True).start()
   try:
@@ -772,6 +847,15 @@ if __name__ == '__main__':
       except Exception as e:  # noqa: BLE001
         log(f'secondary (chol) bench failed: {type(e).__name__}: {e}')
         result['secondary'] = {'metric': 'chol_bench_failed'}
+      # Distributed-trainer leg LAST + time-guarded: it must never eat
+      # the watchdog budget of the established legs.
+      if (os.environ.get('BENCH_DIST', '1') == '1'
+          and time.time() - _T0 < WATCHDOG_S - 350):
+        try:
+          result['dist_train'] = bench_dist_train()
+          _RESULT.update(result)
+        except Exception as e:  # noqa: BLE001
+          log(f'dist-train bench failed: {type(e).__name__}: {e}')
       emit(result)
   except Exception as e:  # noqa: BLE001
     log(f'bench failed: {type(e).__name__}: {e}')
