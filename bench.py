@@ -35,7 +35,7 @@ import time
 # executables (JAX logs a warning and compiles as usual).
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_cache')
 
-WATCHDOG_S = float(os.environ.get('BENCH_WATCHDOG_S', 1500))
+WATCHDOG_S = float(os.environ.get('BENCH_WATCHDOG_S', 1800))
 _T0 = time.time()
 MODE = os.environ.get('BENCH_MODE', 'both')
 NOMINAL_FP32_TFLOPS = {'TPU v5 lite': 55.0}
@@ -738,15 +738,17 @@ def bench_bo():
   return result
 
 
-def bench_dist_train():
+def bench_dist_train(dense_ms=None):
   """Multi-chip pre-training leg: the distributed-NLL Adam step under a
   1-device mesh (the only real-TPU mesh here; the 8-device CPU mesh
   covers multi-device correctness in the dryrun). Protocol: ONE jitted
-  8-step scan (the fit_adam_large_sharded program), single scalar
+  8-step scan built from the SHIPPED trainer step (`_guarded_update` —
+  same NaN-freeze program fit_adam_large_sharded runs), single scalar
   readback, min of 2 re-calls — the r18 lesson: every extra host
   readback through the relay costs a ~26 ms RTT. vs_baseline compares
-  against the measured dense single-chip value_and_grad (the pipeline
-  a reference user would train large-n with)."""
+  against `dense_ms`, the dense single-chip value_and_grad the train
+  leg measured IN THIS RUN (the pipeline a reference user would train
+  large-n with); without it no vs_baseline claim is made."""
   import jax
   import jax.numpy as jnp
   import numpy as np
@@ -755,6 +757,7 @@ def bench_dist_train():
   from hyperbo_tpu.core.warp import DEFAULT_WARP_FUNC
   from hyperbo_tpu.models import kernel, mean
   from hyperbo_tpu.parallel import large
+  from hyperbo_tpu.train.adam import _guarded_update
 
   on_tpu = jax.devices()[0].platform == 'tpu'
   n, d, steps = (8192, 4, 8) if on_tpu else (512, 4, 4)
@@ -773,12 +776,13 @@ def bench_dist_train():
   @jax.jit
   def run(model, x, y):
     def step(carry, _):
-      mo, st = carry
-      loss, g = jax.value_and_grad(loss_fn)(mo, (x, y))
-      upd, st = opt.update(g, st)
-      return (optax.apply_updates(mo, upd), st), loss
-    (_, _), losses = jax.lax.scan(step, (model, opt.init(model)),
-                                  None, length=steps)
+      mo, st, frozen = carry
+      mo, st, frozen, loss = _guarded_update(
+          opt, loss_fn, mo, st, frozen, (x, y))
+      return (mo, st, frozen), loss
+    (_, _, _), losses = jax.lax.scan(
+        step, (model, opt.init(model), jnp.array(False)), None,
+        length=steps)
     return losses[0], losses[-1]
 
   t0 = time.perf_counter()
@@ -792,19 +796,17 @@ def bench_dist_train():
     ts.append((time.perf_counter() - t0) / steps)
   t_step = min(ts)
   assert np.isfinite(lN) and lN < l0, (l0, lN)
-  # Measured dense single-chip VG at the same n (bench train leg
-  # protocol): 130.1 ms on the 2026-08-20 toolchain.
-  dense_ms = 130.1 if on_tpu else None
   out = {'metric': 'dist_train_ms_per_step', 'value': round(t_step * 1e3, 2),
          'unit': 'ms_per_step_mesh1_n8192' if on_tpu else
                  'ms_per_step_mesh1_cpu_smoke',
          'first_s': round(t_first, 1),
-         'note': 'fit_adam_large_sharded program, scan-8, single '
-                 'readback; mesh(1) — the 8-device path is '
-                 'dryrun/CPU-mesh-validated'}
-  if dense_ms is not None:
+         'note': 'fit_adam_large_sharded program (guarded step), '
+                 'scan-8, single readback; mesh(1) — the 8-device '
+                 'path is dryrun/CPU-mesh-validated'}
+  if dense_ms is not None and on_tpu:
     out['vs_baseline'] = round(dense_ms / (t_step * 1e3), 3)
-    out['baseline'] = 'measured dense single-chip n=8192 VG ms'
+    out['baseline'] = ('dense single-chip n=8192 VG measured this run: '
+                       f'{dense_ms:.1f} ms')
   else:
     out['vs_baseline'] = 1.0
   log(f'dist-train (mesh(1), n={n}): {t_step*1e3:.1f} ms/step '
@@ -849,13 +851,20 @@ if __name__ == '__main__':
         result['secondary'] = {'metric': 'chol_bench_failed'}
       # Distributed-trainer leg LAST + time-guarded: it must never eat
       # the watchdog budget of the established legs.
-      if (os.environ.get('BENCH_DIST', '1') == '1'
-          and time.time() - _T0 < WATCHDOG_S - 350):
-        try:
-          result['dist_train'] = bench_dist_train()
-          _RESULT.update(result)
-        except Exception as e:  # noqa: BLE001
-          log(f'dist-train bench failed: {type(e).__name__}: {e}')
+      if os.environ.get('BENCH_DIST', '1') == '1':
+        if time.time() - _T0 < WATCHDOG_S - 300:
+          try:
+            tr = result.get('train') or {}
+            dense_ms = (tr['vs_baseline'] * tr['value']
+                        if 'vs_baseline' in tr and 'value' in tr
+                        else None)
+            result['dist_train'] = bench_dist_train(dense_ms=dense_ms)
+            _RESULT.update(result)
+          except Exception as e:  # noqa: BLE001
+            log(f'dist-train bench failed: {type(e).__name__}: {e}')
+        else:
+          log(f'dist-train leg SKIPPED: {time.time() - _T0:.0f}s '
+              f'elapsed leaves less than 300s of watchdog budget')
       emit(result)
   except Exception as e:  # noqa: BLE001
     log(f'bench failed: {type(e).__name__}: {e}')

@@ -164,17 +164,36 @@ def infer_parameters(mean_func,
       from hyperbo_tpu.parallel import large as large_lib
       spec = getattr(objective, '_packed_spec', None)
       subs = [s for s in dataset.values() if s.x.shape[0] > 0]
-      nper = dmesh.shape[params.config.get('distributed_axis', 'task')]
-      if (spec is not None and spec[0] == 'nll' and len(subs) == 1
-          and subs[0].aligned is None and subs[0].x.shape[0] % nper == 0):
+      axis = params.config.get('distributed_axis', 'task')
+      nper = dmesh.shape[axis] if axis in dmesh.shape else None
+      if (nper is not None and spec is not None and spec[0] == 'nll'
+          and len(subs) == 1 and subs[0].aligned is None
+          and subs[0].y.shape[1] == 1
+          and subs[0].x.shape[0] % nper == 0
+          and int(params.config.get('num_restarts', 1)) == 1):
         _, subkey = jax.random.split(key, 2)
+
+        def chunk_hook(step, model, loss):
+          # Same checkpoint semantics as the packed path (reference
+          # gp.py:145-157 at chunk granularity): snapshot live params
+          # so a crashed distributed pre-training can resume mid-run.
+          params.model = model
+          params_io.log_params_loss(
+              step=step, params=params, loss=loss, warp_func=warp_func,
+              params_save_file=get_params_path())
+          if callback is not None:
+            callback(step, model, loss)
+
+        periodic = callback is not None or (
+            params.config.get('checkpoint_every', 0)
+            and get_params_path() is not None)
         model, losses = large_lib.fit_adam_large_sharded(
             mean_func, cov_func, params.model, subs[0].x, subs[0].y,
             params.config, dmesh, warp_func=warp_func, key=subkey,
-            axis_name=params.config.get('distributed_axis', 'task'),
+            axis_name=axis,
             route=params.config.get('distributed_route', 'fused'),
             backend=params.config.get('distributed_backend', 'auto'),
-            callback=callback)[:2]
+            callback=chunk_hook if periodic else None)[:2]
         if bool(jnp.isfinite(losses[-1])):
           params.model = model
         params_io.log_params_loss(
@@ -184,8 +203,10 @@ def infer_parameters(mean_func,
       logging.warning(
           'distributed_mesh set but the objective/dataset does not fit '
           'the large-n route (need plain NLL, exactly one non-aligned '
-          'task, n %% mesh size == 0) — falling back to the '
-          'single-device adam path.')
+          'single-draw task, n %% mesh size == 0, the mesh to carry '
+          "config['distributed_axis'] (default 'task'), and "
+          'num_restarts == 1) — falling back to the single-device '
+          'adam path.')
     packed_build = _build_packed_training(
         objective, dataset, params.config, mean_func, cov_func,
         warp_func)

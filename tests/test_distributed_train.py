@@ -126,6 +126,37 @@ def test_gp_class_routes_distributed_mesh():
         rtol=0, err_msg=f'model leaf {name}')
 
 
+def test_gp_class_distributed_mesh_fallbacks():
+  """Configurations outside the large-n regime must FALL BACK to the
+  single-device adam path (not crash, not silently change objective):
+  multi-draw y (the class objective's summed (k,k) NLL differs from
+  the distributed trace form), a mesh without the expected axis name,
+  and num_restarts > 1."""
+  from hyperbo_tpu.models import gp as gp_lib
+  x, y, model = _problem(k=2, seed=33)
+  mesh = mesh_lib.create_mesh(8)
+  base = {'method': 'adam', 'learning_rate': 1e-2,
+          'max_training_step': 2, 'batch_size': x.shape[0],
+          'objective': 'nll', 'distributed_mesh': mesh,
+          'distributed_backend': 'xla'}
+
+  for tag, ds_k, cfg in (
+      ('multi-draw', 2, {}),
+      ('axis-name', 1, {'distributed_axis': 'nope'}),
+      ('restarts', 1, {'num_restarts': 2}),
+  ):
+    config = dict(base, **cfg)
+    yk = y if ds_k == 2 else y[:, :1]
+    m = gp_lib.GP({'big': defs.SubDataset(x, yk)}, mean.constant,
+                  kernel.squared_exponential,
+                  defs.GPParams(model=dict(model), config=config), _WF)
+    m.initialize_params(jax.random.PRNGKey(0))
+    m.train()  # must complete via the fallback path
+    assert any(
+        float(jnp.max(jnp.abs(m.params.model[k2] - model[k2]))) > 0
+        for k2 in model), f'{tag}: fallback path did not train'
+
+
 def test_fit_adam_large_sharded_priors():
   """config['priors'] regularizes the mesh loss exactly like the
   reference NLL path (first scan loss == dense NLL - log p(theta))."""
