@@ -780,7 +780,7 @@ def bench_dist_train(dense_ms=None):
       mo, st, frozen, loss = _guarded_update(
           opt, loss_fn, mo, st, frozen, (x, y))
       return (mo, st, frozen), loss
-    (_, _, _), losses = jax.lax.scan(
+    _, losses = jax.lax.scan(
         step, (model, opt.init(model), jnp.array(False)), None,
         length=steps)
     return losses[0], losses[-1]

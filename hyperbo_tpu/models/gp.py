@@ -152,6 +152,22 @@ def infer_parameters(mean_func,
     return init_params
 
   if method == 'adam':
+    save_every = params.config.get('checkpoint_every', 0)
+    periodic = callback is not None or (
+        save_every and get_params_path() is not None)
+
+    def chunk_hook(step, model, loss):
+      # Reference checkpoint semantics (gp.py:145-157 /
+      # params_utils.py:193-207) at chunk granularity: snapshot the
+      # live params so a crashed pre-training can resume mid-run.
+      # Shared by the packed scan and the distributed-mesh routes.
+      params.model = model
+      params_io.log_params_loss(
+          step=step, params=params, loss=loss, warp_func=warp_func,
+          params_save_file=get_params_path())
+      if callback is not None:
+        callback(step, model, loss)
+
     dmesh = params.config.get('distributed_mesh')
     if dmesh is not None:
       # Multi-chip large-n route (config['distributed_mesh'] = a
@@ -172,21 +188,6 @@ def infer_parameters(mean_func,
           and subs[0].x.shape[0] % nper == 0
           and int(params.config.get('num_restarts', 1)) == 1):
         _, subkey = jax.random.split(key, 2)
-
-        def chunk_hook(step, model, loss):
-          # Same checkpoint semantics as the packed path (reference
-          # gp.py:145-157 at chunk granularity): snapshot live params
-          # so a crashed distributed pre-training can resume mid-run.
-          params.model = model
-          params_io.log_params_loss(
-              step=step, params=params, loss=loss, warp_func=warp_func,
-              params_save_file=get_params_path())
-          if callback is not None:
-            callback(step, model, loss)
-
-        periodic = callback is not None or (
-            params.config.get('checkpoint_every', 0)
-            and get_params_path() is not None)
         model, losses = large_lib.fit_adam_large_sharded(
             mean_func, cov_func, params.model, subs[0].x, subs[0].y,
             params.config, dmesh, warp_func=warp_func, key=subkey,
@@ -214,20 +215,6 @@ def infer_parameters(mean_func,
       loss_fn, data, subsample_fn, pure_nll = packed_build
       _, subkey = jax.random.split(key, 2)
       num_restarts = int(params.config.get('num_restarts', 1))
-      save_every = params.config.get('checkpoint_every', 0)
-      periodic = callback is not None or (
-          save_every and get_params_path() is not None)
-
-      def chunk_hook(step, model, loss):
-        # Reference checkpoint semantics (gp.py:145-157 /
-        # params_utils.py:193-207) at chunk granularity: snapshot the
-        # live params so a crashed pre-training can resume mid-run.
-        params.model = model
-        params_io.log_params_loss(
-            step=step, params=params, loss=loss, warp_func=warp_func,
-            params_save_file=get_params_path())
-        if callback is not None:
-          callback(step, model, loss)
 
       if num_restarts > 1 and pure_nll:
         # Reuse the packed buffers built above (config-controlled

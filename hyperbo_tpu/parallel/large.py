@@ -36,6 +36,7 @@ dense pipeline on the virtual CPU mesh.
 
 from __future__ import annotations
 
+import os
 import warnings
 
 import jax
@@ -65,7 +66,6 @@ def _bwd_precision():
   single-chip Pallas kernels' Dekker-split X3 dots), or 'default'.
   The forward stays HIGHEST/X3 regardless (value parity). Read at
   trace time like the single-chip HYPERBO_BWD_PREC knob."""
-  import os
   name = os.environ.get('HYPERBO_DIST_BWD_PREC', 'highest').lower()
   return {'highest': jax.lax.Precision.HIGHEST,
           'high': jax.lax.Precision.HIGH,
