@@ -61,12 +61,19 @@ _HI = jax.lax.Precision.HIGHEST
 def _bwd_precision():
   """Matmul precision for the distributed-NLL backward's XLA GEMMs.
 
-  HYPERBO_DIST_BWD_PREC (trace-time): 'highest' (6-pass bf16 — full
-  f32-faithful), 'high' (3-pass — the same accuracy class as the
-  single-chip Pallas kernels' Dekker-split X3 dots), or 'default'.
-  The forward stays HIGHEST/X3 regardless (value parity). Read at
-  trace time like the single-chip HYPERBO_BWD_PREC knob."""
-  name = os.environ.get('HYPERBO_DIST_BWD_PREC', 'highest').lower()
+  HYPERBO_DIST_BWD_PREC (trace-time): 'high' (default — 3-pass bf16,
+  the same accuracy class as the single-chip Pallas kernels'
+  Dekker-split X3 dots; 1.18x/1.41x faster distributed VG at
+  n=8192/16384), 'highest' (6-pass, full f32-faithful), or 'default'.
+  Ground-truth comparison (PERF.md r18d): against the dense
+  XLA-HIGHEST gradient, 'high' deviates no more than 'highest' does on
+  every leaf at both sizes — the high-vs-highest difference sits an
+  order of magnitude below each route's intrinsic distance from dense
+  on well-conditioned leaves, and inside gradient-cancellation noise
+  (which afflicts every backend equally) on the rest. The forward
+  stays HIGHEST/X3 regardless (value parity). Read at trace time like
+  the single-chip HYPERBO_BWD_PREC knob."""
+  name = os.environ.get('HYPERBO_DIST_BWD_PREC', 'high').lower()
   return {'highest': jax.lax.Precision.HIGHEST,
           'high': jax.lax.Precision.HIGH,
           'default': jax.lax.Precision.DEFAULT}[name]
