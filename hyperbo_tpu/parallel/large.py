@@ -74,9 +74,13 @@ def _bwd_precision():
   stays HIGHEST/X3 regardless (value parity). Read at trace time like
   the single-chip HYPERBO_BWD_PREC knob."""
   name = os.environ.get('HYPERBO_DIST_BWD_PREC', 'high').lower()
-  return {'highest': jax.lax.Precision.HIGHEST,
-          'high': jax.lax.Precision.HIGH,
-          'default': jax.lax.Precision.DEFAULT}[name]
+  table = {'highest': jax.lax.Precision.HIGHEST,
+           'high': jax.lax.Precision.HIGH,
+           'default': jax.lax.Precision.DEFAULT}
+  if name not in table:
+    raise ValueError(
+        f'HYPERBO_DIST_BWD_PREC={name!r}: expected one of {sorted(table)}')
+  return table[name]
 
 
 def _params_like(params, model):

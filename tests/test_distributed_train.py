@@ -126,6 +126,18 @@ def test_gp_class_routes_distributed_mesh():
         rtol=0, err_msg=f'model leaf {name}')
 
 
+def test_bwd_precision_knob_parsing(monkeypatch):
+  """HYPERBO_DIST_BWD_PREC: defaults to HIGH (the r18d-validated
+  3-pass class), parses case-insensitively, rejects unknown values."""
+  monkeypatch.delenv('HYPERBO_DIST_BWD_PREC', raising=False)
+  assert large._bwd_precision() == jax.lax.Precision.HIGH
+  monkeypatch.setenv('HYPERBO_DIST_BWD_PREC', 'HIGHEST')
+  assert large._bwd_precision() == jax.lax.Precision.HIGHEST
+  monkeypatch.setenv('HYPERBO_DIST_BWD_PREC', 'bogus')
+  with pytest.raises(ValueError, match='HYPERBO_DIST_BWD_PREC'):
+    large._bwd_precision()
+
+
 def test_gp_class_distributed_mesh_fallbacks():
   """Configurations outside the large-n regime must FALL BACK to the
   single-device adam path (not crash, not silently change objective):
