@@ -687,3 +687,39 @@ def fit_adam_large_sharded(mean_func, cov_func, model_params, x, y,
   y = jax.device_put(y, NamedSharding(mesh, P()))
   return adam_lib.fit_adam_scan(loss_fn, model_params, (x, y), None,
                                 config, key=key, callback=callback)
+
+
+def make_fit_adam_large_sharded(mean_func, cov_func, config, mesh: Mesh,
+                                warp_func=None, axis_name: str = 'task',
+                                route: str = 'fused',
+                                backend: str = 'auto', eps: float = 1e-6):
+  """Reusable compiled analog of `fit_adam_large_sharded`.
+
+  `fit_adam_large_sharded` (via `fit_adam_scan`) wraps its scan in a
+  fresh `jax.jit` per call, so repeated same-shaped training runs pay
+  the full retrace each time — ~56 s measured at n=8192 through the
+  remote toolchain against ~0.2 s of device time (PERF.md r18). Same
+  memoized-runner discipline as `train.adam.make_fit_adam_scan` (the
+  r7 BO-retrain lesson): this factory returns ONE jitted
+  `run(model_params, x, y) -> (model_params, losses)` shared across
+  all same-shaped calls. Place x row-sharded / y replicated before
+  calling (one `jax.device_put` per buffer, as
+  `fit_adam_large_sharded` does) to avoid re-transfer per run.
+
+  Semantics match `fit_adam_large_sharded` (full-batch steps,
+  NaN-freeze, config['priors']) except: no callbacks/checkpoint
+  chunks and no opt_state resume — callers needing those should use
+  `fit_adam_large_sharded`.
+  """
+  from hyperbo_tpu.train import adam as adam_lib
+  loss_fn = make_large_loss_sharded(
+      mean_func, cov_func, config, mesh, warp_func=warp_func,
+      axis_name=axis_name, route=route, backend=backend, eps=eps)
+  inner = adam_lib.make_fit_adam_scan(loss_fn, None, config)
+
+  def run(model_params, x, y, key=None):
+    if key is None:
+      key = jax.random.PRNGKey(0)
+    return inner(model_params, (x, y), key)
+
+  return run

@@ -126,6 +126,36 @@ def test_gp_class_routes_distributed_mesh():
         rtol=0, err_msg=f'model leaf {name}')
 
 
+def test_make_fit_adam_large_sharded_runner_reuse():
+  """The memoized runner computes the same trajectory as the one-shot
+  trainer and is reusable across same-shaped calls (one trace)."""
+  x, y, model = _problem(seed=50, k=1)
+  config = {'learning_rate': 1e-2, 'max_training_step': 5}
+  mesh = mesh_lib.create_mesh(8)
+  key = jax.random.PRNGKey(9)
+  run = large.make_fit_adam_large_sharded(
+      mean.constant, kernel.squared_exponential, config, mesh,
+      warp_func=_WF, backend='xla')
+  got_model, got_losses = run(model, x, y, key)
+  want_model, want_losses = large.fit_adam_large_sharded(
+      mean.constant, kernel.squared_exponential, model, x, y, config,
+      mesh, warp_func=_WF, backend='xla', key=key)
+  # Same loss trajectory class (different per-step PRNG threading is
+  # irrelevant here: subsample_fn is None so keys are unused).
+  np.testing.assert_allclose(np.asarray(got_losses),
+                             np.asarray(want_losses), rtol=2e-4)
+  for name in sorted(model):
+    np.testing.assert_allclose(
+        np.asarray(got_model[name]), np.asarray(want_model[name]),
+        atol=2e-4 * (np.max(np.abs(np.asarray(want_model[name]))) + 1.0),
+        rtol=0, err_msg=f'model leaf {name}')
+  # Second same-shaped call reuses the compiled program (and a fresh
+  # start point trains too).
+  m2, l2 = run({k2: v2 + 0.05 for k2, v2 in model.items()}, x, y, key)
+  assert np.isfinite(np.asarray(l2)).all()
+  assert float(l2[-1]) < float(l2[0])
+
+
 def test_bwd_precision_knob_parsing(monkeypatch):
   """HYPERBO_DIST_BWD_PREC: defaults to HIGH (the r18d-validated
   3-pass class), parses case-insensitively, rejects unknown values."""
