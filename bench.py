@@ -825,6 +825,8 @@ if __name__ == '__main__':
       emit(bench_train())
     elif MODE == 'bo':
       emit(bench_bo())
+    elif MODE == 'dist':
+      emit(bench_dist_train())
     else:  # both: pd1 is the headline; chol rides along as "secondary"
       result = bench_pd1()
       # Train before chol: the fused value_and_grad program compiles on
