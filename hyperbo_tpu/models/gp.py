@@ -208,6 +208,46 @@ def infer_parameters(mean_func,
           "config['distributed_axis'] (default 'task'), and "
           'num_restarts == 1) — falling back to the single-device '
           'adam path.')
+    tmesh = params.config.get('task_mesh')
+    if tmesh is not None:
+      # Task-data-parallel multi-chip route (config['task_mesh'] = a
+      # jax.sharding.Mesh): the packed task buffers shard over the
+      # mesh and each device runs the packed NLL (Pallas kernels
+      # shard-local via the explicit shard_map loss) on its task
+      # shard, gradients psum over ICI — the scale-out twin of
+      # config['distributed_mesh'] (many tasks across chips vs one
+      # large task across chips).
+      from hyperbo_tpu.parallel import mesh as pmesh_lib
+      spec = getattr(objective, '_packed_spec', None)
+      taxis = params.config.get('task_mesh_axis', 'task')
+      nll_subs = [s for s in dataset.values()
+                  if s.aligned is None and s.x.shape[0] > 0]
+      if (taxis in tmesh.shape and spec is not None and spec[0] == 'nll'
+          and params.config.get('pack_tasks', True) and nll_subs
+          and all(s.y.shape[1] == 1 for s in nll_subs)
+          and int(params.config.get('num_restarts', 1)) == 1
+          and not periodic):
+        pad = int(params.config.get('train_pad_to_multiple', 8))
+        packed = packed_lib.pack_dataset(
+            dataset, pad_to_multiple=pad,
+            num_tasks_multiple=tmesh.shape[taxis])[0]
+        _, subkey = jax.random.split(key, 2)
+        model, losses = pmesh_lib.fit_adam_packed_sharded(
+            mean_func, cov_func, params.model, packed, params.config,
+            tmesh, warp_func=warp_func, key=subkey, axis_name=taxis)
+        if bool(jnp.isfinite(losses[-1])):
+          params.model = model
+        params_io.log_params_loss(
+            step=max_training_step, params=params, loss=losses[-1],
+            warp_func=warp_func, params_save_file=get_params_path())
+        return params
+      logging.warning(
+          'task_mesh set but the objective/dataset does not fit the '
+          'task-DP route (need plain NLL over packed single-draw '
+          'tasks, the mesh to carry config[\'task_mesh_axis\'] '
+          "(default 'task'), num_restarts == 1, and no "
+          'callback/checkpoint chunking) — falling back to the '
+          'single-device adam path.')
     packed_build = _build_packed_training(
         objective, dataset, params.config, mean_func, cov_func,
         warp_func)

@@ -126,6 +126,42 @@ def test_gp_class_routes_distributed_mesh():
         rtol=0, err_msg=f'model leaf {name}')
 
 
+def test_gp_class_routes_task_mesh():
+  """GP.train() with config['task_mesh'] shards the packed tasks over
+  the mesh and reproduces the single-device packed trajectory."""
+  from hyperbo_tpu.models import gp as gp_lib
+  mesh = mesh_lib.create_mesh(8)
+  key = jax.random.PRNGKey(3)
+  dataset = {}
+  for t in range(8):
+    k1, k2 = jax.random.split(jax.random.fold_in(key, t))
+    xt = jax.random.uniform(k1, (16, 3))
+    dataset[t] = defs.SubDataset(xt, jax.random.normal(k2, (16, 1)))
+  model = {'constant': jnp.float32(0.1),
+           'lengthscale': jnp.ones(3) * 0.5,
+           'signal_variance': jnp.float32(0.1),
+           'noise_variance': jnp.float32(-2.0)}
+  base = {'method': 'adam', 'learning_rate': 1e-2,
+          'max_training_step': 6, 'batch_size': 16, 'objective': 'nll'}
+
+  def train(extra):
+    m = gp_lib.GP(dict(dataset), mean.constant,
+                  kernel.squared_exponential,
+                  defs.GPParams(model=dict(model),
+                                config=dict(base, **extra)), _WF)
+    m.initialize_params(jax.random.PRNGKey(0))
+    m.train(key=jax.random.PRNGKey(11))
+    return m.params.model
+
+  got = train({'task_mesh': mesh})
+  want = train({})
+  for name in sorted(model):
+    np.testing.assert_allclose(
+        np.asarray(got[name]), np.asarray(want[name]),
+        atol=2e-4 * (np.max(np.abs(np.asarray(want[name]))) + 1.0),
+        rtol=0, err_msg=f'model leaf {name}')
+
+
 def test_make_fit_adam_large_sharded_runner_reuse():
   """The memoized runner computes the same trajectory as the one-shot
   trainer and is reusable across same-shaped calls (one trace)."""
