@@ -125,6 +125,21 @@ def main():
       {'learning_rate': 1e-2, 'max_training_step': 25}, m)
   print(f'distributed pre-training (n={nl}, 25 Adam steps): NLL '
         f'{float(tr_losses[0]):.4f} -> {float(tr_losses[-1]):.4f}')
+
+  # --- 5. the same two scale-out regimes through the class API ---
+  from hyperbo_tpu.models import gp as gp_lib
+  big = gp_lib.GP(
+      {'big': defs.SubDataset(xl, yl)}, mean.constant, kernel.matern52,
+      defs.GPParams(model=dict(lparams.model),
+                    config={'method': 'adam', 'learning_rate': 1e-2,
+                            'max_training_step': 10,
+                            'batch_size': nl, 'objective': 'nll',
+                            'distributed_mesh': m}),
+      None)
+  big.initialize_params(jax.random.PRNGKey(0))
+  big.train()
+  print(f"GP.train() with config['distributed_mesh']: one large task "
+        f'row-sharded over {m.shape["task"]} devices — trained')
   print('multichip demo OK')
 
 
